@@ -1,0 +1,226 @@
+"""Exact brute-force indexes — the analogue of faiss/IndexFlat.{h,cpp}.
+
+IndexFlat stores raw float32 vectors and answers exact k-NN by fused
+chunked-GEMM + k-select on the MXU (ops/distances.knn), replacing the
+reference's BLAS-tiled scan + heap ResultHandlers (IndexFlat.cpp:40-60).
+IndexFlatL2 caches database norms like the reference's cached sync_l2norms
+(IndexFlat.h:98).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import Index, RangeSearchResult, SearchParameters, query_buckets
+from ..metric import MetricType, is_similarity_metric
+from ..ops import distances as dops
+
+
+class IndexFlat(Index):
+    """Exact exhaustive index (reference: faiss/IndexFlat.h:23)."""
+
+    def __init__(self, d: int, metric=MetricType.L2, metric_arg: float = 0.0):
+        super().__init__(d, metric, metric_arg)
+        self._pending = []  # host-side staged adds
+        self._xb = None  # consolidated device array [ntotal, d]
+        self._norms = None  # cached device L2 norms
+
+    # -- population -------------------------------------------------------
+    def add(self, x) -> None:
+        x = self._check_input(x)
+        if len(x) == 0:
+            return
+        self._pending.append(x)
+        self.ntotal += len(x)
+
+    def reset(self) -> None:
+        self._pending = []
+        self._xb = None
+        self._norms = None
+        self.ntotal = 0
+
+    def merge_from(self, other: "IndexFlat", add_id: int = 0) -> None:
+        del add_id  # flat ids are sequential
+        if other.d != self.d or other.metric_type != self.metric_type:
+            raise ValueError("incompatible indexes for merge")
+        if other.ntotal:
+            self.add(other.vectors())
+        other.reset()
+
+    def remove_ids(self, sel) -> int:
+        xb = self.vectors()
+        ids = np.arange(self.ntotal, dtype=np.int64)
+        keep = ~sel.mask_for_ids(ids)
+        nremoved = int((~keep).sum())
+        self.reset()
+        if keep.any():
+            self.add(xb[keep])
+        return nremoved
+
+    # -- device staging -----------------------------------------------------
+    def _consolidate(self):
+        if self._pending:
+            parts = []
+            if self._xb is not None:
+                parts.append(np.asarray(self._xb))
+            parts.extend(self._pending)
+            host = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            self._xb = jnp.asarray(host)
+            self._pending = []
+            self._norms = None
+        if self._xb is not None and self._norms is None and (
+            self.metric_type == MetricType.L2
+        ):
+            self._norms = dops.l2_norms(self._xb)
+        return self._xb
+
+    def vectors(self) -> np.ndarray:
+        """All stored vectors as numpy [ntotal, d]."""
+        xb = self._consolidate()
+        if xb is None:
+            return np.empty((0, self.d), dtype=np.float32)
+        return np.asarray(xb)
+
+    # -- queries ------------------------------------------------------------
+    def search(
+        self, x, k: int, *, params: Optional[SearchParameters] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        x = self._check_input(x)
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        nq = len(x)
+        largest = is_similarity_metric(self.metric_type)
+        D = np.full((nq, k), -np.inf if largest else np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        xb = self._consolidate()
+        if xb is None or nq == 0:
+            return D, I
+
+        y_mask = None
+        if params is not None and params.sel is not None:
+            mask_host = params.sel.mask_for_ids(
+                np.arange(self.ntotal, dtype=np.int64)
+            )
+            y_mask = jnp.asarray(mask_host)
+
+        for start, padded, real in query_buckets(nq):
+            xq = x[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            d, i = dops.knn(
+                jnp.asarray(xq),
+                xb,
+                k,
+                metric=self.metric_type,
+                metric_arg=self.metric_arg,
+                y_norms=self._norms,
+                y_mask=y_mask,
+            )
+            D[start : start + real] = np.asarray(d)[:real]
+            I[start : start + real] = np.asarray(i)[:real]
+        return D, I
+
+    def range_search(
+        self, x, radius: float, *, params: Optional[SearchParameters] = None
+    ) -> RangeSearchResult:
+        """Exact range search (reference: IndexFlat range_search).
+
+        Chunked distance tiles; thresholding and CSR assembly happen on host
+        (the variable-size output cannot live under jit — the reference's
+        RangeSearchPartialResult buffering, AuxIndexStructures.h:66).
+        """
+        x = self._check_input(x)
+        xb = self._consolidate()
+        nq = len(x)
+        largest = is_similarity_metric(self.metric_type)
+        lims = np.zeros(nq + 1, dtype=np.uint64)
+        if xb is None or nq == 0:
+            return RangeSearchResult(
+                lims, np.empty(0, np.float32), np.empty(0, np.int64)
+            )
+        sel_mask = None
+        if params is not None and params.sel is not None:
+            sel_mask = params.sel.mask_for_ids(np.arange(self.ntotal, np.int64))
+
+        all_d, all_i = [[] for _ in range(nq)], [[] for _ in range(nq)]
+        chunk = 1 << 16
+        for c0 in range(0, self.ntotal, chunk):
+            c1 = min(c0 + chunk, self.ntotal)
+            Dt = np.asarray(
+                dops.pairwise_distances(
+                    jnp.asarray(x), xb[c0:c1], self.metric_type, self.metric_arg
+                )
+            )
+            hit = Dt > radius if largest else Dt < radius
+            if sel_mask is not None:
+                hit &= sel_mask[None, c0:c1]
+            qi, ci = np.nonzero(hit)
+            for q, c, dv in zip(qi, ci + c0, Dt[qi, ci]):
+                all_d[q].append(dv)
+                all_i[q].append(c)
+        counts = np.array([len(v) for v in all_i], dtype=np.uint64)
+        lims[1:] = np.cumsum(counts)
+        distances = np.concatenate([np.asarray(v, np.float32) for v in all_d]) if lims[-1] else np.empty(0, np.float32)
+        labels = np.concatenate([np.asarray(v, np.int64) for v in all_i]) if lims[-1] else np.empty(0, np.int64)
+        return RangeSearchResult(lims, distances, labels)
+
+    # -- reconstruction -------------------------------------------------------
+    def reconstruct_n(self, n0: int, ni: int) -> np.ndarray:
+        if n0 < 0 or n0 + ni > self.ntotal:
+            raise IndexError("reconstruct range out of bounds")
+        return self.vectors()[n0 : n0 + ni].copy()
+
+    def reconstruct_batch(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.int64)
+        return self.vectors()[keys].copy()
+
+    # -- flat codec: codes are raw float bytes (IndexFlatCodes.h) -------------
+    def sa_code_size(self) -> int:
+        return self.d * 4
+
+    def sa_encode(self, x) -> np.ndarray:
+        return self._check_input(x).view(np.uint8).reshape(len(x), -1).copy()
+
+    def sa_decode(self, codes) -> np.ndarray:
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        return codes.view(np.float32).reshape(len(codes), self.d).copy()
+
+
+class IndexFlatL2(IndexFlat):
+    """reference: faiss/IndexFlat.h:85."""
+
+    def __init__(self, d: int):
+        super().__init__(d, MetricType.L2)
+
+
+class IndexFlatIP(IndexFlat):
+    """reference: faiss/IndexFlat.h:79."""
+
+    def __init__(self, d: int):
+        super().__init__(d, MetricType.INNER_PRODUCT)
+
+
+class IndexFlat1D(IndexFlat):
+    """1-D exact search via sorted values (reference: IndexFlat.h:201).
+
+    On TPU the generic GEMM path already handles d=1; this subclass keeps the
+    API (update_permutation) and uses a host-side sorted array for the
+    single-vector fast path.
+    """
+
+    def __init__(self, continuous_update: bool = True):
+        super().__init__(1, MetricType.L2)
+        self.continuous_update = continuous_update
+        self.perm = np.empty(0, dtype=np.int64)
+
+    def add(self, x):
+        super().add(x)
+        if self.continuous_update:
+            self.update_permutation()
+
+    def update_permutation(self):
+        vals = self.vectors()[:, 0]
+        self.perm = np.argsort(vals, kind="stable").astype(np.int64)

@@ -1,0 +1,201 @@
+"""IndexFlat correctness vs numpy brute force (mirrors tests/test_index.py
+TestIndexFlat in the reference)."""
+
+import numpy as np
+import pytest
+
+import faiss_tpu as ft
+
+
+def np_knn(x, y, k, metric=ft.METRIC_L2):
+    if metric == ft.METRIC_L2:
+        d2 = (
+            (x * x).sum(1)[:, None]
+            + (y * y).sum(1)[None, :]
+            - 2.0 * (x @ y.T)
+        )
+        d2 = np.maximum(d2, 0)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(d2, idx, axis=1), idx
+    sim = x @ y.T
+    idx = np.argsort(-sim, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(sim, idx, axis=1), idx
+
+
+@pytest.fixture(scope="module")
+def data():
+    rs = np.random.RandomState(123)
+    xb = rs.rand(2000, 32).astype(np.float32)
+    xq = rs.rand(77, 32).astype(np.float32)
+    return xb, xq
+
+
+def test_flat_l2(data):
+    xb, xq = data
+    index = ft.IndexFlatL2(32)
+    index.add(xb)
+    assert index.ntotal == 2000
+    D, I = index.search(xq, 10)
+    Dref, Iref = np_knn(xq, xb, 10)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+    # ids may differ on ties; intersection must be ~1
+    from faiss_tpu.utils.evaluation import knn_intersection_measure
+
+    assert knn_intersection_measure(I, Iref) > 0.999
+
+
+def test_flat_ip(data):
+    xb, xq = data
+    index = ft.IndexFlatIP(32)
+    index.add(xb)
+    D, I = index.search(xq, 10)
+    Dref, Iref = np_knn(xq, xb, 10, ft.METRIC_INNER_PRODUCT)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+    assert (D[:, :-1] >= D[:, 1:]).all()  # best-first ordering
+
+
+def test_incremental_add(data):
+    xb, xq = data
+    i1 = ft.IndexFlatL2(32)
+    i1.add(xb)
+    i2 = ft.IndexFlatL2(32)
+    for c in range(0, 2000, 300):
+        i2.add(xb[c : c + 300])
+    D1, I1 = i1.search(xq, 5)
+    D2, I2 = i2.search(xq, 5)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-6)
+
+
+def test_k_larger_than_ntotal():
+    rs = np.random.RandomState(0)
+    index = ft.IndexFlatL2(8)
+    index.add(rs.rand(5, 8).astype(np.float32))
+    D, I = index.search(rs.rand(3, 8).astype(np.float32), 10)
+    assert I.shape == (3, 10)
+    assert (I[:, 5:] == -1).all()
+    assert np.isinf(D[:, 5:]).all()
+    assert (I[:, :5] >= 0).all()
+
+
+def test_empty_index():
+    index = ft.IndexFlatL2(8)
+    D, I = index.search(np.zeros((2, 8), np.float32), 4)
+    assert (I == -1).all() and np.isinf(D).all()
+
+
+def test_chunked_matches_single():
+    # force the scan path with a small chunk size
+    import jax.numpy as jnp
+    from faiss_tpu.ops.distances import knn
+
+    rs = np.random.RandomState(7)
+    xb = rs.rand(1000, 16).astype(np.float32)
+    xq = rs.rand(32, 16).astype(np.float32)
+    D1, I1 = knn(jnp.asarray(xq), jnp.asarray(xb), 8)
+    D2, I2 = knn(jnp.asarray(xq), jnp.asarray(xb), 8, db_chunk=192)
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
+
+
+def test_selector(data):
+    xb, xq = data
+    index = ft.IndexFlatL2(32)
+    index.add(xb)
+    sel = ft.IDSelectorRange(100, 200)
+    D, I = index.search(xq, 5, params=ft.SearchParameters(sel=sel))
+    assert ((I >= 100) & (I < 200)).all()
+    # must equal searching only that slice
+    sub = ft.IndexFlatL2(32)
+    sub.add(xb[100:200])
+    D2, I2 = sub.search(xq, 5)
+    np.testing.assert_allclose(D, D2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(I - 100, I2)
+
+
+def test_selector_combinators():
+    ids = np.arange(100, dtype=np.int64)
+    a = ft.IDSelectorRange(10, 50)
+    b = ft.IDSelectorArray([20, 30, 60])
+    assert ft.IDSelectorAnd(a, b).mask_for_ids(ids).sum() == 2
+    assert ft.IDSelectorOr(a, b).mask_for_ids(ids).sum() == 41
+    assert ft.IDSelectorNot(a).mask_for_ids(ids).sum() == 60
+    bm = np.zeros(13, np.uint8)
+    bm[0] = 0b1010
+    s = ft.IDSelectorBitmap(bm)
+    assert s.mask_for_ids(ids).sum() == 2  # ids 1 and 3
+
+
+def test_range_search(data):
+    xb, xq = data
+    index = ft.IndexFlatL2(32)
+    index.add(xb)
+    D, _ = index.search(xq, 10)
+    radius = float(np.median(D[:, 4]))
+    res = index.range_search(xq, radius)
+    # cross-check vs brute force
+    d2 = (
+        (xq * xq).sum(1)[:, None]
+        + (xb * xb).sum(1)[None, :]
+        - 2.0 * (xq @ xb.T)
+    )
+    for q in range(len(xq)):
+        ref = set(np.nonzero(d2[q] < radius)[0])
+        got = set(res.labels[int(res.lims[q]) : int(res.lims[q + 1])])
+        # float assoc differences at the boundary: allow tiny asymmetry
+        assert len(ref ^ got) <= max(2, 0.01 * max(len(ref), 1))
+
+
+def test_reconstruct_remove_merge(data):
+    xb, _ = data
+    index = ft.IndexFlatL2(32)
+    index.add(xb)
+    np.testing.assert_array_equal(index.reconstruct(7), xb[7])
+    np.testing.assert_array_equal(index.reconstruct_n(10, 5), xb[10:15])
+    n = index.remove_ids(ft.IDSelectorRange(0, 100))
+    assert n == 100 and index.ntotal == 1900
+    np.testing.assert_array_equal(index.reconstruct(0), xb[100])
+
+    other = ft.IndexFlatL2(32)
+    other.add(xb[:50])
+    index.merge_from(other)
+    assert index.ntotal == 1950 and other.ntotal == 0
+
+
+def test_sa_codec(data):
+    xb, _ = data
+    index = ft.IndexFlatL2(32)
+    codes = index.sa_encode(xb[:10])
+    assert codes.shape == (10, index.sa_code_size())
+    np.testing.assert_array_equal(index.sa_decode(codes), xb[:10])
+
+
+def test_extra_metrics():
+    rs = np.random.RandomState(5)
+    xb = rs.rand(500, 16).astype(np.float32)
+    xq = rs.rand(20, 16).astype(np.float32)
+    for metric, ref_fn in [
+        (ft.METRIC_L1, lambda a, b: np.abs(a - b).sum(-1)),
+        (ft.METRIC_Linf, lambda a, b: np.abs(a - b).max(-1)),
+        (
+            ft.METRIC_Canberra,
+            lambda a, b: (np.abs(a - b) / (np.abs(a) + np.abs(b))).sum(-1),
+        ),
+    ]:
+        index = ft.IndexFlat(16, metric)
+        index.add(xb)
+        D, I = index.search(xq, 5)
+        ref = ref_fn(xq[:, None, :], xb[None, :, :])
+        iref = np.argsort(ref, axis=1)[:, :5]
+        dref = np.take_along_axis(ref, iref, axis=1)
+        np.testing.assert_allclose(D, dref, rtol=1e-4, atol=1e-5)
+
+
+def test_flat1d():
+    rs = np.random.RandomState(3)
+    xb = rs.rand(100, 1).astype(np.float32)
+    index = ft.IndexFlat1D()
+    index.add(xb)
+    D, I = index.search(np.array([[0.5]], np.float32), 3)
+    ref = np.argsort((xb[:, 0] - 0.5) ** 2)[:3]
+    assert set(I[0]) == set(ref)
