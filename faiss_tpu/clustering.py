@@ -1,0 +1,265 @@
+"""k-means clustering — the analogue of faiss/Clustering.{h,cpp}.
+
+Keeps the reference's training semantics (Clustering::train_encoded,
+Clustering.cpp:60): NaN checks, subsampling to <= k*max_points_per_centroid,
+seeded init (RANDOM / KMEANS_PLUS_PLUS / AFK_MC2), niter Lloyd iterations with
+empty-cluster splitting (split_clusters, impl/ClusteringHelpers.h:85), nredo
+restarts keeping the best objective, spherical / int_centroids /
+frozen-centroid options, and per-iteration stats. The hot loop runs on TPU
+via ops/kmeans_ops.kmeans_assign_update.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.kmeans_ops import kmeans_assign_update
+
+EPS = 1.0 / 1024.0  # centroid-split perturbation (ClusteringHelpers.h:99)
+
+
+@dataclass
+class ClusteringIterationStats:
+    """Per-iteration stats (reference: Clustering.h:82)."""
+
+    obj: float
+    time: float
+    time_search: float
+    imbalance_factor: float
+    nsplit: int
+
+
+@dataclass
+class ClusteringParameters:
+    """Training knobs (reference: Clustering.h:26-77)."""
+
+    niter: int = 25
+    nredo: int = 1
+    verbose: bool = False
+    spherical: bool = False
+    int_centroids: bool = False
+    update_index: bool = True  # kept for API parity; always true here
+    frozen_centroids: bool = False
+    min_points_per_centroid: int = 39
+    max_points_per_centroid: int = 256
+    seed: int = 1234
+    decode_block_size: int = 32768
+    check_input_data_for_NaNs: bool = True
+    init_method: str = "random"  # random | kmeans++ (ClusteringInitialization.h)
+
+
+def imbalance_factor(counts: np.ndarray) -> float:
+    """n * sum(c^2) / (sum c)^2 (reference: utils/utils.cpp imbalance_factor)."""
+    tot = counts.sum()
+    if tot == 0:
+        return float("nan")
+    return float(len(counts) * (counts.astype(np.float64) ** 2).sum() / tot**2)
+
+
+def _kmeans_pp_init(x: np.ndarray, k: int, rs: np.random.RandomState) -> np.ndarray:
+    """k-means++ seeding (reference: impl/ClusteringInitialization.cpp).
+
+    Distance updates run vectorized on host numpy; n here is already
+    subsampled to <= 256k points so this is cheap.
+    """
+    n = len(x)
+    centroids = np.empty((k, x.shape[1]), dtype=np.float32)
+    centroids[0] = x[rs.randint(n)]
+    d2 = ((x - centroids[0]) ** 2).sum(1)
+    for i in range(1, k):
+        probs = d2 / max(d2.sum(), 1e-30)
+        centroids[i] = x[rs.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((x - centroids[i]) ** 2).sum(1))
+    return centroids
+
+
+class Clustering:
+    """Lloyd's k-means (reference: faiss/Clustering.h:95)."""
+
+    def __init__(self, d: int, k: int, cp: Optional[ClusteringParameters] = None):
+        self.d = int(d)
+        self.k = int(k)
+        self.cp = cp or ClusteringParameters()
+        # mirror parameters as attributes for faiss-style access
+        for name, val in vars(self.cp).items():
+            setattr(self, name, val)
+        self.centroids: Optional[np.ndarray] = None
+        self.iteration_stats: List[ClusteringIterationStats] = []
+
+    # -- data preparation (Clustering.cpp:107 subsample_training_set) -------
+    def _prepare(self, x: np.ndarray, weights, rs):
+        n = len(x)
+        if self.cp.check_input_data_for_NaNs and not np.isfinite(x).all():
+            raise ValueError("input contains NaN or Inf")
+        if n < self.k:
+            raise ValueError(f"need at least k={self.k} points, got {n}")
+        max_n = self.k * self.cp.max_points_per_centroid
+        if n > max_n:
+            perm = rs.permutation(n)[:max_n]
+            x = x[perm]
+            weights = weights[perm] if weights is not None else None
+            if self.verbose:
+                print(f"Sampling a subset of {max_n} / {n} for training")
+        elif n < self.k * self.cp.min_points_per_centroid and self.verbose:
+            print(
+                f"WARNING clustering {n} points to {self.k} centroids: please "
+                f"provide at least {self.k * self.cp.min_points_per_centroid} "
+                "training points"
+            )
+        return x, weights
+
+    def _init_centroids(self, x: np.ndarray, rs) -> np.ndarray:
+        if self.centroids is not None and len(self.centroids) == self.k:
+            return np.array(self.centroids, dtype=np.float32)  # warm start
+        if self.cp.init_method == "kmeans++":
+            c = _kmeans_pp_init(x, self.k, rs)
+        else:
+            perm = rs.permutation(len(x))[: self.k]
+            c = x[perm].astype(np.float32).copy()
+        return c
+
+    @staticmethod
+    def _split_clusters(centroids, counts, rs):
+        """Re-seed empty clusters by splitting big ones
+        (reference: impl/ClusteringHelpers.h:85 split_clusters)."""
+        k = len(centroids)
+        nsplit = 0
+        n = counts.sum()
+        for ci in np.nonzero(counts == 0)[0]:
+            # probabilistic pick proportional to count - 1
+            probs = np.maximum(counts - 1, 0).astype(np.float64)
+            probs /= max(probs.sum(), 1e-30)
+            cj = rs.choice(k, p=probs)
+            centroids[ci] = centroids[cj]
+            centroids[ci] *= 1 + EPS
+            centroids[cj] *= 1 - EPS
+            counts[ci] = counts[cj] // 2
+            counts[cj] -= counts[ci]
+            nsplit += 1
+        del n
+        return nsplit
+
+    def _postprocess(self, centroids: np.ndarray) -> np.ndarray:
+        if self.cp.spherical:
+            norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+            centroids = centroids / np.maximum(norms, 1e-30)
+        if self.cp.int_centroids:
+            centroids = np.round(centroids)
+        return centroids
+
+    # -- training (Clustering.cpp:47 / train_encoded:60) ---------------------
+    def train(self, x, weights=None) -> float:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.ndim != 2 or x.shape[1] != self.d:
+            raise ValueError(f"expected [n, {self.d}] training data")
+        if weights is not None:
+            weights = np.ascontiguousarray(weights, dtype=np.float32)
+        rs = np.random.RandomState(self.cp.seed)
+        x, weights = self._prepare(x, weights, rs)
+        xd = jnp.asarray(x)
+        wd = jnp.asarray(weights) if weights is not None else None
+
+        best_obj = np.inf
+        best_centroids = None
+        best_stats: List[ClusteringIterationStats] = []
+
+        for redo in range(self.cp.nredo):
+            centroids = self._init_centroids(x, rs)
+            centroids = self._postprocess(centroids)
+            stats: List[ClusteringIterationStats] = []
+            obj = np.inf
+            for it in range(self.cp.niter):
+                t0 = time.time()
+                sums, counts, obj_dev, _ = kmeans_assign_update(
+                    xd, jnp.asarray(centroids), wd
+                )
+                sums = np.asarray(sums)
+                counts = np.asarray(counts)
+                obj = float(obj_dev)
+                t_search = time.time() - t0
+
+                if not self.cp.frozen_centroids:
+                    nz = counts > 0
+                    new_c = centroids.copy()
+                    new_c[nz] = sums[nz] / counts[nz, None]
+                    icounts = counts.astype(np.int64)
+                    nsplit = self._split_clusters(new_c, icounts, rs)
+                    centroids = self._postprocess(new_c)
+                else:
+                    nsplit = 0
+                    icounts = counts.astype(np.int64)
+
+                stats.append(
+                    ClusteringIterationStats(
+                        obj=obj,
+                        time=time.time() - t0,
+                        time_search=t_search,
+                        imbalance_factor=imbalance_factor(counts),
+                        nsplit=nsplit,
+                    )
+                )
+                if self.verbose:
+                    print(
+                        f"  Iteration {it} ({stats[-1].time:.2f} s): "
+                        f"objective={obj:g} imbalance={stats[-1].imbalance_factor:.3f} "
+                        f"nsplit={nsplit}"
+                    )
+            if obj < best_obj:
+                best_obj, best_centroids, best_stats = obj, centroids, stats
+            if self.cp.nredo > 1:
+                self.centroids = None  # force re-init on next redo
+
+        self.centroids = best_centroids
+        self.iteration_stats = best_stats
+        return best_obj
+
+
+def kmeans_clustering(d, k, x, niter=25, **kw) -> np.ndarray:
+    """Simple entry point (reference: Clustering.h kmeans_clustering:436)."""
+    cp = ClusteringParameters(niter=niter, **kw)
+    clus = Clustering(d, k, cp)
+    clus.train(x)
+    return clus.centroids
+
+
+class Kmeans:
+    """sklearn-style wrapper (reference: python/extra_wrappers.py:484)."""
+
+    def __init__(self, d: int, k: int, **kwargs):
+        self.d, self.k = int(d), int(k)
+        cp = ClusteringParameters()
+        self.gpu = kwargs.pop("gpu", False)  # accepted for API parity
+        for name, val in kwargs.items():
+            if hasattr(cp, name):
+                setattr(cp, name, val)
+            else:
+                raise TypeError(f"unknown Kmeans parameter {name!r}")
+        self.cp = cp
+        self.centroids: Optional[np.ndarray] = None
+        self.obj: Optional[np.ndarray] = None
+        self.iteration_stats = []
+
+    def train(self, x, weights=None, init_centroids=None) -> float:
+        clus = Clustering(self.d, self.k, self.cp)
+        if init_centroids is not None:
+            clus.centroids = np.ascontiguousarray(init_centroids, np.float32)
+        best = clus.train(x, weights=weights)
+        self.centroids = clus.centroids
+        self.iteration_stats = clus.iteration_stats
+        self.obj = np.array([s.obj for s in clus.iteration_stats])
+        self.index = None  # built lazily in assign()
+        return best
+
+    def assign(self, x):
+        from .models.flat import IndexFlatL2
+
+        if self.index is None:
+            self.index = IndexFlatL2(self.d)
+            self.index.add(self.centroids)
+        D, I = self.index.search(np.ascontiguousarray(x, np.float32), 1)
+        return D.ravel(), I.ravel()

@@ -1,0 +1,113 @@
+"""Clustering tests (mirrors the reference's tests/test_clustering.py)."""
+
+import numpy as np
+
+from faiss_tpu.clustering import (
+    Clustering,
+    ClusteringParameters,
+    Kmeans,
+    kmeans_clustering,
+)
+
+
+def make_blobs(n=2000, d=16, k=8, seed=0):
+    rs = np.random.RandomState(seed)
+    centers = rs.rand(k, d).astype(np.float32) * 10
+    assign = rs.randint(k, size=n)
+    x = centers[assign] + rs.randn(n, d).astype(np.float32) * 0.1
+    return x, centers
+
+
+def test_kmeans_converges_to_blobs():
+    x, centers = make_blobs()
+    km = Kmeans(16, 8, niter=20, seed=123, init_method="kmeans++", nredo=3)
+    km.train(x)
+    # every true center must have a learned centroid within noise distance
+    d2 = ((centers[:, None, :] - km.centroids[None]) ** 2).sum(-1)
+    assert (d2.min(axis=1) < 0.5).all()
+    # objective decreases monotonically (Lloyd's guarantee)
+    obj = km.obj
+    assert (np.diff(obj) <= 1e-3 * obj[0]).all()
+
+
+def test_objective_reasonable():
+    x, _ = make_blobs(n=3000, d=8, k=4)
+    obj = Clustering(8, 4).train(x)
+    # after convergence, avg per-point distance ~ noise level (0.1^2 * d)
+    assert obj / len(x) < 0.5
+
+
+def test_nredo_improves_or_equal():
+    x, _ = make_blobs(n=1000, d=8, k=16, seed=3)
+    o1 = Clustering(8, 16, ClusteringParameters(niter=5, nredo=1, seed=7)).train(x)
+    o3 = Clustering(8, 16, ClusteringParameters(niter=5, nredo=3, seed=7)).train(x)
+    assert o3 <= o1 + 1e-3
+
+
+def test_subsampling():
+    x, _ = make_blobs(n=5000, d=8, k=4)
+    cp = ClusteringParameters(niter=4, max_points_per_centroid=100)
+    clus = Clustering(8, 4, cp)
+    clus.train(x)  # only 400 points used
+    assert clus.centroids.shape == (4, 8)
+
+
+def test_spherical():
+    x, _ = make_blobs(n=1000, d=16, k=8)
+    cp = ClusteringParameters(niter=5, spherical=True)
+    clus = Clustering(16, 8, cp)
+    clus.train(x)
+    norms = np.linalg.norm(clus.centroids, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_empty_cluster_split():
+    # k larger than natural cluster count forces empties -> splits
+    rs = np.random.RandomState(0)
+    x = np.zeros((500, 4), np.float32)
+    x[:250] = rs.randn(250, 4) * 0.01
+    x[250:] = 5 + rs.randn(250, 4) * 0.01
+    clus = Clustering(4, 10, ClusteringParameters(niter=10))
+    clus.train(x)
+    # all clusters must end up non-degenerate (no NaN / no duplicates at inf)
+    assert np.isfinite(clus.centroids).all()
+
+
+def test_weights():
+    rs = np.random.RandomState(1)
+    x = np.concatenate(
+        [rs.randn(100, 4) * 0.01, 10 + rs.randn(100, 4) * 0.01]
+    ).astype(np.float32)
+    w = np.concatenate([np.full(100, 100.0), np.full(100, 1e-6)]).astype(
+        np.float32
+    )
+    clus = Clustering(4, 1, ClusteringParameters(niter=5))
+    clus.train(x, weights=w)
+    # centroid pulled almost entirely to the heavy cluster
+    assert np.abs(clus.centroids[0]).max() < 1.0
+
+
+def test_kmeans_pp_init():
+    x, _ = make_blobs(n=1000, d=8, k=8)
+    cp = ClusteringParameters(niter=5, init_method="kmeans++")
+    clus = Clustering(8, 8, cp)
+    obj = clus.train(x)
+    assert obj / len(x) < 1.0
+
+
+def test_kmeans_clustering_fn():
+    x, _ = make_blobs(n=800, d=8, k=4)
+    c = kmeans_clustering(8, 4, x, niter=5)
+    assert c.shape == (4, 8)
+
+
+def test_kmeans_assign():
+    x, _ = make_blobs(n=500, d=8, k=4)
+    km = Kmeans(8, 4, niter=8)
+    km.train(x)
+    D, I = km.assign(x)
+    assert I.shape == (500,)
+    assert I.min() >= 0 and I.max() < 4
+    # assignment must be argmin over centroids
+    d2 = ((x[:, None] - km.centroids[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(I, d2.argmin(1))
