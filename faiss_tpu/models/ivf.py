@@ -1,0 +1,410 @@
+"""IVF indexes — analogue of faiss/IndexIVF.{h,cpp} + invlists/.
+
+Design (SURVEY.md §7): inverted lists are padded device arrays
+``codes [nlist, max_len, ...]`` + lengths, rebuilt lazily from a host-side
+flat entry store (codes / listnos / ids per slot). The flat store plays the
+role of ArrayInvertedLists + DirectMap (reconstruct / remove / merge are
+trivial on it); the padded device form is the scan-time layout (the analogue
+of the GPU interleaved-by-32 layout, gpu/impl/IVFInterleaved.cuh:30).
+
+Search = coarse quantization (device knn against centroids) + ivf scan kernel
+(ops/ivf_ops.py) + slot->id mapping at the boundary. This replaces the whole
+InvertedListScanner / parallel_mode machinery (IndexIVF.cpp:626-752) — query
+parallelism is the batch dimension on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import Index, SearchParameters, query_buckets
+from ..clustering import Clustering, ClusteringParameters
+from ..metric import MetricType, is_similarity_metric
+from ..ops import distances as dops
+from ..ops.ivf_ops import ivf_flat_scan
+from .flat import IndexFlat
+
+
+class IndexIVFStats:
+    """Search statistics (reference: IndexIVF.h:583 IndexIVFStats)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.nq = 0
+        self.nlist = 0
+        self.ndis = 0
+        self.nheap_updates = 0
+        self.quantization_time = 0.0
+        self.search_time = 0.0
+
+
+indexIVF_stats = IndexIVFStats()
+
+
+class SearchParametersIVF(SearchParameters):
+    """reference: IndexIVF.h:68."""
+
+    def __init__(self, nprobe: int = 0, max_codes: int = 0, sel=None):
+        super().__init__(sel=sel)
+        self.nprobe = int(nprobe)
+        self.max_codes = int(max_codes)
+
+
+class Level1Quantizer:
+    """Coarse-quantizer management (reference: IndexIVF.h:30).
+
+    Owns the quantizer index and trains it by k-means (train_q1,
+    IndexIVF.cpp). ``clustering_index`` optionally redirects assignment to
+    another index type during training (API parity; our Clustering always
+    assigns on-device).
+    """
+
+    def __init__(self, quantizer: Optional[Index], nlist: int, d: int, metric):
+        self.nlist = int(nlist)
+        self.quantizer = quantizer if quantizer is not None else IndexFlat(d, metric)
+        self.own_fields = quantizer is None
+        self.cp = ClusteringParameters()
+        self.clustering_index = None
+        self.quantizer_trains_alone = 0
+
+    def train_q1(self, x: np.ndarray, verbose: bool, metric) -> None:
+        d = x.shape[1]
+        if self.quantizer.ntotal == self.nlist:
+            return  # already trained (quantizer provided pre-populated)
+        if self.quantizer_trains_alone == 1:
+            self.quantizer.train(x)
+            return
+        cp = self.cp
+        cp.verbose = verbose
+        cp.spherical = cp.spherical or metric == MetricType.INNER_PRODUCT
+        clus = Clustering(d, self.nlist, cp)
+        clus.train(x)
+        self.quantizer.reset()
+        self.quantizer.add(clus.centroids)
+
+
+class IndexIVF(Index, Level1Quantizer):
+    """Base IVF index (reference: IndexIVF.h:194).
+
+    Subclasses implement the codec: encode_vectors / decode_vectors /
+    code shape, and may override the scan kernel.
+    """
+
+    def __init__(
+        self,
+        quantizer: Optional[Index],
+        d: int,
+        nlist: int,
+        metric=MetricType.L2,
+    ):
+        Index.__init__(self, d, metric)
+        Level1Quantizer.__init__(self, quantizer, nlist, d, self.metric_type)
+        self.nprobe = 1
+        self.max_codes = 0
+        self.by_residual = False
+        self.is_trained = self.quantizer.ntotal == self.nlist
+        # host-side flat entry store (ArrayInvertedLists + DirectMap analogue)
+        self._codes_host: Optional[np.ndarray] = None  # [ntotal, ...] codec dtype
+        self._listnos_host = np.empty(0, np.int32)
+        self._ids_host = np.empty(0, np.int64)
+        self._device = None  # padded device arrays cache
+
+    # ---- codec interface (IndexIVF.h:270 encode_vectors) -------------------
+    def train_encoder(self, x: np.ndarray, assign: np.ndarray) -> None:
+        del x, assign
+
+    def encode_vectors(self, x: np.ndarray, listnos: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def decode_vectors(self, codes: np.ndarray, listnos: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    # ---- training -----------------------------------------------------------
+    def train(self, x) -> None:
+        x = self._check_input(x)
+        self.train_q1(x, self.verbose, self.metric_type)
+        _, assign = self.quantizer.search(x, 1)
+        self.train_encoder(x, assign.ravel())
+        self.is_trained = True
+
+    # ---- population ----------------------------------------------------------
+    def add(self, x) -> None:
+        self.add_with_ids(x, None)
+
+    def add_with_ids(self, x, ids) -> None:
+        x = self._check_input(x)
+        self._check_trained()
+        n = len(x)
+        if n == 0:
+            return
+        _, assign = self.quantizer.search(x, 1)
+        self.add_core(x, ids, assign.ravel())
+
+    def add_core(self, x, ids, listnos) -> None:
+        """Add with precomputed coarse assignment
+        (reference: IndexIVF.h add_core; contrib/ivf_tools.add_preassigned)."""
+        n = len(x)
+        listnos = np.asarray(listnos, np.int32).ravel()
+        codes = self.encode_vectors(x, listnos)
+        if ids is None:
+            ids = np.arange(self.ntotal, self.ntotal + n, dtype=np.int64)
+        else:
+            ids = np.asarray(ids, np.int64).ravel()
+            if len(ids) != n:
+                raise ValueError("ids length mismatch")
+        if self._codes_host is None:
+            self._codes_host = codes
+        else:
+            self._codes_host = np.concatenate([self._codes_host, codes])
+        self._listnos_host = np.concatenate([self._listnos_host, listnos])
+        self._ids_host = np.concatenate([self._ids_host, ids])
+        self.ntotal += n
+        self._device = None
+
+    def reset(self) -> None:
+        self._codes_host = None
+        self._listnos_host = np.empty(0, np.int32)
+        self._ids_host = np.empty(0, np.int64)
+        self.ntotal = 0
+        self._device = None
+
+    def remove_ids(self, sel) -> int:
+        keep = ~sel.mask_for_ids(self._ids_host)
+        nremoved = int((~keep).sum())
+        if nremoved:
+            self._codes_host = self._codes_host[keep]
+            self._listnos_host = self._listnos_host[keep]
+            self._ids_host = self._ids_host[keep]
+            self.ntotal -= nremoved
+            self._device = None
+        return nremoved
+
+    def merge_from(self, other: "IndexIVF", add_id: int = 0) -> None:
+        self.check_compatible_for_merge(other)
+        if other.ntotal:
+            self._codes_host = (
+                other._codes_host.copy()
+                if self._codes_host is None
+                else np.concatenate([self._codes_host, other._codes_host])
+            )
+            self._listnos_host = np.concatenate(
+                [self._listnos_host, other._listnos_host]
+            )
+            self._ids_host = np.concatenate(
+                [self._ids_host, other._ids_host + add_id]
+            )
+            self.ntotal += other.ntotal
+            self._device = None
+        other.reset()
+
+    def check_compatible_for_merge(self, other) -> None:
+        if (
+            type(other) is not type(self)
+            or other.d != self.d
+            or other.nlist != self.nlist
+            or other.metric_type != self.metric_type
+        ):
+            raise ValueError("incompatible indexes for merge")
+
+    # ---- padded device layout --------------------------------------------------
+    def _pad_to(self, n: int) -> int:
+        return max(128, -(-n // 128) * 128)
+
+    def _build_device(self):
+        if self._device is not None:
+            return self._device
+        nlist = self.nlist
+        n = self.ntotal
+        lengths = np.bincount(self._listnos_host, minlength=nlist).astype(np.int32)
+        max_len = self._pad_to(int(lengths.max()) if n else 1)
+        order = np.argsort(self._listnos_host, kind="stable").astype(np.int32)
+        sorted_ln = self._listnos_host[order]
+        offsets = np.zeros(nlist, np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        ranks = np.arange(n, dtype=np.int64) - offsets[sorted_ln]
+        slot_ids = np.full((nlist, max_len), -1, np.int32)
+        slot_ids[sorted_ln, ranks] = order
+        self._device = self._stage_codes(
+            slot_ids, lengths, max_len, sorted_ln, ranks, order
+        )
+        return self._device
+
+    def _stage_codes(self, slot_ids, lengths, max_len, sorted_ln, ranks, order):
+        """Build device arrays for the scan kernel; IVF-Flat default:
+        padded raw vectors + cached norms."""
+        d = self.d
+        pad_codes = np.zeros((self.nlist, max_len, d), np.float32)
+        if self.ntotal:
+            pad_codes[sorted_ln, ranks] = self._codes_host[order]
+        dev = {
+            "codes": jnp.asarray(pad_codes),
+            "slot_ids": jnp.asarray(slot_ids),
+            "lengths": jnp.asarray(lengths),
+        }
+        if self.metric_type == MetricType.L2:
+            dev["code_norms"] = jnp.sum(jnp.square(dev["codes"]), axis=-1)
+        else:
+            dev["code_norms"] = None
+        return dev
+
+    # ---- search -------------------------------------------------------------
+    def _coarse_search(self, xq_host: np.ndarray, nprobe: int):
+        """Coarse quantization, kept on device when the quantizer is flat."""
+        q = self.quantizer
+        if isinstance(q, IndexFlat):
+            xb = q._consolidate()
+            d, i = dops.knn(
+                jnp.asarray(xq_host),
+                xb,
+                nprobe,
+                metric=q.metric_type,
+                y_norms=q._norms,
+            )
+            return d, i.astype(jnp.int32)
+        d, i = q.search(xq_host, nprobe)
+        return jnp.asarray(d), jnp.asarray(i.astype(np.int32))
+
+    def _scan(self, xq_dev, probes, coarse_dis, k, dev, sel_mask):
+        """Codec-specific list scan; returns (dists, slots). IVF-Flat default."""
+        return ivf_flat_scan(
+            xq_dev,
+            probes,
+            dev["codes"],
+            dev["slot_ids"],
+            dev["lengths"],
+            k,
+            metric=self.metric_type,
+            code_norms=dev["code_norms"],
+            sel_mask=sel_mask,
+        )
+
+    def search(
+        self, x, k: int, *, params: Optional[SearchParameters] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        x = self._check_input(x)
+        self._check_trained()
+        nprobe = self.nprobe
+        sel = None
+        if params is not None:
+            sel = params.sel
+            if getattr(params, "nprobe", 0):
+                nprobe = params.nprobe
+        nprobe = min(max(1, nprobe), self.nlist)
+
+        nq = len(x)
+        largest = is_similarity_metric(self.metric_type)
+        D = np.full((nq, k), -np.inf if largest else np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        if self.ntotal == 0 or nq == 0:
+            return D, I
+
+        dev = self._build_device()
+        sel_mask = None
+        if sel is not None:
+            sel_mask = jnp.asarray(sel.mask_for_ids(self._ids_host))
+
+        indexIVF_stats.nq += nq
+        for start, padded, real in query_buckets(nq):
+            xq = x[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            coarse_dis, probes = self._coarse_search(xq, nprobe)
+            xq_dev = jnp.asarray(xq)
+            dists, slots = self._scan(xq_dev, probes, coarse_dis, k, dev, sel_mask)
+            slots = np.asarray(slots)[:real]
+            D[start : start + real] = np.asarray(dists)[:real]
+            I[start : start + real] = np.where(
+                slots >= 0, self._ids_host[np.maximum(slots, 0)], -1
+            )
+        return D, I
+
+    def search_preassigned(
+        self, x, k: int, assign, centroid_dis, *, params=None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Search with externally computed coarse assignment
+        (reference: IndexIVF.h:301; contrib/ivf_tools.search_preassigned)."""
+        x = self._check_input(x)
+        nq = len(x)
+        dev = self._build_device()
+        sel_mask = None
+        if params is not None and params.sel is not None:
+            sel_mask = jnp.asarray(params.sel.mask_for_ids(self._ids_host))
+        largest = is_similarity_metric(self.metric_type)
+        D = np.full((nq, k), -np.inf if largest else np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        assign = np.asarray(assign, np.int32)
+        centroid_dis = np.asarray(centroid_dis, np.float32)
+        for start, padded, real in query_buckets(nq):
+            xq = x[start : start + real]
+            pr = assign[start : start + real]
+            cd = centroid_dis[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+                pr = np.pad(pr, ((0, padded - real), (0, 0)), constant_values=-1)
+                cd = np.pad(cd, ((0, padded - real), (0, 0)))
+            dists, slots = self._scan(
+                jnp.asarray(xq), jnp.asarray(pr), jnp.asarray(cd), k, dev, sel_mask
+            )
+            slots = np.asarray(slots)[:real]
+            D[start : start + real] = np.asarray(dists)[:real]
+            I[start : start + real] = np.where(
+                slots >= 0, self._ids_host[np.maximum(slots, 0)], -1
+            )
+        return D, I
+
+    # ---- reconstruction -----------------------------------------------------
+    def make_direct_map(self, new_maintain: bool = True) -> None:
+        pass  # the flat entry store always supports reconstruction
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        pos = np.nonzero(self._ids_host == key)[0]
+        if len(pos) == 0:
+            raise KeyError(f"id {key} not found")
+        p = pos[0]
+        return self.decode_vectors(
+            self._codes_host[p : p + 1], self._listnos_host[p : p + 1]
+        )[0]
+
+    def reconstruct_n(self, n0: int, ni: int) -> np.ndarray:
+        out = np.empty((ni, self.d), np.float32)
+        for j in range(ni):
+            out[j] = self.reconstruct(n0 + j)
+        return out
+
+    # ---- invlist introspection (InvertedLists.h API surface) ------------------
+    def get_list_size(self, list_no: int) -> int:
+        return int((self._listnos_host == list_no).sum())
+
+    def invlists_ids(self, list_no: int) -> np.ndarray:
+        return self._ids_host[self._listnos_host == list_no]
+
+
+class IndexIVFFlat(IndexIVF):
+    """IVF with raw float vectors in lists (reference: IndexIVFFlat.h:22)."""
+
+    def __init__(self, quantizer, d, nlist, metric=MetricType.L2):
+        super().__init__(quantizer, d, nlist, metric)
+        self.code_size = d * 4
+
+    def encode_vectors(self, x, listnos):
+        del listnos
+        return np.ascontiguousarray(x, np.float32)
+
+    def decode_vectors(self, codes, listnos):
+        del listnos
+        return np.ascontiguousarray(codes, np.float32)
+
+    def sa_code_size(self) -> int:
+        return self.code_size
+
+    def sa_encode(self, x):
+        return self._check_input(x).view(np.uint8).reshape(len(x), -1).copy()
+
+    def sa_decode(self, codes):
+        codes = np.ascontiguousarray(codes, np.uint8)
+        return codes.view(np.float32).reshape(len(codes), self.d).copy()

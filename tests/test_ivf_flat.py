@@ -1,0 +1,125 @@
+"""IVF-Flat correctness (mirrors reference tests/test_index.py TestIVFFlat)."""
+
+import numpy as np
+import pytest
+
+import faiss_tpu as ft
+from faiss_tpu.models.ivf import IndexIVFFlat, SearchParametersIVF
+from faiss_tpu.utils.datasets import SyntheticDataset
+from faiss_tpu.utils.evaluation import knn_intersection_measure
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticDataset(32, 2000, 8000, 100)
+
+
+@pytest.fixture(scope="module")
+def trained(ds):
+    index = IndexIVFFlat(None, 32, 64)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    return index
+
+
+def test_ivf_recall_increases_with_nprobe(ds, trained):
+    gt = ds.get_groundtruth(10)
+    recalls = []
+    for nprobe in [1, 4, 16, 64]:
+        trained.nprobe = nprobe
+        _, I = trained.search(ds.get_queries(), 10)
+        recalls.append(knn_intersection_measure(I, gt))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] > 0.99  # nprobe = nlist == exhaustive
+    assert recalls[1] > 0.5
+
+
+def test_full_probe_matches_flat(ds, trained):
+    """nprobe == nlist must equal brute force (equivalence test, SURVEY §4)."""
+    flat = ft.IndexFlatL2(32)
+    flat.add(ds.get_database())
+    Dref, Iref = flat.search(ds.get_queries(), 10)
+    trained.nprobe = 64
+    D, I = trained.search(ds.get_queries(), 10)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+    assert knn_intersection_measure(I, Iref) >= 0.999
+
+
+def test_search_params_override(ds, trained):
+    trained.nprobe = 1
+    _, I1 = trained.search(ds.get_queries(), 10)
+    _, I64 = trained.search(
+        ds.get_queries(), 10, params=SearchParametersIVF(nprobe=64)
+    )
+    gt = ds.get_groundtruth(10)
+    assert knn_intersection_measure(I64, gt) > knn_intersection_measure(I1, gt)
+
+
+def test_ivf_ip(ds):
+    index = IndexIVFFlat(None, 32, 32, ft.METRIC_INNER_PRODUCT)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.nprobe = 32
+    flat = ft.IndexFlatIP(32)
+    flat.add(ds.get_database())
+    Dref, Iref = flat.search(ds.get_queries(), 5)
+    D, I = index.search(ds.get_queries(), 5)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+    assert knn_intersection_measure(I, Iref) >= 0.999
+
+
+def test_add_with_ids_and_selector(ds, trained):
+    xb = ds.get_database()[:500]
+    index = IndexIVFFlat(None, 32, 16)
+    index.train(ds.get_train())
+    ids = np.arange(500, dtype=np.int64) * 10 + 3
+    index.add_with_ids(xb, ids)
+    index.nprobe = 16
+    D, I = index.search(ds.get_queries(), 5)
+    valid = I[I >= 0]
+    assert ((valid % 10) == 3).all()
+    # selector restricted to even original rows
+    sel = ft.IDSelectorArray(ids[::2])
+    D2, I2 = index.search(
+        ds.get_queries(), 5, params=SearchParametersIVF(nprobe=16, sel=sel)
+    )
+    v2 = I2[I2 >= 0]
+    assert np.isin(v2, ids[::2]).all()
+
+
+def test_remove_merge_reconstruct(ds):
+    xb = ds.get_database()[:400]
+    a = IndexIVFFlat(None, 32, 8)
+    a.train(ds.get_train())
+    a.add(xb[:200])
+    b = IndexIVFFlat(None, 32, 8)
+    b.quantizer = a.quantizer  # shared coarse quantizer
+    b.is_trained = True
+    b.add_with_ids(xb[200:], np.arange(200, 400, dtype=np.int64))
+    a.merge_from(b)
+    assert a.ntotal == 400 and b.ntotal == 0
+    np.testing.assert_allclose(a.reconstruct(333), xb[333], rtol=1e-6)
+    n = a.remove_ids(ft.IDSelectorRange(0, 100))
+    assert n == 100 and a.ntotal == 300
+
+
+def test_search_preassigned_matches_search(ds, trained):
+    trained.nprobe = 8
+    xq = ds.get_queries()
+    D1, I1 = trained.search(xq, 10)
+    cd, assign = trained.quantizer.search(xq, 8)
+    D2, I2 = trained.search_preassigned(xq, 10, assign, cd)
+    np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
+    assert knn_intersection_measure(I1, I2) > 0.999
+
+
+def test_empty_lists_and_small_index():
+    rs = np.random.RandomState(0)
+    xt = rs.rand(256, 8).astype(np.float32)
+    index = IndexIVFFlat(None, 8, 16)
+    index.train(xt)
+    index.add(xt[:10])
+    index.nprobe = 16
+    D, I = index.search(xt[:5], 20)
+    assert (I[:, 10:] == -1).all()
+    assert (I[:, 0] == np.arange(5)).all()  # self is nearest
