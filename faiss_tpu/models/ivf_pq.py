@@ -1,0 +1,242 @@
+"""IndexIVFPQ — the workhorse index (reference: faiss/IndexIVFPQ.{h,cpp}).
+
+By-residual product quantization inside inverted lists, with precomputed
+term-2 tables (initialize_IVFPQ_precomputed_table, IndexIVFPQ.cpp:407) so the
+scan is pure table gathers + bias. The FastScan variants
+(IndexIVFPQFastScan, reference faiss/IndexIVFPQFastScan.h /
+IndexIVFFastScan.cpp) are the nbits=4 configuration of the same TPU kernel —
+the SIMD-shuffle LUT trick maps to small-ksub table gathers / one-hot MXU
+contractions, not a separate packed layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs.pq import ProductQuantizer
+from ..metric import MetricType
+from ..ops import pq_ops
+from ..ops.ivf_ops import ivf_pq_scan
+from .ivf import IndexIVF
+
+# cap on the term-2 precomputed table size
+# (reference: precomputed_table_max_bytes, IndexIVFPQ.cpp:375 — 2 GiB)
+precomputed_table_max_bytes = 2 << 30
+
+
+class IndexIVFPQ(IndexIVF):
+    """reference: faiss/IndexIVFPQ.h:31."""
+
+    def __init__(
+        self,
+        quantizer,
+        d: int,
+        nlist: int,
+        M: int,
+        nbits: int = 8,
+        metric=MetricType.L2,
+    ):
+        super().__init__(quantizer, d, nlist, metric)
+        self.pq = ProductQuantizer(d, M, nbits)
+        self.by_residual = True
+        self.code_size = self.pq.code_size
+        # 0 = auto (enable when it fits), 1 = yes, -1 = disable
+        self.use_precomputed_table = 0
+        self._term2 = None  # [nlist, M, ksub] device
+        self.is_trained = False
+
+    # -- training ---------------------------------------------------------
+    def train_encoder(self, x: np.ndarray, assign: np.ndarray) -> None:
+        if self.by_residual:
+            centroids = self._centroids_host()
+            x = x - centroids[assign]
+        self.pq.cp.verbose = False
+        self.pq.train(x)
+        self._term2 = None
+
+    def _centroids_host(self) -> np.ndarray:
+        return self.quantizer.vectors()
+
+    # -- codec ---------------------------------------------------------------
+    def encode_vectors(self, x, listnos):
+        if self.by_residual:
+            x = x - self._centroids_host()[listnos]
+        return self.pq.compute_codes_int(x)
+
+    def decode_vectors(self, codes, listnos):
+        out = self.pq.decode_int(codes)
+        if self.by_residual:
+            out = out + self._centroids_host()[listnos]
+        return out
+
+    def sa_code_size(self) -> int:
+        return self.code_size
+
+    # -- precomputed tables -----------------------------------------------------
+    def precompute_table(self) -> None:
+        """term2[c, m, k] = ||y_mk||^2 + 2 c_m . y_mk (IndexIVFPQ.cpp:407)."""
+        pq = self.pq
+        centroids = self._centroids_host().reshape(
+            self.nlist, pq.M, pq.dsub
+        )  # [nlist, M, dsub]
+        cb = pq.centroids  # [M, ksub, dsub]
+        y_norms = np.sum(cb**2, axis=-1)  # [M, ksub]
+        cdoty = 2.0 * np.einsum("cmd,mkd->cmk", centroids, cb)
+        self._term2 = jnp.asarray((y_norms[None] + cdoty).astype(np.float32))
+
+    def _maybe_term2(self):
+        if not self.by_residual or self.metric_type != MetricType.L2:
+            return None
+        if self.use_precomputed_table == -1:
+            raise NotImplementedError(
+                "IVFPQ L2 residual search requires precomputed tables in this "
+                "implementation (use_precomputed_table >= 0)"
+            )
+        nbytes = self.nlist * self.pq.M * self.pq.ksub * 4
+        if self.use_precomputed_table == 0 and nbytes > precomputed_table_max_bytes:
+            raise MemoryError(
+                f"precomputed table of {nbytes} bytes exceeds cap; "
+                "raise precomputed_table_max_bytes"
+            )
+        if self._term2 is None:
+            self.precompute_table()
+        return self._term2
+
+    # -- device layout: padded uint8 codes ------------------------------------------
+    def _stage_codes(self, slot_ids, lengths, max_len, sorted_ln, ranks, order):
+        M = self.pq.M
+        pad_codes = np.zeros((self.nlist, max_len, M), np.uint8)
+        if self.ntotal:
+            pad_codes[sorted_ln, ranks] = self._codes_host[order].astype(np.uint8)
+        return {
+            "codes": jnp.asarray(pad_codes),
+            "slot_ids": jnp.asarray(slot_ids),
+            "lengths": jnp.asarray(lengths),
+            "code_norms": None,
+        }
+
+    # -- scan --------------------------------------------------------------------
+    def _scan(self, xq_dev, probes, coarse_dis, k, dev, sel_mask):
+        pq = self.pq
+        cb = pq._dev()
+        if self.metric_type == MetricType.L2:
+            if self.by_residual:
+                term2 = self._maybe_term2()
+                # term3 = -2 q . y
+                luts = -2.0 * pq_ops.pq_ip_tables(xq_dev, cb)
+                bias = coarse_dis
+            else:
+                term2 = None
+                luts = pq_ops.pq_distance_tables(xq_dev, cb)
+                bias = jnp.zeros_like(coarse_dis)
+            return ivf_pq_scan(
+                luts,
+                probes,
+                bias,
+                dev["codes"],
+                dev["slot_ids"],
+                dev["lengths"],
+                k,
+                largest=False,
+                term2=term2,
+                sel_mask=sel_mask,
+            )
+        # inner product: d = q.c_list + q.y
+        luts = pq_ops.pq_ip_tables(xq_dev, cb)
+        bias = coarse_dis if self.by_residual else jnp.zeros_like(coarse_dis)
+        return ivf_pq_scan(
+            luts,
+            probes,
+            bias,
+            dev["codes"],
+            dev["slot_ids"],
+            dev["lengths"],
+            k,
+            largest=True,
+            term2=None,
+            sel_mask=sel_mask,
+        )
+
+
+class IndexIVFPQFastScan(IndexIVFPQ):
+    """4-bit IVFPQ (reference: faiss/IndexIVFPQFastScan.h:25)."""
+
+    def __init__(self, quantizer, d, nlist, M, nbits=4, metric=MetricType.L2, bbs=32):
+        if nbits != 4:
+            raise ValueError("FastScan requires nbits=4")
+        super().__init__(quantizer, d, nlist, M, nbits, metric)
+        self.bbs = bbs
+
+
+class IndexIVFPQR(IndexIVFPQ):
+    """IVFPQ + residual refinement (reference: faiss/IndexIVFPQR.h:21).
+
+    A second PQ encodes the residual left after IVFPQ reconstruction; search
+    retrieves k*k_factor IVFPQ candidates and re-ranks them with the refined
+    reconstruction.
+    """
+
+    def __init__(
+        self, quantizer, d, nlist, M, nbits, M_refine, nbits_refine, metric=MetricType.L2
+    ):
+        super().__init__(quantizer, d, nlist, M, nbits, metric)
+        self.refine_pq = ProductQuantizer(d, M_refine, nbits_refine)
+        self.k_factor = 4
+        self._refine_codes: Optional[np.ndarray] = None
+
+    def train_encoder(self, x, assign):
+        super().train_encoder(x, assign)
+        # refine PQ trains on the residual after IVFPQ reconstruction
+        centroids = self._centroids_host()
+        res = x - centroids[assign]
+        codes = self.pq.compute_codes_int(res)
+        recon = self.pq.decode_int(codes)
+        self.refine_pq.cp.verbose = False
+        self.refine_pq.train(res - recon)
+
+    def add_core(self, x, ids, listnos):
+        x = np.ascontiguousarray(x, np.float32)
+        listnos = np.asarray(listnos, np.int32).ravel()
+        recon_in = self.decode_for_refine(x, listnos)
+        rcodes = self.refine_pq.compute_codes_int(x - recon_in)
+        self._refine_codes = (
+            rcodes
+            if self._refine_codes is None
+            else np.concatenate([self._refine_codes, rcodes])
+        )
+        super().add_core(x, ids, listnos)
+
+    def decode_for_refine(self, x, listnos):
+        codes = self.encode_vectors(x, listnos)
+        return self.decode_vectors(codes, listnos)
+
+    def reset(self):
+        super().reset()
+        self._refine_codes = None
+
+    def search(self, x, k: int, *, params=None):
+        x = self._check_input(x)
+        kc = max(k, int(k * self.k_factor))
+        Dc, Ic = super().search(x, kc, params=params)
+        # map ids back to slots for refined reconstruction
+        id_to_slot = {int(i): s for s, i in enumerate(self._ids_host)}
+        nq = len(x)
+        D = np.full((nq, k), np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        for q in range(nq):
+            cands = [id_to_slot[int(i)] for i in Ic[q] if i >= 0]
+            if not cands:
+                continue
+            slots = np.array(cands, np.int64)
+            base = self.decode_vectors(
+                self._codes_host[slots], self._listnos_host[slots]
+            )
+            refined = base + self.refine_pq.decode_int(self._refine_codes[slots])
+            d2 = ((refined - x[q][None]) ** 2).sum(1)
+            order = np.argsort(d2, kind="stable")[:k]
+            D[q, : len(order)] = d2[order]
+            I[q, : len(order)] = self._ids_host[slots[order]]
+        return D, I

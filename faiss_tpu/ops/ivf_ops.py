@@ -118,3 +118,74 @@ def build_padded_invlists(
     safe = jnp.clip(pos, 0, order.shape[0] - 1)
     slots = order[safe]
     return jnp.where(valid, slots, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "largest"))
+def ivf_pq_scan(
+    luts: jax.Array,  # [nq, M, ksub] query-side ADC tables (term3 / full)
+    probes: jax.Array,  # [nq, nprobe] int32
+    bias: jax.Array,  # [nq, nprobe] f32 per-(q,probe) additive term (term1)
+    codes: jax.Array,  # [nlist, max_len, M] uint8/int32 PQ codes
+    slot_ids: jax.Array,  # [nlist, max_len] int32
+    lengths: jax.Array,  # [nlist] int32
+    k: int,
+    largest: bool = False,
+    term2: Optional[jax.Array] = None,  # [nlist, M, ksub] list-side tables
+    sel_mask: Optional[jax.Array] = None,  # [ntotal] bool over slots
+) -> Tuple[jax.Array, jax.Array]:
+    """IVF-PQ ADC scan over probed lists.
+
+    Implements the decomposition of IndexIVFPQ precomputed tables
+    (IndexIVFPQ.cpp:407 initialize_IVFPQ_precomputed_table):
+
+        d(q, list c + code y) = ||q - c||^2                      (bias)
+                              + ||y||^2 + 2 c.y                  (term2[list])
+                              - 2 q.y                            (luts[query])
+
+    summed over PQ subspaces via table gathers; IP and non-residual paths
+    pass term2=None with the appropriate luts/bias. Fused with per-probe
+    k-select merges (the IVFInterleaved 2-pass select analogue,
+    gpu/impl/IVFInterleaved.cuh).
+    """
+    nq, M, ksub = luts.shape
+    nprobe = probes.shape[1]
+    max_len = codes.shape[1]
+    sentinel = -jnp.inf if largest else jnp.inf
+    col = jnp.arange(max_len, dtype=jnp.int32)
+
+    def body(carry, p):
+        vals, ids = carry
+        ln = probes[:, p]
+        safe_ln = jnp.maximum(ln, 0)
+        cl = codes[safe_ln].astype(jnp.int32)  # [nq, max_len, M]
+        sl = slot_ids[safe_ln]
+        tab = luts if term2 is None else luts + term2[safe_ln]
+
+        def madd(acc, m):
+            tab_m = jax.lax.dynamic_index_in_dim(
+                tab, m, axis=1, keepdims=False
+            )  # [nq, ksub]
+            code_m = cl[:, :, m]  # [nq, max_len]
+            acc = acc + jnp.take_along_axis(tab_m, code_m, axis=1)
+            return acc, None
+
+        acc0 = jnp.zeros((nq, max_len), jnp.float32)
+        dist, _ = jax.lax.scan(madd, acc0, jnp.arange(M))
+        dist = dist + bias[:, p][:, None]
+
+        valid = jnp.logical_and(
+            col[None, :] < lengths[safe_ln][:, None], ln[:, None] >= 0
+        )
+        if sel_mask is not None:
+            valid = jnp.logical_and(valid, sel_mask[jnp.maximum(sl, 0)])
+        dist = jnp.where(valid, dist, sentinel)
+        sl = jnp.where(valid, sl, -1)
+        vals, ids = merge_topk(vals, ids, dist, sl, k, largest=largest)
+        return (vals, ids), None
+
+    init = (
+        jnp.full((nq, k), sentinel, jnp.float32),
+        jnp.full((nq, k), -1, jnp.int32),
+    )
+    (vals, ids), _ = jax.lax.scan(body, init, jnp.arange(nprobe))
+    return vals, ids

@@ -1,0 +1,201 @@
+"""Product-quantizer device kernels: encode, ADC tables, ADC scan.
+
+Reference: faiss/impl/ProductQuantizer.{h,cpp} (ADC tables
+compute_distance_table, h:126) and the FastScan 4-bit SIMD kernels
+(impl/fast_scan/kernels_simd256.h `kernel_accumulate_block`). TPU-native
+formulation:
+
+  - encode: per-subspace assignment = batched GEMM argmin over [M] subspaces.
+  - ADC tables: one batched GEMM q_sub x codebooks.
+  - ADC scoring: two interchangeable kernels —
+      (a) gather: LUT[q, m, code] accumulated over m (VPU + XLA gather) —
+          works for any nbits (8-bit PQ included);
+      (b) one-hot GEMM: onehot(codes) @ LUT.T on the MXU — the FastScan
+          equivalent; codes expand 2^nbits-wide so it targets nbits<=4 where
+          the expansion is 16x (LUTs stay VMEM-resident inside the fused
+          matmul). Scores for both accumulate fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .topk import merge_topk
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pq_encode(
+    x: jax.Array,  # [n, d] f32
+    codebooks: jax.Array,  # [M, ksub, dsub] f32
+    chunk: int = 1 << 15,
+) -> jax.Array:
+    """Assign each subvector to its nearest codeword -> codes [n, M] int32.
+
+    reference: ProductQuantizer::compute_codes (ProductQuantizer.cpp),
+    expressed as a batched (over M) GEMM + argmin.
+    """
+    n, d = x.shape
+    M, ksub, dsub = codebooks.shape
+    assert d == M * dsub
+    c_norms = jnp.sum(jnp.square(codebooks), axis=-1)  # [M, ksub]
+
+    nchunks = max(1, -(-n // chunk))
+    pad = nchunks * chunk - n
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    xp = xp.reshape(nchunks, chunk, M, dsub)
+
+    def body(_, xc):
+        # ip[c, m, k] = x_sub[c, m, :] . codebook[m, k, :]
+        ip = jnp.einsum(
+            "cmd,mkd->cmk",
+            xc,
+            codebooks,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = c_norms[None] - 2.0 * ip  # x_sub norm constant per (c, m)
+        return None, jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+    _, codes = jax.lax.scan(body, None, xp)
+    return codes.reshape(-1, M)[:n]
+
+
+def pq_decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """codes [n, M] -> vectors [n, d] by codeword gather."""
+    M, ksub, dsub = codebooks.shape
+    # gather per subspace: codebooks[m, codes[:, m]]
+    g = jnp.take_along_axis(
+        codebooks[None],  # [1, M, ksub, dsub]
+        codes.astype(jnp.int32)[:, :, None, None],  # [n, M, 1, 1]
+        axis=2,
+    )  # [n, M, 1, dsub]
+    return g.reshape(codes.shape[0], M * dsub)
+
+
+def pq_distance_tables(
+    xq: jax.Array,  # [nq, d]
+    codebooks: jax.Array,  # [M, ksub, dsub]
+) -> jax.Array:
+    """Per-query ADC tables [nq, M, ksub] of squared L2 distances
+    (reference: compute_distance_tables, ProductQuantizer.cpp)."""
+    nq, d = xq.shape
+    M, ksub, dsub = codebooks.shape
+    xs = xq.reshape(nq, M, dsub)
+    ip = jnp.einsum(
+        "qmd,mkd->qmk",
+        xs,
+        codebooks,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    x_norms = jnp.sum(jnp.square(xs), axis=-1)  # [nq, M]
+    c_norms = jnp.sum(jnp.square(codebooks), axis=-1)  # [M, ksub]
+    return x_norms[:, :, None] + c_norms[None] - 2.0 * ip
+
+
+def pq_ip_tables(xq: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Inner-product ADC tables [nq, M, ksub]
+    (reference: compute_inner_prod_tables)."""
+    nq, d = xq.shape
+    M, ksub, dsub = codebooks.shape
+    return jnp.einsum(
+        "qmd,mkd->qmk",
+        xq.reshape(nq, M, dsub),
+        codebooks,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def adc_scores_gather(luts: jax.Array, codes: jax.Array) -> jax.Array:
+    """ADC scores via table gather.
+
+    luts: [nq, M, ksub]; codes: [..., M] int -> scores [nq, ...].
+    Accumulates over M inside a scan to bound live memory.
+    """
+    nq, M, ksub = luts.shape
+    flat = luts.reshape(nq, M * ksub)
+    offs = jnp.arange(M, dtype=jnp.int32) * ksub
+    idx = codes.astype(jnp.int32) + offs  # [..., M]
+
+    def body(acc, m):
+        return acc + flat[:, idx[..., m]], None
+
+    acc0 = jnp.zeros((nq,) + codes.shape[:-1], jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(M))
+    return acc
+
+
+def codes_onehot(codes: jax.Array, ksub: int, dtype=jnp.bfloat16) -> jax.Array:
+    """[..., M] int codes -> [..., M*ksub] one-hot (the FastScan register
+    layout analogue: turns LUT lookups into an MXU contraction)."""
+    oh = jax.nn.one_hot(codes, ksub, dtype=dtype)  # [..., M, ksub]
+    return oh.reshape(*codes.shape[:-1], codes.shape[-1] * ksub)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "largest", "db_chunk"))
+def pq_adc_knn(
+    luts: jax.Array,  # [nq, M, ksub] f32
+    codes: jax.Array,  # [nb, M] int (uint8/int32)
+    k: int,
+    largest: bool = False,
+    db_chunk: int = 1 << 16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Flat PQ ADC search: fused table-lookup scoring + k-select.
+
+    reference: IndexPQ::search ADC path (IndexPQ.cpp) /
+    pq_knn_search_with_tables. One-hot GEMM on the MXU when the expansion is
+    small (nbits<=4: M*16 wide), gather path otherwise (nbits=8: M*256).
+    """
+    nq, M, ksub = luts.shape
+    nb = codes.shape[0]
+    sentinel = -jnp.inf if largest else jnp.inf
+    use_mxu = ksub <= 16
+
+    nchunks = max(1, -(-nb // db_chunk))
+    pad = nchunks * db_chunk - nb
+    cp = jnp.pad(codes, ((0, pad), (0, 0))) if pad else codes
+    cp = cp.reshape(nchunks, db_chunk, M)
+    flat_luts = luts.reshape(nq, M * ksub)
+
+    def body(carry, inputs):
+        vals, ids = carry
+        ci, cc = inputs
+        if use_mxu:
+            oh = codes_onehot(cc, ksub)  # [db_chunk, M*ksub] bf16
+            scores = jax.lax.dot_general(
+                flat_luts.astype(jnp.bfloat16),
+                oh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [nq, db_chunk]
+        else:
+            scores = adc_scores_gather(luts, cc)  # [nq, db_chunk]
+        col = jnp.arange(db_chunk, dtype=jnp.int32) + ci * db_chunk
+        valid = col < nb
+        scores = jnp.where(valid[None, :], scores, sentinel)
+        kk = min(k, db_chunk)
+        if largest:
+            cv, cpos = jax.lax.approx_max_k(scores, kk)
+        else:
+            cv, cpos = jax.lax.approx_min_k(scores, kk)
+        cids = jnp.where(valid[cpos], col[cpos], -1)
+        vals, ids = merge_topk(vals, ids, cv, cids, min(k, nb), largest=largest)
+        return (vals, ids), None
+
+    kk = min(k, nb)
+    init = (
+        jnp.full((nq, kk), sentinel, jnp.float32),
+        jnp.full((nq, kk), -1, jnp.int32),
+    )
+    (vals, ids), _ = jax.lax.scan(body, init, (jnp.arange(nchunks), cp))
+    if kk < k:
+        vals = jnp.concatenate(
+            [vals, jnp.full((nq, k - kk), sentinel, jnp.float32)], axis=-1
+        )
+        ids = jnp.concatenate([ids, jnp.full((nq, k - kk), -1, jnp.int32)], axis=-1)
+    return vals, ids

@@ -1,0 +1,191 @@
+"""PQ codec + IndexPQ + IVFPQ tests (mirrors reference tests/test_index.py
+TestPQ / test_fast_scan*.py equivalence patterns)."""
+
+import numpy as np
+import pytest
+
+import faiss_tpu as ft
+from faiss_tpu.codecs.pq import ProductQuantizer
+from faiss_tpu.models.ivf_pq import IndexIVFPQ, IndexIVFPQFastScan, IndexIVFPQR
+from faiss_tpu.models.pq import IndexPQ, IndexPQFastScan
+from faiss_tpu.utils.datasets import SyntheticDataset
+from faiss_tpu.utils.evaluation import knn_intersection_measure, recall_at_k
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticDataset(32, 2000, 5000, 100)
+
+
+def test_pq_codec_roundtrip(ds):
+    pq = ProductQuantizer(32, 4, 8)
+    pq.train(ds.get_train())
+    x = ds.get_database()[:100]
+    codes = pq.compute_codes_int(x)
+    assert codes.shape == (100, 4) and codes.dtype == np.uint8
+    recon = pq.decode_int(codes)
+    # quantization error must be far below data norm
+    err = ((x - recon) ** 2).sum() / (x**2).sum()
+    assert err < 0.05
+    # codes must be the argmin assignment per subspace
+    xs = x.reshape(100, 4, 8)
+    for m in range(4):
+        d2 = ((xs[:, m, None, :] - pq.centroids[m][None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(codes[:, m], d2.argmin(1))
+
+
+def test_pq_packing():
+    for nbits, M in [(4, 8), (8, 4), (6, 4), (12, 4), (16, 2)]:
+        pq = ProductQuantizer(32, M, nbits)
+        rs = np.random.RandomState(0)
+        codes_int = rs.randint(1 << nbits, size=(20, M)).astype(
+            np.uint16 if nbits > 8 else np.uint8
+        )
+        packed = pq.pack_codes(codes_int)
+        assert packed.shape == (20, pq.code_size)
+        unpacked = pq.unpack_codes(packed)
+        np.testing.assert_array_equal(unpacked.astype(np.uint32), codes_int)
+
+
+def test_distance_tables_match_bruteforce(ds):
+    pq = ProductQuantizer(32, 4, 6)
+    pq.train(ds.get_train())
+    xq = ds.get_queries()[:10]
+    tabs = pq.compute_distance_tables(xq)
+    xs = xq.reshape(10, 4, 8)
+    ref = (
+        (xs[:, :, None, :] - pq.centroids[None]) ** 2
+    ).sum(-1)
+    np.testing.assert_allclose(tabs, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_adc_equals_table_sum(ds):
+    """ADC search distance == sum of table entries == exact dist to recon."""
+    pq = ProductQuantizer(32, 8, 8)
+    pq.train(ds.get_train())
+    xb = ds.get_database()[:500]
+    xq = ds.get_queries()[:20]
+    codes = pq.compute_codes_int(xb)
+    D, I = pq.search(xq, codes, 5)
+    recon = pq.decode_int(codes)
+    dref = ((xq[:, None, :] - recon[None]) ** 2).sum(-1)
+    iref = np.argsort(dref, axis=1, kind="stable")[:, :5]
+    np.testing.assert_allclose(
+        D, np.take_along_axis(dref, I.astype(np.int64), 1), rtol=1e-3, atol=1e-3
+    )
+    assert knn_intersection_measure(I, iref) > 0.97
+
+
+def test_index_pq_recall(ds):
+    index = IndexPQ(32, 8, 8)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    gt = ds.get_groundtruth(10)
+    _, I = index.search(ds.get_queries(), 10)
+    assert recall_at_k(I, gt, 10) > 0.7
+
+
+def test_index_pq_fastscan_equivalence(ds):
+    """FastScan (4-bit one-hot GEMM) == plain 4-bit PQ ADC on the same codes
+    (the reference's test_fast_scan.py equivalence)."""
+    plain = IndexPQ(32, 8, 4)
+    plain.train(ds.get_train())
+    plain.add(ds.get_database())
+    fs = IndexPQFastScan(32, 8)
+    fs.pq = plain.pq
+    fs.is_trained = True
+    fs.add(ds.get_database())
+    D1, I1 = plain.search(ds.get_queries(), 10)
+    D2, I2 = fs.search(ds.get_queries(), 10)
+    # same codes, same tables -> near-identical (bf16 one-hot matmul rounding)
+    np.testing.assert_allclose(D1, D2, rtol=2e-2, atol=2e-2)
+    assert knn_intersection_measure(I1, I2) > 0.95
+
+
+def test_ivfpq_recall_and_fullprobe(ds):
+    index = IndexIVFPQ(None, 32, 32, 8, 8)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    gt = ds.get_groundtruth(10)
+    index.nprobe = 4
+    _, I4 = index.search(ds.get_queries(), 10)
+    index.nprobe = 32
+    _, I32 = index.search(ds.get_queries(), 10)
+    r4 = recall_at_k(I4, gt, 10)
+    r32 = recall_at_k(I32, gt, 10)
+    assert r32 >= r4
+    assert r32 > 0.6
+
+    # full probe must match flat PQ on residual-free comparison:
+    # check distances equal exact distance to the reconstruction
+    D, I = index.search(ds.get_queries()[:5], 3)
+    for q in range(5):
+        for j in range(3):
+            if I[q, j] < 0:
+                continue
+            recon = index.reconstruct(int(I[q, j]))
+            dref = ((ds.get_queries()[q] - recon) ** 2).sum()
+            np.testing.assert_allclose(D[q, j], dref, rtol=1e-2, atol=1e-2)
+
+
+def test_ivfpq_no_residual_matches_pq(ds):
+    """by_residual=False + nprobe=nlist == IndexPQ (equivalence, SURVEY §4)."""
+    ivf = IndexIVFPQ(None, 32, 8, 8, 8)
+    ivf.by_residual = False
+    ivf.train(ds.get_train())
+    ivf.add(ds.get_database())
+    ivf.nprobe = 8
+
+    flat = IndexPQ(32, 8, 8)
+    flat.pq = ivf.pq
+    flat.is_trained = True
+    flat.add(ds.get_database())
+
+    Dq, Iq = ivf.search(ds.get_queries(), 5)
+    Df, If = flat.search(ds.get_queries(), 5)
+    np.testing.assert_allclose(Dq, Df, rtol=1e-3, atol=1e-3)
+    # ids may differ freely on tied distances (duplicate PQ codes);
+    # tie-aware check: every returned id's true ADC distance must equal the
+    # reported one
+    recon = ivf.pq.decode_int(flat._codes_host)
+    xq = ds.get_queries()
+    dtrue = ((xq[:, None, :] - recon[Iq]) ** 2).sum(-1)
+    np.testing.assert_allclose(Dq, dtrue, rtol=1e-3, atol=1e-3)
+
+
+def test_ivfpq_fastscan(ds):
+    index = IndexIVFPQFastScan(None, 32, 16, 8)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.nprobe = 8
+    gt = ds.get_groundtruth(10)
+    _, I = index.search(ds.get_queries(), 10)
+    assert recall_at_k(I, gt, 10) > 0.4
+
+
+def test_ivfpq_ip(ds):
+    index = IndexIVFPQ(None, 32, 8, 8, 8, ft.METRIC_INNER_PRODUCT)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.nprobe = 8
+    flat = ft.IndexFlatIP(32)
+    flat.add(ds.get_database())
+    _, Iref = flat.search(ds.get_queries(), 10)
+    _, I = index.search(ds.get_queries(), 10)
+    assert knn_intersection_measure(I, Iref) > 0.5
+
+
+def test_ivfpqr(ds):
+    base = IndexIVFPQ(None, 32, 16, 4, 8)
+    base.train(ds.get_train())
+    base.add(ds.get_database())
+    base.nprobe = 8
+    pqr = IndexIVFPQR(None, 32, 16, 4, 8, 8, 8)
+    pqr.train(ds.get_train())
+    pqr.add(ds.get_database())
+    pqr.nprobe = 8
+    gt = ds.get_groundtruth(10)
+    _, Ib = base.search(ds.get_queries(), 10)
+    _, Ir = pqr.search(ds.get_queries(), 10)
+    # refinement must improve recall
+    assert recall_at_k(Ir, gt, 10) >= recall_at_k(Ib, gt, 10)
