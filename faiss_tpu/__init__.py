@@ -51,4 +51,78 @@ from .models.flat import (  # noqa: F401
     IndexFlatL2,
 )
 
+from .models.ivf import (  # noqa: F401
+    IndexIVF,
+    IndexIVFFlat,
+    IndexIVFStats,
+    SearchParametersIVF,
+    indexIVF_stats,
+)
+from .models.pq import IndexPQ, IndexPQFastScan  # noqa: F401
+from .models.ivf_pq import (  # noqa: F401
+    IndexIVFPQ,
+    IndexIVFPQFastScan,
+    IndexIVFPQR,
+)
+from .models.sq import IndexIVFScalarQuantizer, IndexScalarQuantizer  # noqa: F401
+from .models.hnsw import (  # noqa: F401
+    IndexHNSW,
+    IndexHNSWFlat,
+    IndexHNSWPQ,
+    IndexHNSWSQ,
+    SearchParametersHNSW,
+)
+from .models.lsh import IndexLSH  # noqa: F401
+from .models.binary import (  # noqa: F401
+    IndexBinaryFlat,
+    IndexBinaryFromFloat,
+    IndexBinaryHash,
+    IndexBinaryIVF,
+    IndexBinaryMultiHash,
+)
+from .models.meta import (  # noqa: F401
+    IndexIDMap,
+    IndexIDMap2,
+    IndexPreTransform,
+    IndexRefine,
+    IndexRefineFlat,
+    IndexReplicas,
+    IndexShards,
+    IndexSplitVectors,
+)
+from .codecs.pq import ProductQuantizer  # noqa: F401
+from .codecs.sq import QuantizerType, RangeStat, ScalarQuantizer  # noqa: F401
+from .clustering import (  # noqa: F401
+    Clustering,
+    ClusteringParameters,
+    Kmeans,
+    kmeans_clustering,
+)
+from .transforms import (  # noqa: F401
+    CenteringTransform,
+    HadamardRotation,
+    ITQMatrix,
+    ITQTransform,
+    LinearTransform,
+    NormalizationTransform,
+    OPQMatrix,
+    PCAMatrix,
+    RandomRotationMatrix,
+    RemapDimensionsTransform,
+    VectorTransform,
+)
+from .factory import index_factory  # noqa: F401
+from .io import (  # noqa: F401
+    deserialize_index,
+    read_index,
+    read_index_binary,
+    serialize_index,
+    write_index,
+    write_index_binary,
+)
+
+# ScalarQuantizer type aliases at module level (faiss-style)
+for _qt in QuantizerType:
+    globals()[f"ScalarQuantizer_{_qt.name}"] = _qt
+
 __version__ = "0.1.0"

@@ -1,0 +1,227 @@
+"""index_factory — string-driven index construction.
+
+Reimplements the grammar of faiss/index_factory.cpp:85-600 (tokenize on ','
+-> [pretransforms] [IDMap] coarse/encoding [suffixes]) over the TPU-native
+index classes. Unsupported components raise NotImplementedError naming the
+token, so coverage gaps are explicit rather than silent.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from .base import Index
+from .codecs.sq import QuantizerType
+from .metric import MetricType
+from .models.flat import IndexFlat, IndexFlat1D
+from .models.ivf import IndexIVFFlat
+from .models.ivf_pq import IndexIVFPQ, IndexIVFPQFastScan, IndexIVFPQR
+from .models.meta import (
+    IndexIDMap,
+    IndexIDMap2,
+    IndexPreTransform,
+    IndexRefine,
+    IndexRefineFlat,
+)
+from .models.pq import IndexPQ, IndexPQFastScan
+from .models.sq import IndexIVFScalarQuantizer, IndexScalarQuantizer
+from . import transforms as T
+
+_SQ_TYPES = {
+    "SQ8": QuantizerType.QT_8bit,
+    "SQ4": QuantizerType.QT_4bit,
+    "SQ6": QuantizerType.QT_6bit,
+    "SQfp16": QuantizerType.QT_fp16,
+    "SQbf16": QuantizerType.QT_bf16,
+}
+
+
+def _parse_transform(tok: str, d: int):
+    """Pretransform tokens (index_factory.cpp:226 parse_VectorTransform)."""
+    if m := re.fullmatch(r"PCA(R|W|WR)?(\d+)", tok):
+        opt, d_out = m.group(1) or "", int(m.group(2))
+        return T.PCAMatrix(
+            d,
+            d_out,
+            eigen_power=-0.5 if "W" in opt else 0.0,
+            random_rotation="R" in opt,
+        )
+    if m := re.fullmatch(r"OPQ(\d+)(?:_(\d+))?", tok):
+        M, d_out = int(m.group(1)), m.group(2)
+        return T.OPQMatrix(d, M, int(d_out) if d_out else -1)
+    if m := re.fullmatch(r"RR(\d+)?", tok):
+        d_out = int(m.group(1)) if m.group(1) else d
+        rr = T.RandomRotationMatrix(d, d_out)
+        rr.init()
+        return rr
+    if m := re.fullmatch(r"ITQ(\d+)?", tok):
+        d_out = int(m.group(1)) if m.group(1) else d
+        return T.ITQTransform(d, d_out, do_pca=m.group(1) is not None)
+    if m := re.fullmatch(r"Pad(\d+)", tok):
+        d_out = int(m.group(1))
+        return T.RemapDimensionsTransform(d, max(d, d_out), False)
+    if tok == "L2norm":
+        return T.NormalizationTransform(d, 2.0)
+    return None
+
+
+def _parse_coarse(tok: str, d: int, metric):
+    """Coarse-quantizer spec (index_factory.cpp:278 parse_coarse_quantizer).
+
+    Returns (quantizer_or_None, nlist) or None if not a coarse spec.
+    """
+    if m := re.fullmatch(r"IVF(\d+)", tok):
+        return None, int(m.group(1))  # default flat coarse quantizer
+    if m := re.fullmatch(r"IVF(\d+)\((.+)\)", tok):
+        nlist = int(m.group(1))
+        q = index_factory(d, m.group(2), metric)
+        return q, nlist
+    if m := re.fullmatch(r"IVF(\d+)_HNSW(\d+)?", tok):
+        from .models.hnsw import IndexHNSWFlat
+
+        nlist = int(m.group(1))
+        hm = int(m.group(2)) if m.group(2) else 32
+        return IndexHNSWFlat(d, hm, metric), nlist
+    if m := re.fullmatch(r"IMI2x(\d+)", tok):
+        raise NotImplementedError(
+            "IMI (multi-index) coarse quantizer is not implemented; use "
+            f"IVF{1 << (2 * int(m.group(1)))} for an equivalent list count"
+        )
+    return None
+
+
+def _parse_ivf_encoding(tok: str, quantizer, d: int, nlist: int, metric):
+    """Encoding inside IVF (index_factory.cpp:367 parse_IndexIVF)."""
+    if tok == "Flat":
+        return IndexIVFFlat(quantizer, d, nlist, metric)
+    if tok in _SQ_TYPES:
+        return IndexIVFScalarQuantizer(quantizer, d, nlist, _SQ_TYPES[tok], metric)
+    if m := re.fullmatch(r"PQ(\d+)x4fs(?:_(\d+))?", tok):
+        bbs = int(m.group(2)) if m.group(2) else 32
+        return IndexIVFPQFastScan(quantizer, d, nlist, int(m.group(1)), 4, metric, bbs)
+    if m := re.fullmatch(r"PQ(\d+)x(\d+)", tok):
+        return IndexIVFPQ(quantizer, d, nlist, int(m.group(1)), int(m.group(2)), metric)
+    if m := re.fullmatch(r"PQ(\d+)\+(\d+)", tok):
+        return IndexIVFPQR(
+            quantizer, d, nlist, int(m.group(1)), 8, int(m.group(2)), 8, metric
+        )
+    if m := re.fullmatch(r"PQ(\d+)", tok):
+        return IndexIVFPQ(quantizer, d, nlist, int(m.group(1)), 8, metric)
+    return None
+
+
+def _parse_flat_encoding(tok: str, d: int, metric):
+    """Standalone encodings (index_factory.cpp parse_other_indexes)."""
+    if tok == "Flat":
+        return IndexFlat(d, metric)
+    if tok == "Flat1D":
+        return IndexFlat1D()
+    if tok in _SQ_TYPES:
+        return IndexScalarQuantizer(d, _SQ_TYPES[tok], metric)
+    if m := re.fullmatch(r"PQ(\d+)x4fs(?:_(\d+))?", tok):
+        return IndexPQFastScan(d, int(m.group(1)), 4, metric, int(m.group(2) or 32))
+    if m := re.fullmatch(r"PQ(\d+)x(\d+)", tok):
+        return IndexPQ(d, int(m.group(1)), int(m.group(2)), metric)
+    if m := re.fullmatch(r"PQ(\d+)", tok):
+        return IndexPQ(d, int(m.group(1)), 8, metric)
+    if m := re.fullmatch(r"HNSW(\d+)?", tok):
+        from .models.hnsw import IndexHNSWFlat
+
+        return IndexHNSWFlat(d, int(m.group(1)) if m.group(1) else 32, metric)
+    if m := re.fullmatch(r"NSG(\d+)?", tok):
+        raise NotImplementedError("NSG graph index is not implemented yet")
+    if m := re.fullmatch(r"LSH(r?)(t?)", tok):
+        from .models.lsh import IndexLSH
+
+        return IndexLSH(d, d, rotate_data=bool(m.group(1)), train_thresholds=bool(m.group(2)))
+    return None
+
+
+def _split_toplevel(description: str):
+    """Split on commas not inside parentheses."""
+    toks, depth, cur = [], 0, []
+    for c in description:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            toks.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        toks.append("".join(cur))
+    return [t.strip() for t in toks if t.strip()]
+
+
+def index_factory(d: int, description: str, metric=MetricType.L2) -> Index:
+    """Build an index from a factory string (reference: index_factory.h:17)."""
+    metric = MetricType(metric)
+    toks = _split_toplevel(description)
+
+    transforms = []
+    idmap: Optional[str] = None
+    core: Optional[Index] = None
+    refine: Optional[str] = None
+    i = 0
+    cur_d = d
+
+    while i < len(toks):
+        tok = toks[i]
+        vt = _parse_transform(tok, cur_d)
+        if vt is not None and core is None:
+            transforms.append(vt)
+            cur_d = vt.d_out
+            i += 1
+            continue
+        if tok in ("IDMap", "IDMap2") and core is None:
+            idmap = tok
+            i += 1
+            continue
+        coarse = _parse_coarse(tok, cur_d, metric)
+        if coarse is not None:
+            quantizer, nlist = coarse
+            if i + 1 >= len(toks):
+                raise ValueError(f"IVF spec {tok!r} needs an encoding token")
+            i += 1
+            enc = _parse_ivf_encoding(toks[i], quantizer, cur_d, nlist, metric)
+            if enc is None:
+                raise ValueError(f"cannot parse IVF encoding {toks[i]!r}")
+            core = enc
+            i += 1
+            continue
+        if tok == "RFlat":
+            refine = "Flat"
+            i += 1
+            continue
+        if m := re.fullmatch(r"Refine\((.+)\)", tok):
+            refine = m.group(1)
+            i += 1
+            continue
+        enc = _parse_flat_encoding(tok, cur_d, metric)
+        if enc is not None:
+            if core is not None:
+                raise ValueError(f"unexpected token {tok!r} after index spec")
+            core = enc
+            i += 1
+            continue
+        raise ValueError(f"could not parse token {tok!r} in {description!r}")
+
+    if core is None:
+        raise ValueError(f"no index component in {description!r}")
+
+    index = core
+    if refine is not None:
+        if refine == "Flat":
+            index = IndexRefineFlat(index)
+        else:
+            index = IndexRefine(index, index_factory(cur_d, refine, metric))
+    for vt in reversed(transforms):
+        index = IndexPreTransform(vt, index)
+    if idmap == "IDMap":
+        index = IndexIDMap(index)
+    elif idmap == "IDMap2":
+        index = IndexIDMap2(index)
+    return index

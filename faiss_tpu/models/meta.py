@@ -1,0 +1,473 @@
+"""Composition / meta indexes — analogue of the reference's L3 layer:
+IndexPreTransform.h, IndexIDMap.h, IndexRefine.h, IndexShards.h,
+IndexReplicas.h, MetaIndexes.h.
+
+On TPU the *performance* path for sharding/replication is mesh sharding
+(parallel/sharded.py); these wrappers exist for API parity and for
+host-composed indexes (e.g. sharding across independently built indexes),
+merging results with the same k-select used everywhere else.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..base import Index
+from ..metric import is_similarity_metric
+
+
+def _merge_result_tables(D_list, I_list, k, largest):
+    """Heap-merge of per-shard result tables
+    (reference: IndexShards.h:84 merge_tables / extra_wrappers.merge_knn_results)."""
+    D = np.concatenate(D_list, axis=1)
+    I = np.concatenate(I_list, axis=1)
+    order = np.argsort(-D if largest else D, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(D, order, axis=1), np.take_along_axis(I, order, axis=1)
+
+
+class IndexPreTransform(Index):
+    """Chain of VectorTransforms before an index (IndexPreTransform.h:25)."""
+
+    def __init__(self, *args):
+        # ctor forms: (index), (vt, index)
+        if len(args) == 1:
+            index = args[0]
+            chain = []
+        elif len(args) == 2:
+            chain = [args[0]]
+            index = args[1]
+        else:
+            raise TypeError("IndexPreTransform(vt?, index)")
+        super().__init__(chain[0].d_in if chain else index.d, index.metric_type)
+        self.index = index
+        self.chain = chain
+        self.own_fields = False
+        self.is_trained = index.is_trained and all(t.is_trained for t in chain)
+
+    def prepend_transform(self, vt) -> None:
+        if vt.d_out != self.d:
+            raise ValueError("transform d_out must match index input d")
+        self.chain.insert(0, vt)
+        self.d = vt.d_in
+        self.is_trained = self.is_trained and vt.is_trained
+
+    def apply_chain(self, x) -> np.ndarray:
+        for vt in self.chain:
+            x = vt.apply(x)
+        return x
+
+    def reverse_chain(self, x) -> np.ndarray:
+        for vt in reversed(self.chain):
+            x = vt.reverse_transform(x)
+        return x
+
+    def train(self, x) -> None:
+        x = self._check_input(x)
+        for vt in self.chain:
+            if not vt.is_trained:
+                vt.train(x)
+            x = vt.apply(x)
+        self.index.train(x)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        self.index.add(self.apply_chain(self._check_input(x)))
+        self.ntotal = self.index.ntotal
+
+    def add_with_ids(self, x, ids) -> None:
+        self.index.add_with_ids(self.apply_chain(self._check_input(x)), ids)
+        self.ntotal = self.index.ntotal
+
+    def search(self, x, k, *, params=None):
+        return self.index.search(self.apply_chain(self._check_input(x)), k, params=params)
+
+    def range_search(self, x, radius, *, params=None):
+        return self.index.range_search(
+            self.apply_chain(self._check_input(x)), radius, params=params
+        )
+
+    def reset(self) -> None:
+        self.index.reset()
+        self.ntotal = 0
+
+    def remove_ids(self, sel) -> int:
+        n = self.index.remove_ids(sel)
+        self.ntotal = self.index.ntotal
+        return n
+
+    def reconstruct(self, key):
+        return self.reverse_chain(self.index.reconstruct(key)[None])[0]
+
+    def reconstruct_n(self, n0, ni):
+        return self.reverse_chain(self.index.reconstruct_n(n0, ni))
+
+    def sa_code_size(self):
+        return self.index.sa_code_size()
+
+    def sa_encode(self, x):
+        return self.index.sa_encode(self.apply_chain(self._check_input(x)))
+
+    def sa_decode(self, codes):
+        return self.reverse_chain(self.index.sa_decode(codes))
+
+    def __getattr__(self, name):
+        # forward runtime knobs (nprobe etc) to the wrapped index
+        if name.startswith("_") or name in ("index", "chain"):
+            raise AttributeError(name)
+        return getattr(self.__dict__["index"], name)
+
+
+class IndexIDMap(Index):
+    """Arbitrary-id wrapper (reference: IndexIDMap.h:21)."""
+
+    def __init__(self, index: Index):
+        super().__init__(index.d, index.metric_type)
+        self.index = index
+        self.id_map = np.empty(0, np.int64)
+        self.is_trained = index.is_trained
+        self.own_fields = False
+
+    def train(self, x) -> None:
+        self.index.train(x)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        raise RuntimeError("add_with_ids required for IndexIDMap")
+
+    def add_with_ids(self, x, ids) -> None:
+        ids = np.asarray(ids, np.int64).ravel()
+        self.index.add(x)
+        self.id_map = np.concatenate([self.id_map, ids])
+        self.ntotal = self.index.ntotal
+
+    def search(self, x, k, *, params=None):
+        if params is not None and params.sel is not None:
+            params = _TranslatedParams(params, self.id_map)
+        D, I = self.index.search(x, k, params=params)
+        I = np.where(I >= 0, self.id_map[np.maximum(I, 0)], -1)
+        return D, I
+
+    def range_search(self, x, radius, *, params=None):
+        if params is not None and params.sel is not None:
+            params = _TranslatedParams(params, self.id_map)
+        res = self.index.range_search(x, radius, params=params)
+        res.labels = np.where(res.labels >= 0, self.id_map[res.labels], -1)
+        return res
+
+    def reset(self) -> None:
+        self.index.reset()
+        self.id_map = np.empty(0, np.int64)
+        self.ntotal = 0
+
+    def remove_ids(self, sel) -> int:
+        keep = ~sel.mask_for_ids(self.id_map)
+        from ..base import IDSelectorArray
+
+        removed = self.index.remove_ids(
+            IDSelectorArray(np.nonzero(~keep)[0].astype(np.int64))
+        )
+        self.id_map = self.id_map[keep]
+        self.ntotal = self.index.ntotal
+        return removed
+
+
+class _TranslatedParams:
+    """Wrap SearchParameters so the selector sees external ids
+    (reference: IDSelectorTranslated, IndexIDMap.cpp)."""
+
+    def __init__(self, params, id_map):
+        self.__dict__.update(vars(params))
+        self.sel = _TranslatedSelector(params.sel, id_map)
+
+
+class _TranslatedSelector:
+    def __init__(self, sel, id_map):
+        self.sel = sel
+        self.id_map = id_map
+
+    def mask_for_ids(self, ids):
+        ids = np.asarray(ids, np.int64)
+        ext = np.where(
+            (ids >= 0) & (ids < len(self.id_map)),
+            self.id_map[np.clip(ids, 0, max(len(self.id_map) - 1, 0))],
+            -1,
+        )
+        return self.sel.mask_for_ids(ext)
+
+
+class IndexIDMap2(IndexIDMap):
+    """IDMap + reverse map for reconstruct (IndexIDMap.h:78)."""
+
+    def reconstruct(self, key):
+        pos = np.nonzero(self.id_map == key)[0]
+        if len(pos) == 0:
+            raise KeyError(f"id {key} not found")
+        return self.index.reconstruct(int(pos[0]))
+
+    def construct_rev_map(self):
+        pass  # computed on the fly
+
+
+class IndexRefine(Index):
+    """Re-rank base-index candidates with a refinement index
+    (reference: IndexRefine.h:24)."""
+
+    def __init__(self, base_index: Index, refine_index: Index):
+        super().__init__(base_index.d, base_index.metric_type)
+        self.base_index = base_index
+        self.refine_index = refine_index
+        self.k_factor = 1.0
+        self.is_trained = base_index.is_trained and refine_index.is_trained
+
+    def train(self, x) -> None:
+        self.base_index.train(x)
+        self.refine_index.train(x)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        self.base_index.add(x)
+        self.refine_index.add(x)
+        self.ntotal = self.base_index.ntotal
+
+    def reset(self) -> None:
+        self.base_index.reset()
+        self.refine_index.reset()
+        self.ntotal = 0
+
+    def search(self, x, k, *, params=None):
+        x = self._check_input(x)
+        kc = max(k, int(round(k * self.k_factor)))
+        _, Ic = self.base_index.search(x, kc, params=params)
+        largest = is_similarity_metric(self.metric_type)
+        nq = len(x)
+        D = np.full((nq, k), -np.inf if largest else np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        for q in range(nq):
+            cands = Ic[q][Ic[q] >= 0]
+            if len(cands) == 0:
+                continue
+            recon = np.stack(
+                [self.refine_index.reconstruct(int(c)) for c in cands]
+            )
+            if largest:
+                d = recon @ x[q]
+                order = np.argsort(-d, kind="stable")[:k]
+            else:
+                d = ((recon - x[q]) ** 2).sum(1)
+                order = np.argsort(d, kind="stable")[:k]
+            D[q, : len(order)] = d[order]
+            I[q, : len(order)] = cands[order]
+        return D, I
+
+    def reconstruct(self, key):
+        return self.refine_index.reconstruct(key)
+
+
+class IndexRefineFlat(IndexRefine):
+    """Refine against exact vectors (IndexRefine.h:82)."""
+
+    def __init__(self, base_index: Index, xb=None):
+        from .flat import IndexFlat
+
+        refine = IndexFlat(base_index.d, base_index.metric_type)
+        if xb is not None:
+            refine.add(xb)
+        super().__init__(base_index, refine)
+        self.k_factor = 1.0
+
+
+class IndexShards(Index):
+    """Vector-split sharding (reference: IndexShards.h:20).
+
+    Queries fan out to all shards; results heap-merge. ``successive_ids``
+    translates shard-local sequential ids into global ones at add time.
+    """
+
+    def __init__(self, d: int, threaded: bool = False, successive_ids: bool = True):
+        # metric fixed on first add_shard
+        self.shards: List[Index] = []
+        self.threaded = threaded  # accepted for parity; fan-out is serial here
+        self.successive_ids = successive_ids
+        self._d = int(d)
+        self._initialized = False
+        self.own_indices = False
+
+    def _init_from(self, index: Index):
+        if not self._initialized:
+            Index.__init__(self, self._d, index.metric_type)
+            self._initialized = True
+
+    def add_shard(self, index: Index) -> None:
+        if index.d != self._d:
+            raise ValueError("shard dimension mismatch")
+        self._init_from(index)
+        self.shards.append(index)
+        self.ntotal = sum(s.ntotal for s in self.shards)
+        self.is_trained = all(s.is_trained for s in self.shards)
+
+    remove_shard = None  # reference has removeIndex; omitted (rarely used)
+
+    def count(self) -> int:
+        return len(self.shards)
+
+    def at(self, i: int) -> Index:
+        return self.shards[i]
+
+    def train(self, x) -> None:
+        for s in self.shards:
+            s.train(x)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        """Split batch evenly across shards (IndexShards::add_with_ids)."""
+        x = self._check_input(x)
+        n = len(x)
+        ns = len(self.shards)
+        at = 0
+        for i, s in enumerate(self.shards):
+            cnt = n // ns + (1 if i < n % ns else 0)
+            if cnt == 0:
+                continue
+            s.add(x[at : at + cnt])
+            at += cnt
+        self.ntotal += n
+
+    def search(self, x, k, *, params=None):
+        x = self._check_input(x)
+        largest = is_similarity_metric(self.metric_type)
+        Ds, Is = [], []
+        offset = 0
+        for s in self.shards:
+            D, I = s.search(x, k, params=params)
+            if self.successive_ids:
+                I = np.where(I >= 0, I + offset, -1)
+            Ds.append(D)
+            Is.append(I)
+            offset += s.ntotal
+        return _merge_result_tables(Ds, Is, k, largest)
+
+    def reset(self) -> None:
+        for s in self.shards:
+            s.reset()
+        self.ntotal = 0
+
+
+class IndexReplicas(Index):
+    """Full replicas; queries partitioned across them (IndexReplicas.h:42)."""
+
+    def __init__(self, d: int):
+        self.replicas: List[Index] = []
+        self._d = int(d)
+        self._initialized = False
+
+    def add_replica(self, index: Index) -> None:
+        if not self._initialized:
+            Index.__init__(self, self._d, index.metric_type)
+            self._initialized = True
+        self.replicas.append(index)
+        self.ntotal = index.ntotal
+        self.is_trained = index.is_trained
+
+    def count(self) -> int:
+        return len(self.replicas)
+
+    def at(self, i: int) -> Index:
+        return self.replicas[i]
+
+    def train(self, x) -> None:
+        for r in self.replicas:
+            r.train(x)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        for r in self.replicas:
+            r.add(x)
+        self.ntotal = self.replicas[0].ntotal if self.replicas else 0
+
+    def search(self, x, k, *, params=None):
+        x = self._check_input(x)
+        nq = len(x)
+        nr = len(self.replicas)
+        largest = is_similarity_metric(self.metric_type)
+        D = np.full((nq, k), -np.inf if largest else np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        at = 0
+        for i, r in enumerate(self.replicas):
+            cnt = nq // nr + (1 if i < nq % nr else 0)
+            if cnt == 0:
+                continue
+            D[at : at + cnt], I[at : at + cnt] = r.search(
+                x[at : at + cnt], k, params=params
+            )
+            at += cnt
+        return D, I
+
+    def reset(self) -> None:
+        for r in self.replicas:
+            r.reset()
+        self.ntotal = 0
+
+
+class IndexSplitVectors(Index):
+    """Dimension-sliced composition, IP only (reference: MetaIndexes.h:24)."""
+
+    def __init__(self, d: int, threaded: bool = False):
+        from ..metric import MetricType
+
+        super().__init__(d, MetricType.INNER_PRODUCT)
+        self.threaded = threaded
+        self.sub_indexes: List[Index] = []
+        self.sum_d = 0
+
+    def add_sub_index(self, index: Index) -> None:
+        self.sub_indexes.append(index)
+        self.sum_d += index.d
+        self.ntotal = index.ntotal
+        self.is_trained = all(s.is_trained for s in self.sub_indexes)
+
+    def search(self, x, k, *, params=None):
+        if self.sum_d != self.d:
+            raise RuntimeError("sub-index dims must sum to d")
+        x = self._check_input(x)
+        nq = len(x)
+        # exhaustive sum over sub-index scores requires k=ntotal partials;
+        # reference uses k-NN on each split then sums via hash — here we
+        # sum full distance tables (exact) since splits are IP-additive.
+        total = np.zeros((nq, self.ntotal), np.float32)
+        d0 = 0
+        for s in self.sub_indexes:
+            Dk, Ik = s.search(x[:, d0 : d0 + s.d], self.ntotal)
+            part = np.zeros_like(total)
+            np.put_along_axis(part, Ik.astype(np.int64), Dk, axis=1)
+            total += part
+            d0 += s.d
+        order = np.argsort(-total, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(total, order, axis=1), order.astype(np.int64)
+
+
+class IndexRandom(Index):
+    """Deterministic random-result dummy index (MetaIndexes.h:55) — used in
+    tests as a placeholder graph storage."""
+
+    def __init__(self, d: int, ntotal: int = 0, seed: int = 1234):
+        from ..metric import MetricType
+
+        super().__init__(d, MetricType.L2)
+        self.ntotal = int(ntotal)
+        self.seed = seed
+
+    def add(self, x) -> None:
+        self.ntotal += len(x)
+
+    def search(self, x, k, *, params=None):
+        nq = len(np.atleast_2d(x))
+        rs = np.random.RandomState(self.seed)
+        I = rs.randint(0, max(self.ntotal, 1), size=(nq, k)).astype(np.int64)
+        D = np.arange(k, dtype=np.float32)[None].repeat(nq, 0)
+        return D, I
+
+    def reconstruct(self, key):
+        rs = np.random.RandomState(self.seed + int(key))
+        return rs.rand(self.d).astype(np.float32)

@@ -1,0 +1,358 @@
+// HNSW graph build + search, TPU-framework native host component.
+//
+// Role: the reference implements HNSW in C++ (faiss/impl/HNSW.{h,cpp}) since
+// graph construction is an inherently sequential, pointer-chasing workload —
+// exactly what a TPU is worst at. This is an independent implementation of
+// the HNSW algorithm (Malkov & Yashunin, 2016): exponential level draws,
+// greedy descent on upper levels, bounded beam (ef) search on level 0, and
+// the distance-domination neighbor-shrink heuristic. Exposed as a C ABI for
+// ctypes (no pybind11 in this environment).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -fopenmp hnsw.cpp -o libhnsw.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+using idx_t = int64_t;
+
+struct HNSW {
+  int d = 0;
+  int M = 32;             // neighbors per node on upper levels (2M on level 0)
+  int ef_construction = 40;
+  int metric = 1;         // 1 = L2, 0 = inner product
+  idx_t ntotal = 0;
+  int max_level = -1;
+  idx_t entry_point = -1;
+  double level_mult = 1.0;
+  std::mt19937_64 rng{1234};
+
+  std::vector<float> vecs;            // [ntotal, d]
+  std::vector<int> levels;            // level of each node
+  // neighbors: per node, per level: fixed slots (level0: 2M, others: M)
+  // layout: offsets[node] .. per-level contiguous
+  std::vector<std::vector<idx_t>> neighbors;  // [node][level concat]
+
+  int nb_per_level(int level) const { return level == 0 ? 2 * M : M; }
+
+  idx_t* neigh(idx_t node, int level) {
+    size_t off = 0;
+    for (int l = 0; l < level; ++l) off += nb_per_level(l);
+    return neighbors[node].data() + off;
+  }
+
+  float dist(const float* a, const float* b) const {
+    float s = 0;
+    if (metric == 1) {
+      for (int i = 0; i < d; ++i) {
+        float t = a[i] - b[i];
+        s += t * t;
+      }
+      return s;
+    }
+    for (int i = 0; i < d; ++i) s += a[i] * b[i];
+    return -s;  // smaller = better
+  }
+
+  float dist_id(const float* q, idx_t id) const {
+    return dist(q, vecs.data() + (size_t)id * d);
+  }
+
+  int random_level() {
+    std::uniform_real_distribution<double> u(0.0, 1.0);
+    double r = -std::log(std::max(u(rng), 1e-12)) * level_mult;
+    return (int)r;
+  }
+};
+
+using PairDI = std::pair<float, idx_t>;
+
+// greedy descent to the nearest node on a given level
+idx_t greedy_step(HNSW& h, const float* q, idx_t start, int level, float& dcur) {
+  idx_t cur = start;
+  bool improved = true;
+  while (improved) {
+    improved = false;
+    idx_t* nb = h.neigh(cur, level);
+    int nn = h.nb_per_level(level);
+    for (int i = 0; i < nn; ++i) {
+      idx_t v = nb[i];
+      if (v < 0) break;
+      float dv = h.dist_id(q, v);
+      if (dv < dcur) {
+        dcur = dv;
+        cur = v;
+        improved = true;
+      }
+    }
+  }
+  return cur;
+}
+
+// beam search on one level; returns up to ef closest as max-heap contents
+std::vector<PairDI> search_level(
+    HNSW& h, const float* q, idx_t entry, float dentry, int level, int ef,
+    std::vector<uint8_t>& visited, std::vector<idx_t>& visited_list) {
+  // visited is a byte map reused across calls; visited_list records touches
+  std::priority_queue<PairDI> results;                       // max-heap (worst on top)
+  std::priority_queue<PairDI, std::vector<PairDI>, std::greater<PairDI>> cands;
+  results.emplace(dentry, entry);
+  cands.emplace(dentry, entry);
+  visited[entry] = 1;
+  visited_list.push_back(entry);
+
+  while (!cands.empty()) {
+    auto [dc, c] = cands.top();
+    if (dc > results.top().first && (idx_t)results.size() >= ef) break;
+    cands.pop();
+    idx_t* nb = h.neigh(c, level);
+    int nn = h.nb_per_level(level);
+    for (int i = 0; i < nn; ++i) {
+      idx_t v = nb[i];
+      if (v < 0) break;
+      if (visited[v]) continue;
+      visited[v] = 1;
+      visited_list.push_back(v);
+      float dv = h.dist_id(q, v);
+      if ((idx_t)results.size() < ef || dv < results.top().first) {
+        results.emplace(dv, v);
+        cands.emplace(dv, v);
+        if ((idx_t)results.size() > ef) results.pop();
+      }
+    }
+  }
+  std::vector<PairDI> out;
+  out.reserve(results.size());
+  while (!results.empty()) {
+    out.push_back(results.top());
+    results.pop();
+  }
+  std::reverse(out.begin(), out.end());  // best first
+  return out;
+}
+
+// neighbor selection: distance-domination shrink heuristic
+void shrink_neighbors(HNSW& h, std::vector<PairDI>& cand, int max_size) {
+  if ((int)cand.size() <= max_size) return;
+  std::sort(cand.begin(), cand.end());
+  std::vector<PairDI> kept;
+  for (auto& [dc, c] : cand) {
+    bool dominated = false;
+    const float* vc = h.vecs.data() + (size_t)c * h.d;
+    for (auto& [dk, kid] : kept) {
+      const float* vk = h.vecs.data() + (size_t)kid * h.d;
+      if (h.dist(vc, vk) < dc) {
+        dominated = true;
+        break;
+      }
+    }
+    if (!dominated) {
+      kept.emplace_back(dc, c);
+      if ((int)kept.size() >= max_size) break;
+    }
+  }
+  cand = std::move(kept);
+}
+
+void link_nodes(HNSW& h, idx_t node, int level, std::vector<PairDI> cand) {
+  int maxn = h.nb_per_level(level);
+  shrink_neighbors(h, cand, maxn);
+  idx_t* nb = h.neigh(node, level);
+  int i = 0;
+  for (auto& [dc, c] : cand) nb[i++] = c;
+  for (; i < maxn; ++i) nb[i] = -1;
+
+  // backlinks
+  for (auto& [dc, c] : cand) {
+    idx_t* cnb = h.neigh(c, level);
+    int j = 0;
+    while (j < maxn && cnb[j] >= 0) ++j;
+    if (j < maxn) {
+      cnb[j] = node;
+    } else {
+      // rebuild c's neighbor list including node, then shrink
+      std::vector<PairDI> cl;
+      const float* vc = h.vecs.data() + (size_t)c * h.d;
+      cl.reserve(maxn + 1);
+      for (int t = 0; t < maxn; ++t)
+        cl.emplace_back(h.dist(vc, h.vecs.data() + (size_t)cnb[t] * h.d),
+                        cnb[t]);
+      cl.emplace_back(dc, node);
+      shrink_neighbors(h, cl, maxn);
+      int t = 0;
+      for (auto& [dd, v] : cl) cnb[t++] = v;
+      for (; t < maxn; ++t) cnb[t] = -1;
+    }
+  }
+}
+
+void insert_node(HNSW& h, idx_t node, std::vector<uint8_t>& visited,
+                 std::vector<idx_t>& vlist) {
+  const float* q = h.vecs.data() + (size_t)node * h.d;
+  int level = h.levels[node];
+
+  if (h.entry_point < 0) {
+    h.entry_point = node;
+    h.max_level = level;
+    return;
+  }
+
+  idx_t cur = h.entry_point;
+  float dcur = h.dist_id(q, cur);
+  for (int l = h.max_level; l > level; --l) cur = greedy_step(h, q, cur, l, dcur);
+
+  for (int l = std::min(level, h.max_level); l >= 0; --l) {
+    auto cand = search_level(h, q, cur, dcur, l, h.ef_construction, visited, vlist);
+    for (idx_t v : vlist) visited[v] = 0;
+    vlist.clear();
+    link_nodes(h, node, l, cand);
+    if (!cand.empty()) {
+      cur = cand[0].second;
+      dcur = cand[0].first;
+    }
+  }
+  if (level > h.max_level) {
+    h.max_level = level;
+    h.entry_point = node;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* hnsw_new(int d, int M, int ef_construction, int metric, uint64_t seed) {
+  auto* h = new HNSW();
+  h->d = d;
+  h->M = std::max(2, M);
+  h->ef_construction = ef_construction;
+  h->metric = metric;
+  h->level_mult = 1.0 / std::log(double(h->M));
+  h->rng.seed(seed);
+  return h;
+}
+
+void hnsw_free(void* ptr) { delete static_cast<HNSW*>(ptr); }
+
+int64_t hnsw_ntotal(void* ptr) { return static_cast<HNSW*>(ptr)->ntotal; }
+
+// append n vectors and link them into the graph
+void hnsw_add(void* ptr, const float* x, int64_t n) {
+  auto& h = *static_cast<HNSW*>(ptr);
+  idx_t base = h.ntotal;
+  h.vecs.insert(h.vecs.end(), x, x + (size_t)n * h.d);
+  h.levels.resize(base + n);
+  h.neighbors.resize(base + n);
+  for (idx_t i = 0; i < n; ++i) {
+    int lv = h.random_level();
+    h.levels[base + i] = lv;
+    size_t tot = 0;
+    for (int l = 0; l <= lv; ++l) tot += h.nb_per_level(l);
+    h.neighbors[base + i].assign(tot, -1);
+  }
+  h.ntotal += n;
+  std::vector<uint8_t> visited(h.ntotal, 0);
+  std::vector<idx_t> vlist;
+  for (idx_t i = 0; i < n; ++i) insert_node(h, base + i, visited, vlist);
+}
+
+void hnsw_search(void* ptr, const float* xq, int64_t nq, int64_t k,
+                 int ef_search, float* D, int64_t* I) {
+  auto& h = *static_cast<HNSW*>(ptr);
+  int ef = std::max<int64_t>(ef_search, k);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<uint8_t> visited(h.ntotal, 0);
+    std::vector<idx_t> vlist;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
+    for (int64_t qi = 0; qi < nq; ++qi) {
+      const float* q = xq + (size_t)qi * h.d;
+      float* Dq = D + qi * k;
+      int64_t* Iq = I + qi * k;
+      for (int64_t j = 0; j < k; ++j) {
+        Dq[j] = h.metric == 1 ? INFINITY : -INFINITY;
+        Iq[j] = -1;
+      }
+      if (h.entry_point < 0) continue;
+      idx_t cur = h.entry_point;
+      float dcur = h.dist_id(q, cur);
+      for (int l = h.max_level; l > 0; --l)
+        cur = greedy_step(h, q, cur, l, dcur);
+      auto res = search_level(h, q, cur, dcur, 0, ef, visited, vlist);
+      for (idx_t v : vlist) visited[v] = 0;
+      vlist.clear();
+      int64_t m = std::min<int64_t>(k, res.size());
+      for (int64_t j = 0; j < m; ++j) {
+        Dq[j] = h.metric == 1 ? res[j].first : -res[j].first;
+        Iq[j] = res[j].second;
+      }
+    }
+  }
+}
+
+// --- serialization support: export/import the raw graph ---------------------
+
+int hnsw_max_level(void* ptr) { return static_cast<HNSW*>(ptr)->max_level; }
+int64_t hnsw_entry_point(void* ptr) {
+  return static_cast<HNSW*>(ptr)->entry_point;
+}
+
+void hnsw_get_levels(void* ptr, int* out) {
+  auto& h = *static_cast<HNSW*>(ptr);
+  std::copy(h.levels.begin(), h.levels.end(), out);
+}
+
+int64_t hnsw_neighbor_bytes(void* ptr) {
+  auto& h = *static_cast<HNSW*>(ptr);
+  int64_t tot = 0;
+  for (auto& v : h.neighbors) tot += v.size();
+  return tot * (int64_t)sizeof(idx_t);
+}
+
+void hnsw_get_neighbors(void* ptr, idx_t* out) {
+  auto& h = *static_cast<HNSW*>(ptr);
+  for (auto& v : h.neighbors) {
+    std::copy(v.begin(), v.end(), out);
+    out += v.size();
+  }
+}
+
+void hnsw_get_vecs(void* ptr, float* out) {
+  auto& h = *static_cast<HNSW*>(ptr);
+  std::copy(h.vecs.begin(), h.vecs.end(), out);
+}
+
+void hnsw_import(void* ptr, const float* vecs, int64_t n, const int* levels,
+                 const idx_t* neighbors, int64_t entry_point, int max_level) {
+  auto& h = *static_cast<HNSW*>(ptr);
+  h.ntotal = n;
+  h.vecs.assign(vecs, vecs + (size_t)n * h.d);
+  h.levels.assign(levels, levels + n);
+  h.neighbors.resize(n);
+  const idx_t* p = neighbors;
+  for (idx_t i = 0; i < n; ++i) {
+    size_t tot = 0;
+    for (int l = 0; l <= h.levels[i]; ++l) tot += h.nb_per_level(l);
+    h.neighbors[i].assign(p, p + tot);
+    p += tot;
+  }
+  h.entry_point = entry_point;
+  h.max_level = max_level;
+}
+
+}  // extern "C"

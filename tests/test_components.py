@@ -1,0 +1,410 @@
+"""Tests for SQ, binary, LSH, HNSW, meta wrappers, transforms, factory, io —
+mirroring the reference's test_index_composite.py / test_io.py /
+test_binary_*.py patterns."""
+
+import io
+
+import numpy as np
+import pytest
+
+import faiss_tpu as ft
+from faiss_tpu.utils.datasets import SyntheticDataset
+from faiss_tpu.utils.evaluation import knn_intersection_measure, recall_at_k
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticDataset(32, 1500, 3000, 50)
+
+
+# ---------------- ScalarQuantizer ----------------
+
+
+@pytest.mark.parametrize(
+    "qtype",
+    [
+        ft.QuantizerType.QT_8bit,
+        ft.QuantizerType.QT_4bit,
+        ft.QuantizerType.QT_6bit,
+        ft.QuantizerType.QT_8bit_uniform,
+        ft.QuantizerType.QT_fp16,
+        ft.QuantizerType.QT_bf16,
+    ],
+)
+def test_sq_codec_roundtrip(ds, qtype):
+    sq = ft.ScalarQuantizer(32, qtype)
+    sq.train(ds.get_train())
+    x = ds.get_database()[:50]
+    codes = sq.compute_codes(x)
+    assert codes.shape == (50, sq.code_size)
+    recon = sq.decode(codes)
+    err = np.abs(recon - x).max()
+    bits = {0: 8, 1: 4, 6: 6, 2: 8}.get(int(qtype), 8)
+    xt = ds.get_train()
+    spread = float((xt.max(0) - xt.min(0)).max())
+    if qtype == ft.QuantizerType.QT_fp16:
+        assert err < 1e-2
+    elif qtype == ft.QuantizerType.QT_bf16:
+        assert err < 0.05
+    else:
+        # within the trained range, error is at most one bucket width;
+        # out-of-range values clip (same as the reference codec)
+        if "uniform" in qtype.name:
+            xt_min = np.full(32, xt.min())
+            xt_max = np.full(32, xt.max())
+        else:
+            xt_min, xt_max = xt.min(0), xt.max(0)
+        xc = np.clip(x, xt_min[None], xt_max[None])
+        err_in = np.abs(recon - xc).max()
+        assert err_in <= spread / (1 << bits) + 1e-4, err_in
+
+
+def test_index_sq(ds):
+    index = ft.IndexScalarQuantizer(32, ft.QuantizerType.QT_8bit)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    gt = ds.get_groundtruth(10)
+    _, I = index.search(ds.get_queries(), 10)
+    assert recall_at_k(I, gt, 10) > 0.9
+
+
+def test_index_ivf_sq(ds):
+    index = ft.IndexIVFScalarQuantizer(None, 32, 16, ft.QuantizerType.QT_8bit)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.nprobe = 16
+    gt = ds.get_groundtruth(10)
+    _, I = index.search(ds.get_queries(), 10)
+    assert recall_at_k(I, gt, 10) > 0.85
+
+
+# ---------------- binary / LSH ----------------
+
+
+def test_binary_flat():
+    rs = np.random.RandomState(7)
+    xb = rs.randint(256, size=(500, 8)).astype(np.uint8)
+    xq = xb[:10].copy()
+    index = ft.IndexBinaryFlat(64)
+    index.add(xb)
+    D, I = index.search(xq, 3)
+    assert (I[:, 0] == np.arange(10)).all()
+    assert (D[:, 0] == 0).all()
+    # cross-check vs numpy popcount
+    q = np.unpackbits(xq, axis=1)
+    b = np.unpackbits(xb, axis=1)
+    dref = (q[:, None, :] != b[None]).sum(-1)
+    np.testing.assert_array_equal(
+        np.sort(D, 1), np.sort(np.take_along_axis(dref, I.astype(int), 1), 1)
+    )
+
+
+def test_binary_ivf():
+    rs = np.random.RandomState(8)
+    xb = rs.randint(256, size=(2000, 8)).astype(np.uint8)
+    index = ft.IndexBinaryIVF(None, 64, 8)
+    index.train(xb)
+    index.add(xb)
+    index.nprobe = 8
+    D, I = index.search(xb[:20], 1)
+    assert (D[:, 0] == 0).all()
+
+
+def test_binary_hash():
+    rs = np.random.RandomState(9)
+    xb = rs.randint(256, size=(500, 8)).astype(np.uint8)
+    index = ft.IndexBinaryHash(64, 10)
+    index.add(xb)
+    index.nflip = 1
+    D, I = index.search(xb[:10], 1)
+    assert (D[:, 0] == 0).all() and (I[:, 0] == np.arange(10)).all()
+
+
+def test_lsh(ds):
+    index = ft.IndexLSH(32, 128)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    gt = ds.get_groundtruth(10)
+    _, I = index.search(ds.get_queries(), 10)
+    assert recall_at_k(I, gt, 10) > 0.3  # LSH is coarse
+
+
+# ---------------- HNSW ----------------
+
+
+def test_hnsw_flat(ds):
+    index = ft.IndexHNSWFlat(32, 16)
+    index.hnsw.efConstruction = 60
+    index.add(ds.get_database())
+    index.hnsw.efSearch = 64
+    gt = ds.get_groundtruth(10)
+    D, I = index.search(ds.get_queries(), 10)
+    r = recall_at_k(I, gt, 10)
+    assert r > 0.9, r
+    # distances are true L2
+    xb, xq = ds.get_database(), ds.get_queries()
+    for q in range(5):
+        for j in range(3):
+            dref = ((xq[q] - xb[I[q, j]]) ** 2).sum()
+            np.testing.assert_allclose(D[q, j], dref, rtol=1e-4)
+
+
+def test_hnsw_params(ds):
+    index = ft.IndexHNSWFlat(32, 16)
+    index.add(ds.get_database())
+    gt = ds.get_groundtruth(10)
+    rs = []
+    for ef in [4, 16, 64]:
+        _, I = index.search(
+            ds.get_queries(), 10, params=ft.SearchParametersHNSW(efSearch=ef)
+        )
+        rs.append(recall_at_k(I, gt, 10))
+    assert rs[0] <= rs[-1]
+
+
+# ---------------- meta wrappers ----------------
+
+
+def test_idmap(ds):
+    index = ft.IndexIDMap(ft.IndexFlatL2(32))
+    ids = np.arange(3000, dtype=np.int64) * 7 + 1
+    index.add_with_ids(ds.get_database(), ids)
+    _, I = index.search(ds.get_queries(), 5)
+    assert (((I - 1) % 7) == 0).all()
+    # IDMap2 reconstruct
+    index2 = ft.IndexIDMap2(ft.IndexFlatL2(32))
+    index2.add_with_ids(ds.get_database(), ids)
+    np.testing.assert_array_equal(
+        index2.reconstruct(ids[42]), ds.get_database()[42]
+    )
+
+
+def test_refine_flat(ds):
+    base = ft.IndexPQ(32, 8, 4)
+    base.train(ds.get_train())
+    index = ft.IndexRefineFlat(base)
+    index.add(ds.get_database())
+    index.k_factor = 4
+    gt = ds.get_groundtruth(10)
+    _, Ib = base.search(ds.get_queries(), 1)
+    Dr, Ir = index.search(ds.get_queries(), 1)
+    assert recall_at_k(Ir, gt, 1) >= recall_at_k(Ib, gt, 1)
+    # refined distances are exact L2 to the true vectors
+    xb, xq = ds.get_database(), ds.get_queries()
+    for q in range(10):
+        dref = ((xq[q] - xb[Ir[q, 0]]) ** 2).sum()
+        np.testing.assert_allclose(Dr[q, 0], dref, rtol=1e-4)
+
+
+def test_pretransform_pca(ds):
+    pca = ft.PCAMatrix(32, 16)
+    index = ft.IndexPreTransform(pca, ft.IndexFlatL2(16))
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    gt = ds.get_groundtruth(10)
+    _, I = index.search(ds.get_queries(), 10)
+    assert recall_at_k(I, gt, 10) > 0.6
+
+
+def test_shards_equals_full(ds):
+    xb = ds.get_database()
+    full = ft.IndexFlatL2(32)
+    full.add(xb)
+    shards = ft.IndexShards(32)
+    for _ in range(3):
+        shards.add_shard(ft.IndexFlatL2(32))
+    shards.add(xb)
+    Df, If = full.search(ds.get_queries(), 10)
+    Ds, Is = shards.search(ds.get_queries(), 10)
+    np.testing.assert_allclose(Df, Ds, rtol=1e-5, atol=1e-5)
+    assert knn_intersection_measure(If, Is) > 0.99
+
+
+def test_replicas(ds):
+    xb = ds.get_database()
+    reps = ft.IndexReplicas(32)
+    for _ in range(2):
+        reps.add_replica(ft.IndexFlatL2(32))
+    reps.add(xb)
+    full = ft.IndexFlatL2(32)
+    full.add(xb)
+    Df, If = full.search(ds.get_queries(), 5)
+    Dr, Ir = reps.search(ds.get_queries(), 5)
+    np.testing.assert_allclose(Df, Dr, rtol=1e-5)
+    np.testing.assert_array_equal(If, Ir)
+
+
+# ---------------- transforms ----------------
+
+
+def test_pca_reduces_error(ds):
+    pca = ft.PCAMatrix(32, 8)
+    pca.train(ds.get_train())
+    x = ds.get_database()[:100]
+    y = pca.apply(x)
+    assert y.shape == (100, 8)
+    # eigenvalues sorted descending
+    ev = pca.eigenvalues
+    assert (np.diff(ev) <= 1e-5).all()
+    # centered reconstruction error ratio ~ discarded eigenvalue mass
+    xc = x - pca.mean
+    proj = (xc @ pca.A.T) @ pca.A
+    err = ((xc - proj) ** 2).sum() / (xc**2).sum()
+    kept = ev[:8].sum() / max(ev.sum(), 1e-9)
+    assert err < (1 - kept) + 0.1
+    # full-dim PCA is invertible through reverse_transform
+    pfull = ft.PCAMatrix(32, 32)
+    pfull.train(ds.get_train())
+    np.testing.assert_allclose(
+        pfull.reverse_transform(pfull.apply(x)), x, atol=1e-3
+    )
+
+
+def test_opq_improves_pq(ds):
+    plain = ft.IndexPQ(32, 4, 4)
+    plain.train(ds.get_train())
+    plain.add(ds.get_database())
+    opq = ft.OPQMatrix(32, 4)
+    opq.niter = 10
+    wrapped = ft.IndexPreTransform(opq, ft.IndexPQ(32, 4, 4))
+    wrapped.train(ds.get_train())
+    wrapped.add(ds.get_database())
+    gt = ds.get_groundtruth(10)
+    _, Ip = plain.search(ds.get_queries(), 10)
+    _, Io = wrapped.search(ds.get_queries(), 10)
+    # OPQ should not be (much) worse; usually better
+    assert recall_at_k(Io, gt, 10) >= recall_at_k(Ip, gt, 10) - 0.05
+
+
+def test_normalization_centering():
+    rs = np.random.RandomState(0)
+    x = rs.rand(50, 8).astype(np.float32) + 1
+    nt = ft.NormalizationTransform(8)
+    np.testing.assert_allclose(
+        np.linalg.norm(nt.apply(x), axis=1), 1.0, rtol=1e-5
+    )
+    ct = ft.CenteringTransform(8)
+    ct.train(x)
+    np.testing.assert_allclose(ct.apply(x).mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(ct.reverse_transform(ct.apply(x)), x, rtol=1e-5)
+
+
+def test_remap_dimensions():
+    rt = ft.RemapDimensionsTransform(4, 6, False)
+    x = np.arange(8, dtype=np.float32).reshape(2, 4)
+    y = rt.apply(x)
+    assert y.shape == (2, 6)
+    np.testing.assert_array_equal(y[:, :4], x)
+    np.testing.assert_array_equal(rt.reverse_transform(y), x)
+
+
+# ---------------- factory ----------------
+
+
+@pytest.mark.parametrize(
+    "desc,cls",
+    [
+        ("Flat", ft.IndexFlat),
+        ("PQ8", ft.IndexPQ),
+        ("PQ8x4fs", ft.IndexPQFastScan),
+        ("SQ8", ft.IndexScalarQuantizer),
+        ("IVF16,Flat", ft.IndexIVFFlat),
+        ("IVF16,PQ8", ft.IndexIVFPQ),
+        ("IVF16,PQ8x4fs", ft.IndexIVFPQFastScan),
+        ("IVF16,SQ8", ft.IndexIVFScalarQuantizer),
+        ("HNSW16", ft.IndexHNSWFlat),
+        ("LSH", ft.IndexLSH),
+        ("PCA16,Flat", ft.IndexPreTransform),
+        ("OPQ4_16,IVF16,PQ4", ft.IndexPreTransform),
+        ("IDMap,Flat", ft.IndexIDMap),
+        ("IVF16,Flat", ft.IndexIVFFlat),
+    ],
+)
+def test_factory_classes(desc, cls):
+    index = ft.index_factory(32, desc)
+    assert isinstance(index, cls), (desc, type(index))
+    assert index.d == 32
+
+
+def test_factory_end_to_end(ds):
+    index = ft.index_factory(32, "OPQ4_16,IVF16,PQ4")
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.index.nprobe = 8
+    gt = ds.get_groundtruth(10)
+    _, I = index.search(ds.get_queries(), 10)
+    assert recall_at_k(I, gt, 10) > 0.3
+
+
+def test_factory_refine(ds):
+    index = ft.index_factory(32, "PQ4,RFlat")
+    assert isinstance(index, ft.IndexRefineFlat)
+
+
+# ---------------- io ----------------
+
+
+def _roundtrip(index):
+    data = ft.serialize_index(index)
+    return ft.deserialize_index(data)
+
+
+def test_io_flat(ds):
+    index = ft.IndexFlatL2(32)
+    index.add(ds.get_database())
+    r = _roundtrip(index)
+    D1, I1 = index.search(ds.get_queries(), 5)
+    D2, I2 = r.search(ds.get_queries(), 5)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-6)
+
+
+def test_io_ivfpq(ds):
+    index = ft.IndexIVFPQ(None, 32, 16, 4, 8)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.nprobe = 4
+    r = _roundtrip(index)
+    assert r.nprobe == 4
+    D1, I1 = index.search(ds.get_queries(), 5)
+    D2, I2 = r.search(ds.get_queries(), 5)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-5)
+
+
+def test_io_pretransform_and_file(tmp_path, ds):
+    index = ft.index_factory(32, "PCA16,IVF16,SQ8")
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    fname = str(tmp_path / "index.npz")
+    ft.write_index(index, fname)
+    r = ft.read_index(fname)
+    D1, I1 = index.search(ds.get_queries(), 5)
+    D2, I2 = r.search(ds.get_queries(), 5)
+    np.testing.assert_array_equal(I1, I2)
+
+
+def test_io_hnsw(ds):
+    index = ft.IndexHNSWFlat(32, 16)
+    index.add(ds.get_database())
+    r = _roundtrip(index)
+    D1, I1 = index.search(ds.get_queries(), 5)
+    D2, I2 = r.search(ds.get_queries(), 5)
+    np.testing.assert_array_equal(I1, I2)
+
+
+def test_io_idmap_binary(ds):
+    index = ft.IndexIDMap(ft.IndexFlatL2(32))
+    ids = np.arange(3000, dtype=np.int64) + 100
+    index.add_with_ids(ds.get_database(), ids)
+    r = _roundtrip(index)
+    _, I1 = index.search(ds.get_queries(), 3)
+    _, I2 = r.search(ds.get_queries(), 3)
+    np.testing.assert_array_equal(I1, I2)
+
+    rs = np.random.RandomState(3)
+    xb = rs.randint(256, size=(100, 8)).astype(np.uint8)
+    b = ft.IndexBinaryFlat(64)
+    b.add(xb)
+    rb = _roundtrip(b)
+    np.testing.assert_array_equal(rb.xb, xb)
