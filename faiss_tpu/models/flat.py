@@ -22,11 +22,15 @@ from ..ops import distances as dops
 class IndexFlat(Index):
     """Exact exhaustive index (reference: faiss/IndexFlat.h:23)."""
 
+    # db sizes below this use the plain XLA path (padding overhead dominates)
+    PALLAS_MIN_NB = 16384
+
     def __init__(self, d: int, metric=MetricType.L2, metric_arg: float = 0.0):
         super().__init__(d, metric, metric_arg)
         self._pending = []  # host-side staged adds
         self._xb = None  # consolidated device array [ntotal, d]
         self._norms = None  # cached device L2 norms
+        self._xbT = None  # transposed padded device copy for the fused kernel
 
     # -- population -------------------------------------------------------
     def add(self, x) -> None:
@@ -40,6 +44,7 @@ class IndexFlat(Index):
         self._pending = []
         self._xb = None
         self._norms = None
+        self._xbT = None
         self.ntotal = 0
 
     def merge_from(self, other: "IndexFlat", add_id: int = 0) -> None:
@@ -71,6 +76,7 @@ class IndexFlat(Index):
             self._xb = jnp.asarray(host)
             self._pending = []
             self._norms = None
+            self._xbT = None
         if self._xb is not None and self._norms is None and (
             self.metric_type == MetricType.L2
         ):
@@ -105,6 +111,9 @@ class IndexFlat(Index):
                 np.arange(self.ntotal, dtype=np.int64)
             )
             y_mask = jnp.asarray(mask_host)
+
+        if y_mask is None and self._use_fused_kernel(k):
+            return self._search_fused(x, k, D, I)
 
         for start, padded, real in query_buckets(nq):
             xq = x[start : start + real]
@@ -187,6 +196,74 @@ class IndexFlat(Index):
     def sa_decode(self, codes) -> np.ndarray:
         codes = np.ascontiguousarray(codes, dtype=np.uint8)
         return codes.view(np.float32).reshape(len(codes), self.d).copy()
+
+
+    # ---- fused Pallas path (TPU WarpSelect analogue) -----------------------
+    def _use_fused_kernel(self, k: int) -> bool:
+        import jax
+
+        return (
+            jax.default_backend() not in ("cpu",)
+            and k <= 128
+            and self.metric_type in (MetricType.L2, MetricType.INNER_PRODUCT)
+            and self.ntotal >= self.PALLAS_MIN_NB
+            and self.d <= 2048
+        )
+
+    def _xbT_dev(self):
+        from ..ops import pallas_knn as pk
+
+        if self._xbT is None:
+            xb = self._consolidate()
+            nbp = -(-self.ntotal // 1024) * 1024
+            host = np.zeros((self.d, nbp), np.float32)
+            host[:, : self.ntotal] = np.asarray(xb).T
+            self._xbT = jnp.asarray(host)
+        return self._xbT
+
+    def _search_fused(self, x, k, D, I):
+        """Fused GEMM+select kernel with exactness repair for lossy rows
+        (ops/pallas_knn.py)."""
+        from ..ops import pallas_knn as pk
+
+        nq = len(x)
+        metric_l2 = self.metric_type == MetricType.L2
+        xbT = self._xbT_dev()
+        for start, padded, real in query_buckets(nq):
+            xq = x[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            qt = min(padded, 512)
+            v, i, ev = pk.knn_fused_pallas(
+                jnp.asarray(xq),
+                xbT,
+                self.ntotal,
+                metric_l2=metric_l2,
+                qt=qt,
+            )
+            v = np.asarray(v)[:real]
+            i = np.asarray(i)[:real]
+            ev = np.asarray(ev)[:real]
+            if metric_l2:
+                lossy = ev.min(1) < v[:, min(k, 127)]
+            else:
+                lossy = ev.max(1) > v[:, min(k, 127)]
+            if lossy.any():
+                # exact repair through the XLA path for the affected rows
+                rows = np.nonzero(lossy)[0]
+                xq_fix = np.ascontiguousarray(x[start + rows])
+                d_fix, i_fix = dops.knn(
+                    jnp.asarray(xq_fix),
+                    self._consolidate(),
+                    k,
+                    metric=self.metric_type,
+                    y_norms=self._norms,
+                )
+                v[rows, :k] = np.asarray(d_fix)
+                i[rows, :k] = np.asarray(i_fix)
+            D[start : start + real] = v[:, :k]
+            I[start : start + real] = i[:, :k]
+        return D, I
 
 
 class IndexFlatL2(IndexFlat):

@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128  # top-K buffer width == lane count == max supported k
-QDEPTH = 6  # per-lane insertion-queue depth (WarpSelect thread-queue T)
+QDEPTH = 3  # per-lane insertion-queue depth (WarpSelect thread-queue T)
 
 
 def _cmpex_ref(wv, wi, lane, s, same):
@@ -130,7 +130,7 @@ def _make_kernel(qt, ct, d, metric_l2, precision):
 
         # scheduled spill: dense early (queues churn while theta is loose),
         # geometrically sparser later. Scalar-only condition — cheap branch.
-        interval = jnp.clip(j // 8, 1, 64)
+        interval = jnp.clip(j // 4, 1, 32)
         do_flush = jnp.logical_and(j > 0, j % interval == 0)
 
         @pl.when(do_flush)
@@ -155,10 +155,11 @@ def _make_kernel(qt, ct, d, metric_l2, precision):
         nb = nb_ref[0]
         base = j * ct
 
+        # theta only changes at flushes, so hoist it out of the subtile loop
+        theta = rv_ref[:, LANES - 1 : LANES]  # current kth best per query
         for t in range(n_sub):
             col = base + t * LANES + lane  # [qt, LANES]
             sv = s_ref[:, t * LANES : (t + 1) * LANES]
-            theta = rv_ref[:, LANES - 1 : LANES]  # current kth best per query
             # only elements better than theta enter the queues
             sv = jnp.where(jnp.logical_and(col < nb, sv < theta), sv, jnp.inf)
 
@@ -206,7 +207,7 @@ def knn_fused_pallas(
     nb: jax.Array,  # scalar int32: true db size
     metric_l2: bool = True,
     precision: str = "highest",
-    qt: int = 256,
+    qt: int = 512,
     ct: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

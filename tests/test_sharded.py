@@ -1,0 +1,75 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(the reference tests multi-GPU Shards/Replicas on available devices,
+gpu/test/test_multi_gpu.py; here: sharded == unsharded equivalence)."""
+
+import jax
+import numpy as np
+import pytest
+
+import faiss_tpu as ft
+from faiss_tpu.parallel.sharded import ShardedFlat, ShardedIVF, make_mesh
+from faiss_tpu.utils.datasets import SyntheticDataset
+from faiss_tpu.utils.evaluation import knn_intersection_measure
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticDataset(32, 2000, 6000, 64)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_flat_matches_single(ds):
+    mesh = make_mesh(8)
+    xb, xq = ds.get_database(), ds.get_queries()
+    sf = ShardedFlat(32, mesh)
+    sf.add(xb)
+    D, I = sf.search(xq, 10)
+    ref = ft.IndexFlatL2(32)
+    ref.add(xb)
+    Dref, Iref = ref.search(xq, 10)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+    assert knn_intersection_measure(I, Iref) > 0.999
+
+
+def test_sharded_flat_ip(ds):
+    mesh = make_mesh(4)
+    xb, xq = ds.get_database(), ds.get_queries()
+    sf = ShardedFlat(32, mesh, ft.METRIC_INNER_PRODUCT)
+    sf.add(xb)
+    D, I = sf.search(xq, 5)
+    ref = ft.IndexFlatIP(32)
+    ref.add(xb)
+    Dref, Iref = ref.search(xq, 5)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_ivf_matches_single(ds):
+    xb, xq = ds.get_database(), ds.get_queries()
+    index = ft.IndexIVFFlat(None, 32, 32)
+    index.train(ds.get_train())
+    index.add(xb)
+    index.nprobe = 8
+    Dref, Iref = index.search(xq, 10)
+
+    mesh = make_mesh(8)
+    sivf = ShardedIVF(index, mesh)
+    D, I = sivf.search(xq, 10, nprobe=8)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+    assert knn_intersection_measure(I, Iref) > 0.999
+
+
+def test_sharded_ivf_full_probe_exact(ds):
+    xb, xq = ds.get_database(), ds.get_queries()
+    index = ft.IndexIVFFlat(None, 32, 16)
+    index.train(ds.get_train())
+    index.add(xb)
+    mesh = make_mesh(4)
+    sivf = ShardedIVF(index, mesh)
+    D, I = sivf.search(xq, 10, nprobe=16)
+    flat = ft.IndexFlatL2(32)
+    flat.add(xb)
+    Dref, Iref = flat.search(xq, 10)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
