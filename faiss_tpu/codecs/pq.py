@@ -64,8 +64,16 @@ class ProductQuantizer(Quantizer):
 
     # -- training (ProductQuantizer::train, cpp) ------------------------------
     def train(self, x) -> None:
+        from ..ops.kmeans_ops import batched_kmeans
+
         x = np.ascontiguousarray(x, np.float32)
         n = len(x)
+        # subsample like Clustering (max_points_per_centroid, Clustering.h:46)
+        max_n = self.ksub * self.cp.max_points_per_centroid
+        if n > max_n:
+            rs = np.random.RandomState(self.cp.seed)
+            x = x[rs.permutation(n)[:max_n]]
+            n = max_n
         xs = x.reshape(n, self.M, self.dsub)
         centroids = np.empty((self.M, self.ksub, self.dsub), np.float32)
         if self.train_type == self.Train_shared:
@@ -73,13 +81,19 @@ class ProductQuantizer(Quantizer):
             clus = Clustering(self.dsub, self.ksub, self.cp)
             clus.train(xs.transpose(1, 0, 2).reshape(-1, self.dsub))
             centroids[:] = clus.centroids[None]
+        elif n < self.ksub:
+            raise ValueError(
+                f"not enough training points ({n}) for ksub={self.ksub}"
+            )
         else:
-            for m in range(self.M):
-                cp = ClusteringParameters(**vars(self.cp))
-                cp.verbose = False
-                clus = Clustering(self.dsub, self.ksub, cp)
-                clus.train(xs[:, m, :])
-                centroids[m] = clus.centroids
+            # all M subspace k-means runs in ONE device program
+            xms = np.ascontiguousarray(xs.transpose(1, 0, 2))  # [M, n, dsub]
+            rs = np.random.RandomState(self.cp.seed)
+            init = xms[:, rs.permutation(n)[: self.ksub], :]
+            out = batched_kmeans(
+                jnp.asarray(xms), jnp.asarray(init), self.ksub, self.cp.niter
+            )
+            centroids[:] = np.asarray(out)
         self.centroids = centroids
         self._dev_centroids = None
 

@@ -101,3 +101,53 @@ def kmeans_assign_update(
     )
     (sums, counts, obj), assigns = jax.lax.scan(body, init, xs)
     return sums, counts, obj, assigns.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "niter", "precision"))
+def batched_kmeans(
+    xs: jax.Array,  # [M, n, dsub] — M independent clustering problems
+    init: jax.Array,  # [M, k, dsub] initial centroids
+    k: int,
+    niter: int = 25,
+    precision: str = "highest",
+) -> jax.Array:
+    """M independent Lloyd k-means runs in one device program.
+
+    Used for PQ codebook training (ProductQuantizer::train runs one k-means
+    per subspace, ProductQuantizer.cpp) — batching all subspaces into single
+    MXU calls removes M*niter host round-trips. Empty clusters keep their
+    previous centroid (the reference splits big clusters instead,
+    ClusteringHelpers.h:85; with k << n the difference is negligible for
+    codebooks and keeps the loop host-sync-free).
+    """
+    M, n, dsub = xs.shape
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
+    x_norms = jnp.sum(jnp.square(xs), axis=-1)  # [M, n]
+
+    def iter_body(centroids, _):
+        c_norms = jnp.sum(jnp.square(centroids), axis=-1)  # [M, k]
+        ip = jnp.einsum(
+            "mnd,mkd->mnk",
+            xs,
+            centroids,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        d2 = x_norms[..., None] + c_norms[:, None, :] - 2.0 * ip
+        assign = jnp.argmin(d2, axis=-1)  # [M, n]
+        onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # [M, n, k]
+        sums = jnp.einsum(
+            "mnk,mnd->mkd",
+            onehot,
+            xs,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        counts = jnp.sum(onehot, axis=1)  # [M, k]
+        new_c = jnp.where(
+            counts[..., None] > 0, sums / jnp.maximum(counts[..., None], 1.0), centroids
+        )
+        return new_c, None
+
+    centroids, _ = jax.lax.scan(iter_body, init, None, length=niter)
+    return centroids

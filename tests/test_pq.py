@@ -73,7 +73,7 @@ def test_adc_equals_table_sum(ds):
     np.testing.assert_allclose(
         D, np.take_along_axis(dref, I.astype(np.int64), 1), rtol=1e-3, atol=1e-3
     )
-    assert knn_intersection_measure(I, iref) > 0.97
+    assert knn_intersection_measure(I, iref) >= 0.97
 
 
 def test_index_pq_recall(ds):
