@@ -126,3 +126,39 @@ for _qt in QuantizerType:
     globals()[f"ScalarQuantizer_{_qt.name}"] = _qt
 
 __version__ = "0.1.0"
+
+from .extra import (  # noqa: F401
+    ResultHeap,
+    bucket_sort,
+    kmax,
+    kmin,
+    knn,
+    knn_gpu,
+    knn_hamming,
+    merge_knn_results,
+    pack_bitstrings,
+    pairwise_distances,
+    rand,
+    randint,
+    randn,
+    unpack_bitstrings,
+)
+from .autotune import (  # noqa: F401
+    AutoTuneCriterion,
+    IntersectionCriterion,
+    OneRecallAtRCriterion,
+    OperatingPoint,
+    OperatingPoints,
+    ParameterRange,
+    ParameterSpace,
+)
+from .ivflib import (  # noqa: F401
+    add_preassigned,
+    clone_index,
+    extract_index_ivf,
+    merge_into,
+    replace_ivf_quantizer,
+    search_preassigned,
+    shard_ivf_index_centroids,
+    try_extract_index_ivf,
+)

@@ -408,3 +408,60 @@ class IndexIVFFlat(IndexIVF):
     def sa_decode(self, codes):
         codes = np.ascontiguousarray(codes, np.uint8)
         return codes.view(np.float32).reshape(len(codes), self.d).copy()
+
+
+def _ivf_range_search(index: "IndexIVF", x, radius: float, params=None):
+    """Range search over probed lists (reference: IndexIVF::range_search).
+
+    Distances for each query's probed lists are computed by decoding the
+    candidates (codec-faithful), thresholded on host with CSR assembly —
+    variable-size output cannot live under jit.
+    """
+    from ..base import RangeSearchResult
+
+    x = index._check_input(x)
+    nq = len(x)
+    nprobe = index.nprobe
+    sel = None
+    if params is not None:
+        sel = params.sel
+        if getattr(params, "nprobe", 0):
+            nprobe = params.nprobe
+    nprobe = min(max(1, nprobe), index.nlist)
+    largest = is_similarity_metric(index.metric_type)
+    lims = np.zeros(nq + 1, np.uint64)
+    if index.ntotal == 0 or nq == 0:
+        return RangeSearchResult(lims, np.empty(0, np.float32), np.empty(0, np.int64))
+
+    _, probes = index._coarse_search(x, nprobe)
+    probes = np.asarray(probes)
+    all_d = [[] for _ in range(nq)]
+    all_i = [[] for _ in range(nq)]
+    listnos = index._listnos_host
+    for q in range(nq):
+        mask = np.isin(listnos, probes[q][probes[q] >= 0])
+        cand = np.nonzero(mask)[0]
+        if sel is not None:
+            keep = sel.mask_for_ids(index._ids_host[cand])
+            cand = cand[keep]
+        if len(cand) == 0:
+            continue
+        recon = index.decode_vectors(
+            index._codes_host[cand], index._listnos_host[cand]
+        )
+        if index.metric_type == MetricType.L2:
+            d = ((recon - x[q][None]) ** 2).sum(1)
+            hit = d < radius
+        else:
+            d = recon @ x[q]
+            hit = d > radius
+        all_d[q] = d[hit].astype(np.float32)
+        all_i[q] = index._ids_host[cand[hit]]
+    counts = np.array([len(v) for v in all_i], np.uint64)
+    lims[1:] = np.cumsum(counts)
+    D = np.concatenate([np.asarray(v, np.float32) for v in all_d]) if lims[-1] else np.empty(0, np.float32)
+    I = np.concatenate([np.asarray(v, np.int64) for v in all_i]) if lims[-1] else np.empty(0, np.int64)
+    return RangeSearchResult(lims, D, I)
+
+
+IndexIVF.range_search = _ivf_range_search

@@ -1,0 +1,184 @@
+"""Tests for extra wrappers, autotune, ivflib, MatrixStats, clone_index,
+IVF range search (mirrors reference test_extra_tables/test_autotune
+patterns)."""
+
+import numpy as np
+import pytest
+
+import faiss_tpu as ft
+from faiss_tpu.stats import MatrixStats
+from faiss_tpu.utils.datasets import SyntheticDataset
+from faiss_tpu.utils.evaluation import range_PR, recall_at_k
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticDataset(32, 1500, 3000, 50)
+
+
+def test_knn_fn(ds):
+    xb, xq = ds.get_database(), ds.get_queries()
+    D, I = ft.knn(xq, xb, 7)
+    flat = ft.IndexFlatL2(32)
+    flat.add(xb)
+    Dref, Iref = flat.search(xq, 7)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-5)
+    from faiss_tpu.utils.evaluation import knn_intersection_measure
+
+    assert knn_intersection_measure(I, Iref) > 0.999
+
+
+def test_pairwise_and_kmin():
+    rs = np.random.RandomState(0)
+    a = rs.rand(10, 8).astype(np.float32)
+    b = rs.rand(20, 8).astype(np.float32)
+    D = ft.pairwise_distances(a, b)
+    ref = ((a[:, None] - b[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(D, ref, rtol=1e-4, atol=1e-5)
+    v, i = ft.kmin(D, 3)
+    np.testing.assert_allclose(v, np.sort(ref, 1)[:, :3], rtol=1e-5)
+    v2, i2 = ft.kmax(D, 3)
+    np.testing.assert_allclose(v2, -np.sort(-ref, 1)[:, :3], rtol=1e-5)
+
+
+def test_merge_knn_results():
+    rs = np.random.RandomState(1)
+    D = rs.rand(3, 5, 4).astype(np.float32)
+    I = rs.randint(100, size=(3, 5, 4)).astype(np.int64)
+    Dm, Im = ft.merge_knn_results(D, I)
+    for q in range(5):
+        alld = D[:, q, :].ravel()
+        alli = I[:, q, :].ravel()
+        order = np.argsort(alld)[:4]
+        np.testing.assert_allclose(Dm[q], alld[order], rtol=1e-6)
+        np.testing.assert_array_equal(Im[q], alli[order])
+
+
+def test_bucket_sort():
+    tab = np.array([3, 1, 3, 0, 1, 1], np.int64)
+    lims, perm = ft.bucket_sort(tab, 4)
+    assert list(lims) == [0, 1, 4, 4, 6]
+    np.testing.assert_array_equal(tab[perm], np.sort(tab))
+
+
+def test_result_heap():
+    rs = np.random.RandomState(2)
+    D = rs.rand(4, 20).astype(np.float32)
+    rh = ft.ResultHeap(4, 5)
+    ids = np.arange(20, dtype=np.int64)
+    rh.add_result(D[:, :10], np.broadcast_to(ids[:10], (4, 10)))
+    rh.add_result(D[:, 10:], np.broadcast_to(ids[10:], (4, 10)))
+    rh.finalize()
+    ref = np.sort(D, 1)[:, :5]
+    np.testing.assert_allclose(rh.D, ref, rtol=1e-6)
+
+
+def test_pack_bitstrings():
+    rs = np.random.RandomState(3)
+    a = rs.randint(64, size=(10, 5))
+    packed = ft.pack_bitstrings(a, 6)
+    out = ft.unpack_bitstrings(packed, 5, 6)
+    np.testing.assert_array_equal(out, a)
+
+
+def test_parameter_space_and_explore(ds):
+    index = ft.index_factory(32, "IVF32,Flat")
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    ps = ft.ParameterSpace()
+    ps.set_index_parameters(index, "nprobe=16")
+    assert index.nprobe == 16
+    ps.initialize(index)
+    assert any(pr.name == "nprobe" for pr in ps.parameter_ranges)
+
+    gt = ds.get_groundtruth(10)
+    crit = ft.OneRecallAtRCriterion(ds.nq, 1)
+    crit.set_groundtruth(None, gt)
+    ops = ps.explore(index, ds.get_queries(), crit)
+    assert len(ops.optimal_pts) >= 1
+    perfs = [o.perf for o in ops.all_pts]
+    assert max(perfs) > 0.9  # full probe reaches high recall
+
+
+def test_parameter_space_through_wrappers(ds):
+    index = ft.index_factory(32, "PCA16,IVF16,Flat")
+    ps = ft.ParameterSpace()
+    ps.set_index_parameter(index, "nprobe", 8)
+    assert ft.extract_index_ivf(index).nprobe == 8
+
+
+def test_ivflib_merge_and_shard(ds):
+    xb = ds.get_database()
+    a = ft.IndexIVFFlat(None, 32, 8)
+    a.train(ds.get_train())
+    a.add(xb[:1000])
+    b = ft.clone_index(a)
+    b.reset()
+    b.add_with_ids(xb[1000:2000], np.arange(1000, 2000, dtype=np.int64))
+    ft.merge_into(a, b)
+    assert a.ntotal == 2000 and b.ntotal == 0
+
+    shards = ft.shard_ivf_index_centroids(a, 2)
+    assert sum(s.ntotal for s in shards) == 2000
+    # shard union == original search results at full probe
+    a.nprobe = 8
+    Dref, Iref = a.search(ds.get_queries(), 5)
+    Ds = [s.search(ds.get_queries(), 5, params=ft.SearchParametersIVF(nprobe=8))
+          for s in shards]
+    Dm, Im = ft.merge_knn_results(
+        np.stack([d for d, _ in Ds]), np.stack([i for _, i in Ds])
+    )
+    np.testing.assert_allclose(Dref, Dm[:, :5], rtol=1e-4, atol=1e-4)
+
+
+def test_replace_ivf_quantizer(ds):
+    index = ft.IndexIVFFlat(None, 32, 16)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.nprobe = 16
+    Dref, Iref = index.search(ds.get_queries(), 5)
+    new_q = ft.IndexFlatL2(32)
+    ft.replace_ivf_quantizer(index, new_q)
+    D, I = index.search(ds.get_queries(), 5)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4)
+
+
+def test_clone_index(ds):
+    index = ft.index_factory(32, "IVF16,PQ4")
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.nprobe = 4
+    c = ft.clone_index(index)
+    D1, I1 = index.search(ds.get_queries(), 5)
+    D2, I2 = c.search(ds.get_queries(), 5)
+    np.testing.assert_array_equal(I1, I2)
+    c.reset()
+    assert index.ntotal == 3000  # deep copy: original untouched
+
+
+def test_ivf_range_search(ds):
+    xb, xq = ds.get_database(), ds.get_queries()
+    flat = ft.IndexFlatL2(32)
+    flat.add(xb)
+    D, _ = flat.search(xq, 10)
+    radius = float(np.median(D[:, 5]))
+    ref = flat.range_search(xq, radius)
+
+    index = ft.IndexIVFFlat(None, 32, 16)
+    index.train(ds.get_train())
+    index.add(xb)
+    index.nprobe = 16  # full probe -> exact
+    res = index.range_search(xq, radius)
+    precision, recall = range_PR(ref.lims, ref.labels, res.lims, res.labels)
+    assert precision > 0.99 and recall > 0.99
+
+
+def test_matrix_stats():
+    rs = np.random.RandomState(0)
+    x = rs.rand(200, 16).astype(np.float32)
+    x[:, 5] = 2.0
+    x[10] = x[11]
+    ms = MatrixStats(x)
+    assert ms.n_collapsed == 1
+    assert ms.n_dup >= 1
+    assert "WARN" in ms.comments
