@@ -1,5 +1,5 @@
 """Driver benchmark: IVF-PQ FastScan QPS at recall@10 >= 0.95 on SIFT1M-scale
-synthetic data (BASELINE.json config "IVF-Flat/IVF-PQ nprobe sweep").
+synthetic data (BASELINE.json config "IVF-PQ + FastScan nprobe sweep").
 
 Prints ONE JSON line:
   {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ratio}
@@ -8,6 +8,13 @@ Baseline: reference Faiss GPU IVF4096,PQ64 nprobe=32 on SIFT1M = 0.134 s /
 10k queries = 74,627 QPS at R@10 0.9549 (benchs/README.md:217, BASELINE.md
 row 10). We report QPS at the cheapest operating point reaching
 recall@10 >= 0.95 against exact ground truth.
+
+Compile-latency note: the remote TPU compile path makes each new kernel
+shape expensive (minutes), so the nprobe sweep reuses ONE compiled scan at
+nprobe_max with trailing probes masked to -1 (identical results to the
+true nprobe), and only the chosen operating point compiles its own shape
+for the timed runs. Ground truth is exact numpy brute force (no TPU
+compiles).
 """
 
 import json
@@ -19,6 +26,25 @@ import numpy as np
 
 def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def numpy_gt(xq, xb, k, chunk=200_000):
+    """Exact ground truth on host (BLAS), chunked."""
+    nq = len(xq)
+    D = np.full((nq, k), np.inf, np.float32)
+    I = np.full((nq, k), -1, np.int64)
+    qn = (xq**2).sum(1)[:, None]
+    for c0 in range(0, len(xb), chunk):
+        xbc = xb[c0 : c0 + chunk]
+        d = qn + (xbc**2).sum(1)[None, :] - 2.0 * (xq @ xbc.T)
+        part = np.argpartition(d, k, axis=1)[:, :k]
+        dpart = np.take_along_axis(d, part, axis=1)
+        Dc = np.concatenate([D, dpart], axis=1)
+        Ic = np.concatenate([I, part + c0], axis=1)
+        order = np.argsort(Dc, axis=1, kind="stable")[:, :k]
+        D = np.take_along_axis(Dc, order, axis=1)
+        I = np.take_along_axis(Ic, order, axis=1)
+    return D, I
 
 
 def main():
@@ -40,20 +66,20 @@ def main():
     def gen(n, seed):
         r = np.random.RandomState(seed)
         a = r.randint(ncent, size=n)
-        return cent[a] + r.randn(n, d).astype(np.float32) * scales
+        return (cent[a] + r.randn(n, d).astype(np.float32) * scales).astype(
+            np.float32
+        )
 
     xb = gen(nb, 1)
     xt = gen(nt, 2)
     xq = gen(nq, 3)
 
-    log("computing exact ground truth (fused Pallas brute-force kernel)")
+    log("computing exact ground truth (host BLAS)")
     t0 = time.time()
-    flat = ft.IndexFlatL2(d)
-    flat.add(xb)
-    _, gt = flat.search(xq, 10)
+    _, gt = numpy_gt(xq, xb, 10)
     log(f"ground truth done in {time.time() - t0:.1f}s")
 
-    log("building IVF4096,PQ32x4fs")
+    log("building IVF4096,PQ32x4fs on TPU")
     t0 = time.time()
     index = ft.IndexIVFPQFastScan(None, d, 4096, 32, 4)
     index.cp.niter = 20
@@ -66,25 +92,28 @@ def main():
     t_add = time.time() - t0
     log(f"add+stage: {t_add:.1f}s")
 
-    # nprobe sweep to the target operating point
+    # one-compile nprobe sweep: compute probes once at nprobe_max, mask tails
+    nprobe_max = 256
+    log(f"sweeping nprobe via masked probes (single compile, max {nprobe_max})")
+    cd, probes = index.quantizer.search(xq, nprobe_max)
     best = None
     for nprobe in [8, 16, 32, 64, 128, 256]:
-        index.nprobe = nprobe
+        pm = probes.copy()
+        pm[:, nprobe:] = -1
         t0 = time.time()
-        _, I = index.search(xq, 10)
-        t_first = time.time() - t0
+        _, I = index.search_preassigned(xq, 10, pm, cd)
         r = recall_at_k(I, gt, 10)
-        log(f"nprobe={nprobe}: recall@10={r:.4f} (first incl compile {t_first:.1f}s)")
+        log(f"nprobe={nprobe}: recall@10={r:.4f} ({time.time()-t0:.1f}s)")
         if r >= 0.95:
             best = nprobe
             break
     if best is None:
-        best = 256
+        best = nprobe_max
         log("WARNING: recall@10=0.95 not reached; timing nprobe=256")
 
+    log(f"timing operating point nprobe={best}")
     index.nprobe = best
-    # timed runs (steady state)
-    index.search(xq[:128], 10)  # warm small-bucket compile
+    _, I = index.search(xq, 10)  # compile the exact shape
     nrep = 3
     t0 = time.time()
     for _ in range(nrep):

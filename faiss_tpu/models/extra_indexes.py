@@ -1,0 +1,216 @@
+"""Smaller index variants: Index2Layer, IndexIVFFlatDedup,
+IndexRowwiseMinMax — reference: faiss/Index2Layer.{h,cpp},
+faiss/IndexIVFFlat.h (Dedup), faiss/IndexRowwiseMinMax.{h,cpp}.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..base import Index
+from ..codecs.pq import ProductQuantizer
+from ..metric import MetricType
+from .flat import IndexFlat
+from .ivf import IndexIVF, IndexIVFFlat
+
+
+class Index2Layer(Index):
+    """IVF-structured codes stored flat (reference: Index2Layer.h:22).
+
+    Stores (coarse id, PQ code of residual) per vector without inverted
+    lists — the format used to bootstrap HNSW-on-codes. Search decodes and
+    brute-forces on the decoded vectors.
+    """
+
+    def __init__(self, quantizer, nlist: int, M: int, nbits: int = 8,
+                 metric=MetricType.L2):
+        d = quantizer.d
+        super().__init__(d, metric)
+        self.q1_quantizer = quantizer
+        self.nlist = int(nlist)
+        self.pq = ProductQuantizer(d, M, nbits)
+        self.is_trained = False
+        self._listnos: Optional[np.ndarray] = None
+        self._codes: Optional[np.ndarray] = None
+        self.code_size = self.pq.code_size + 4  # coarse id stored as int32
+
+    def train(self, x) -> None:
+        x = self._check_input(x)
+        if self.q1_quantizer.ntotal != self.nlist:
+            from ..clustering import Clustering
+
+            clus = Clustering(self.d, self.nlist)
+            clus.train(x)
+            self.q1_quantizer.reset()
+            self.q1_quantizer.add(clus.centroids)
+        _, assign = self.q1_quantizer.search(x, 1)
+        res = x - self.q1_quantizer.vectors()[assign.ravel()]
+        self.pq.train(res)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        x = self._check_input(x)
+        _, assign = self.q1_quantizer.search(x, 1)
+        assign = assign.ravel().astype(np.int32)
+        res = x - self.q1_quantizer.vectors()[assign]
+        codes = self.pq.compute_codes_int(res)
+        self._listnos = (
+            assign if self._listnos is None
+            else np.concatenate([self._listnos, assign])
+        )
+        self._codes = (
+            codes if self._codes is None else np.concatenate([self._codes, codes])
+        )
+        self.ntotal += len(x)
+
+    def reconstruct_n(self, n0: int, ni: int) -> np.ndarray:
+        recon = self.pq.decode_int(self._codes[n0 : n0 + ni])
+        return recon + self.q1_quantizer.vectors()[self._listnos[n0 : n0 + ni]]
+
+    def search(self, x, k: int, *, params=None):
+        # decode-and-scan (the reference mainly uses this class as HNSW
+        # storage; exact scan over reconstructions keeps semantics)
+        flat = IndexFlat(self.d, self.metric_type)
+        flat.add(self.reconstruct_n(0, self.ntotal))
+        return flat.search(x, k, params=params)
+
+    def reset(self) -> None:
+        self._listnos = None
+        self._codes = None
+        self.ntotal = 0
+
+
+class IndexIVFFlatDedup(IndexIVFFlat):
+    """IVFFlat that deduplicates identical vectors
+    (reference: IndexIVFFlat.h:69 IndexIVFFlatDedup).
+
+    Duplicate vectors are stored once; their extra ids live in
+    ``instances`` (a host map). Search returns the representative id;
+    reconstruct/remove understand all ids.
+    """
+
+    def __init__(self, quantizer, d, nlist, metric=MetricType.L2):
+        super().__init__(quantizer, d, nlist, metric)
+        self.instances = {}  # representative id -> list of duplicate ids
+
+    def add_with_ids(self, x, ids) -> None:
+        x = self._check_input(x)
+        if ids is None:
+            ids = np.arange(self.ntotal, self.ntotal + len(x), dtype=np.int64)
+        ids = np.asarray(ids, np.int64)
+        # hash stored vectors for dedup
+        existing = {}
+        if self.ntotal:
+            for slot in range(self.ntotal):
+                existing[self._codes_host[slot].tobytes()] = int(
+                    self._ids_host[slot]
+                )
+        keep_rows, keep_ids = [], []
+        for i, row in enumerate(x):
+            key = row.astype(np.float32).tobytes()
+            if key in existing:
+                rep = existing[key]
+                self.instances.setdefault(rep, []).append(int(ids[i]))
+            else:
+                existing[key] = int(ids[i])
+                keep_rows.append(i)
+                keep_ids.append(ids[i])
+        if keep_rows:
+            super().add_with_ids(x[keep_rows], np.asarray(keep_ids, np.int64))
+
+    def remove_ids(self, sel) -> int:
+        removed = 0
+        for rep in list(self.instances):
+            dups = self.instances[rep]
+            keep = [i for i in dups if not sel.is_member(i)]
+            removed += len(dups) - len(keep)
+            if keep:
+                self.instances[rep] = keep
+            else:
+                del self.instances[rep]
+        return removed + super().remove_ids(sel)
+
+
+class IndexRowwiseMinMax(Index):
+    """Per-row min/max normalization wrapper codec
+    (reference: IndexRowwiseMinMax.h:33; fp32 scale/bias variant).
+
+    sa codes prepend (scale, bias) to the sub-index code; add/search
+    normalize rows to [0, 1] before delegating.
+    """
+
+    def __init__(self, index: Index):
+        super().__init__(index.d, index.metric_type)
+        self.index = index
+        self.is_trained = index.is_trained
+        self._scale_bias = []
+
+    def train(self, x) -> None:
+        x = self._check_input(x)
+        self.index.train(self._normalize(x)[0])
+        self.is_trained = True
+
+    def _normalize(self, x):
+        lo = x.min(axis=1, keepdims=True)
+        hi = x.max(axis=1, keepdims=True)
+        scale = np.maximum(hi - lo, 1e-20)
+        return ((x - lo) / scale).astype(np.float32), scale.ravel(), lo.ravel()
+
+    def add(self, x) -> None:
+        x = self._check_input(x)
+        xn, scale, bias = self._normalize(x)
+        self.index.add(xn)
+        self._scale_bias.extend(zip(scale, bias))
+        self.ntotal = self.index.ntotal
+
+    def search(self, x, k: int, *, params=None):
+        # queries pass through unnormalized (reference semantics: the wrapper
+        # is a storage codec; query-side normalization would change ranking)
+        return self.index.search(self._check_input(x), k, params=params)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        scale, bias = self._scale_bias[key]
+        return self.index.reconstruct(key) * scale + bias
+
+    def sa_code_size(self) -> int:
+        return self.index.sa_code_size() + 8
+
+    def sa_encode(self, x) -> np.ndarray:
+        x = self._check_input(x)
+        xn, scale, bias = self._normalize(x)
+        sub = self.index.sa_encode(xn)
+        head = np.stack([scale, bias], 1).astype(np.float32).view(np.uint8)
+        return np.concatenate([head, sub], axis=1)
+
+    def sa_decode(self, codes) -> np.ndarray:
+        codes = np.ascontiguousarray(codes, np.uint8)
+        head = codes[:, :8].copy().view(np.float32)
+        sub = self.index.sa_decode(codes[:, 8:])
+        return sub * head[:, 0:1] + head[:, 1:2]
+
+    def reset(self) -> None:
+        self.index.reset()
+        self._scale_bias = []
+        self.ntotal = 0
+
+
+class IndexRowwiseMinMaxFP16(IndexRowwiseMinMax):
+    """fp16 scale/bias variant (IndexRowwiseMinMax.h:21)."""
+
+    def sa_code_size(self) -> int:
+        return self.index.sa_code_size() + 4
+
+    def sa_encode(self, x) -> np.ndarray:
+        x = self._check_input(x)
+        xn, scale, bias = self._normalize(x)
+        sub = self.index.sa_encode(xn)
+        head = np.stack([scale, bias], 1).astype(np.float16).view(np.uint8)
+        return np.concatenate([head, sub], axis=1)
+
+    def sa_decode(self, codes) -> np.ndarray:
+        codes = np.ascontiguousarray(codes, np.uint8)
+        head = codes[:, :4].copy().view(np.float16).astype(np.float32)
+        sub = self.index.sa_decode(codes[:, 4:])
+        return sub * head[:, 0:1] + head[:, 1:2]

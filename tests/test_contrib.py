@@ -1,0 +1,174 @@
+"""Tests for contrib modules + extra index variants + factory_tools."""
+
+import numpy as np
+import pytest
+
+import faiss_tpu as ft
+from faiss_tpu.contrib.big_batch_search import big_batch_search
+from faiss_tpu.contrib.client_server import ClientIndex, SearchServer
+from faiss_tpu.contrib.clustering import (
+    DatasetAssign,
+    kmeans,
+    two_level_clustering,
+)
+from faiss_tpu.contrib.exhaustive_search import knn_ground_truth
+from faiss_tpu.contrib.inspect_tools import get_invlist, get_invlist_sizes
+from faiss_tpu.contrib.ondisk import merge_ondisk
+from faiss_tpu.contrib.torch_utils import torch_knn
+from faiss_tpu.factory_tools import reverse_index_factory
+from faiss_tpu.models.extra_indexes import (
+    Index2Layer,
+    IndexIVFFlatDedup,
+    IndexRowwiseMinMax,
+)
+from faiss_tpu.utils.datasets import SyntheticDataset
+from faiss_tpu.utils.evaluation import knn_intersection_measure
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticDataset(16, 1000, 2000, 20)
+
+
+def test_knn_ground_truth_streaming(ds):
+    xb, xq = ds.get_database(), ds.get_queries()
+
+    def blocks():
+        for i in range(0, len(xb), 300):
+            yield xb[i : i + 300]
+
+    D, I = knn_ground_truth(xq, blocks(), 5)
+    flat = ft.IndexFlatL2(16)
+    flat.add(xb)
+    Dref, Iref = flat.search(xq, 5)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-5)
+    assert knn_intersection_measure(I, Iref) > 0.99
+
+
+def test_dataset_assign_kmeans(ds):
+    da = DatasetAssign(ds.get_train())
+    centroids = kmeans(8, da, niter=10)
+    assert centroids.shape == (8, 16)
+    _, dis, _, counts = da.assign_to(centroids)
+    assert counts.sum() == da.count()
+
+
+def test_two_level_clustering(ds):
+    c = two_level_clustering(ds.get_train(), 4, 32, niter=5)
+    assert c.shape == (32, 16)
+
+
+def test_client_server(ds):
+    xb = ds.get_database()
+    servers = []
+    ports = []
+    for i in range(2):
+        idx = ft.IndexFlatL2(16)
+        idx.add(xb[i * 1000 : (i + 1) * 1000])
+        srv = SearchServer(idx).start()
+        servers.append(srv)
+        ports.append(("127.0.0.1", srv.port))
+    # server-local ids need shifting for a global id space: use IDMap servers
+    client = ClientIndex(ports)
+    assert client.ntotal == 2000
+    D, I = client.search(ds.get_queries(), 5)
+    assert D.shape == (20, 5)
+    # distances must match a full local search
+    flat = ft.IndexFlatL2(16)
+    flat.add(xb)
+    Dref, _ = flat.search(ds.get_queries(), 5)
+    np.testing.assert_allclose(np.sort(D, 1), np.sort(Dref, 1), rtol=1e-4)
+    client.close()
+    for s in servers:
+        s.stop()
+
+
+def test_big_batch_search(ds):
+    index = ft.IndexIVFFlat(None, 16, 8)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.nprobe = 4
+    Dref, Iref = index.search(ds.get_queries(), 5)
+    D, I = big_batch_search(index, ds.get_queries(), 5)
+    np.testing.assert_allclose(np.sort(D, 1), np.sort(Dref, 1), rtol=1e-4, atol=1e-4)
+
+
+def test_merge_ondisk(tmp_path, ds):
+    xb = ds.get_database()
+    trained = ft.IndexIVFFlat(None, 16, 8)
+    trained.train(ds.get_train())
+    fnames = []
+    for i in range(2):
+        shard = ft.clone_index(trained)
+        shard.add_with_ids(
+            xb[i * 1000 : (i + 1) * 1000],
+            np.arange(i * 1000, (i + 1) * 1000, dtype=np.int64),
+        )
+        fname = str(tmp_path / f"shard{i}.npz")
+        ft.write_index(shard, fname)
+        fnames.append(fname)
+    merge_ondisk(trained, fnames)
+    assert trained.ntotal == 2000
+    trained.nprobe = 8
+    D, I = trained.search(ds.get_queries(), 3)
+    assert (I >= 0).all()
+
+
+def test_torch_utils(ds):
+    torch = pytest.importorskip("torch")
+    xq = torch.from_numpy(ds.get_queries())
+    xb = torch.from_numpy(ds.get_database())
+    D, I = torch_knn(xq, xb, 3)
+    assert D.shape == (20, 3) and hasattr(D, "numpy")
+
+
+def test_inspect_tools(ds):
+    index = ft.IndexIVFFlat(None, 16, 8)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    sizes = get_invlist_sizes(index)
+    assert sizes.sum() == 2000
+    ids, codes = get_invlist(index, 0)
+    assert len(ids) == sizes[0]
+
+
+def test_index2layer(ds):
+    q = ft.IndexFlatL2(16)
+    index = Index2Layer(q, 8, 4)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    recon = index.reconstruct_n(0, 10)
+    err = ((recon - ds.get_database()[:10]) ** 2).sum() / (
+        ds.get_database()[:10] ** 2
+    ).sum()
+    assert err < 0.1
+
+
+def test_ivf_flat_dedup(ds):
+    xb = ds.get_database()[:500]
+    xb_dup = np.concatenate([xb, xb[:100]])
+    index = IndexIVFFlatDedup(None, 16, 4)
+    index.train(ds.get_train())
+    index.add(xb_dup)
+    assert index.ntotal == 500  # duplicates folded
+    assert len(index.instances) == 100
+
+
+def test_rowwise_minmax(ds):
+    inner = ft.IndexScalarQuantizer(16, ft.QuantizerType.QT_8bit)
+    index = IndexRowwiseMinMax(inner)
+    index.train(ds.get_train())
+    codes = index.sa_encode(ds.get_database()[:20])
+    recon = index.sa_decode(codes)
+    err = np.abs(recon - ds.get_database()[:20]).max()
+    assert err < 0.05
+
+
+def test_reverse_index_factory(ds):
+    for desc in ["Flat", "PQ4x8", "IVF16,Flat", "IVF16,PQ4x8", "SQ8",
+                 "PCA8,Flat", "IDMap,Flat"]:
+        index = ft.index_factory(16, desc)
+        rev = reverse_index_factory(index)
+        # round-trip must parse to the same class
+        again = ft.index_factory(16, rev)
+        assert type(again) is type(index), (desc, rev)
