@@ -162,3 +162,29 @@ from .ivflib import (  # noqa: F401
     shard_ivf_index_centroids,
     try_extract_index_ivf,
 )
+
+from .models.aq import (  # noqa: F401
+    IndexAdditiveQuantizer,
+    IndexIVFAdditiveQuantizer,
+    IndexIVFLocalSearchQuantizer,
+    IndexIVFResidualQuantizer,
+    IndexLocalSearchQuantizer,
+    IndexProductLocalSearchQuantizer,
+    IndexProductResidualQuantizer,
+    IndexResidualQuantizer,
+)
+from .codecs.aq import (  # noqa: F401
+    AdditiveQuantizer,
+    LocalSearchQuantizer,
+    ProductLocalSearchQuantizer,
+    ProductResidualQuantizer,
+    ResidualQuantizer,
+)
+from .models.extra_indexes import (  # noqa: F401
+    Index2Layer,
+    IndexIVFFlatDedup,
+    IndexRowwiseMinMax,
+    IndexRowwiseMinMaxFP16,
+)
+from .factory_tools import reverse_index_factory  # noqa: F401
+from .stats import MatrixStats  # noqa: F401

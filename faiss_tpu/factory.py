@@ -93,8 +93,21 @@ def _parse_coarse(tok: str, d: int, metric):
 
 def _parse_ivf_encoding(tok: str, quantizer, d: int, nlist: int, metric):
     """Encoding inside IVF (index_factory.cpp:367 parse_IndexIVF)."""
+    from .models.aq import (
+        IndexIVFLocalSearchQuantizer,
+        IndexIVFResidualQuantizer,
+    )
+
     if tok == "Flat":
         return IndexIVFFlat(quantizer, d, nlist, metric)
+    if m := re.fullmatch(r"RQ(\d+)x(\d+)", tok):
+        return IndexIVFResidualQuantizer(
+            quantizer, d, nlist, int(m.group(1)), int(m.group(2)), metric
+        )
+    if m := re.fullmatch(r"LSQ(\d+)x(\d+)", tok):
+        return IndexIVFLocalSearchQuantizer(
+            quantizer, d, nlist, int(m.group(1)), int(m.group(2)), metric
+        )
     if tok in _SQ_TYPES:
         return IndexIVFScalarQuantizer(quantizer, d, nlist, _SQ_TYPES[tok], metric)
     if m := re.fullmatch(r"PQ(\d+)x4fs(?:_(\d+))?", tok):
@@ -113,8 +126,27 @@ def _parse_ivf_encoding(tok: str, quantizer, d: int, nlist: int, metric):
 
 def _parse_flat_encoding(tok: str, d: int, metric):
     """Standalone encodings (index_factory.cpp parse_other_indexes)."""
+    from .models.aq import (
+        IndexLocalSearchQuantizer,
+        IndexProductLocalSearchQuantizer,
+        IndexProductResidualQuantizer,
+        IndexResidualQuantizer,
+    )
+
     if tok == "Flat":
         return IndexFlat(d, metric)
+    if m := re.fullmatch(r"RQ(\d+)x(\d+)", tok):
+        return IndexResidualQuantizer(d, int(m.group(1)), int(m.group(2)), metric)
+    if m := re.fullmatch(r"LSQ(\d+)x(\d+)", tok):
+        return IndexLocalSearchQuantizer(d, int(m.group(1)), int(m.group(2)), metric)
+    if m := re.fullmatch(r"PRQ(\d+)x(\d+)x(\d+)", tok):
+        return IndexProductResidualQuantizer(
+            d, int(m.group(1)), int(m.group(2)), int(m.group(3)), metric
+        )
+    if m := re.fullmatch(r"PLSQ(\d+)x(\d+)x(\d+)", tok):
+        return IndexProductLocalSearchQuantizer(
+            d, int(m.group(1)), int(m.group(2)), int(m.group(3)), metric
+        )
     if tok == "Flat1D":
         return IndexFlat1D()
     if tok in _SQ_TYPES:

@@ -1,0 +1,122 @@
+"""Additive-quantizer tests (mirrors reference tests/test_residual_quantizer.py
+patterns: reconstruction improves with M, beam > greedy, index recall)."""
+
+import numpy as np
+import pytest
+
+import faiss_tpu as ft
+from faiss_tpu.codecs.aq import LocalSearchQuantizer, ResidualQuantizer
+from faiss_tpu.models.aq import (
+    IndexIVFResidualQuantizer,
+    IndexLocalSearchQuantizer,
+    IndexProductResidualQuantizer,
+    IndexResidualQuantizer,
+)
+from faiss_tpu.utils.datasets import SyntheticDataset
+from faiss_tpu.utils.evaluation import recall_at_k
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticDataset(32, 1500, 3000, 50)
+
+
+def rel_err(x, recon):
+    return float(((x - recon) ** 2).sum() / (x**2).sum())
+
+
+def test_rq_reconstruction_improves_with_levels(ds):
+    x = ds.get_train()
+    errs = []
+    for M in [1, 2, 4]:
+        rq = ResidualQuantizer(32, M, 6)
+        rq.train(x)
+        codes = rq.compute_codes_int(ds.get_database()[:200])
+        errs.append(rel_err(ds.get_database()[:200], rq.decode_int(codes)))
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] < 0.08
+
+
+def test_rq_beam_beats_greedy(ds):
+    x = ds.get_train()
+    rq = ResidualQuantizer(32, 4, 5)
+    rq.train(x)
+    xb = ds.get_database()[:300]
+    rq.max_beam_size = 1
+    e1 = rel_err(xb, rq.decode_int(rq.compute_codes_int(xb)))
+    rq.max_beam_size = 8
+    e8 = rel_err(xb, rq.decode_int(rq.compute_codes_int(xb)))
+    assert e8 <= e1 + 1e-6
+
+
+def test_lsq_refines_rq(ds):
+    x = ds.get_train()
+    xb = ds.get_database()[:300]
+    rq = ResidualQuantizer(32, 3, 5)
+    rq.train(x)
+    e_rq = rel_err(xb, rq.decode_int(rq.compute_codes_int(xb)))
+    lsq = LocalSearchQuantizer(32, 3, 5)
+    lsq.train(x)
+    e_lsq = rel_err(xb, lsq.decode_int(lsq.compute_codes_int(xb)))
+    assert e_lsq <= e_rq * 1.1  # usually better; never much worse
+
+
+def test_aq_pack_roundtrip(ds):
+    rq = ResidualQuantizer(32, 4, 6)
+    rq.train(ds.get_train())
+    xb = ds.get_database()[:50]
+    packed = rq.compute_codes(xb)
+    assert packed.shape[1] == rq.code_size
+    recon = rq.decode(packed)
+    assert rel_err(xb, recon) < 0.1
+    # trailing norm matches reconstruction
+    norms = packed[:, -4:].copy().view(np.float32).ravel()
+    np.testing.assert_allclose(norms, (recon**2).sum(1), rtol=1e-4)
+
+
+def test_index_rq_search(ds):
+    index = IndexResidualQuantizer(32, 4, 8)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    gt = ds.get_groundtruth(10)
+    D, I = index.search(ds.get_queries(), 10)
+    assert recall_at_k(I, gt, 10) > 0.7
+    # distances match decode-based brute force
+    recon = index.reconstruct_n(0, index.ntotal)
+    xq = ds.get_queries()
+    dref = ((xq[:, None] - recon[None]) ** 2).sum(-1)
+    dsel = np.take_along_axis(dref, I.astype(np.int64), 1)
+    np.testing.assert_allclose(D, dsel, rtol=1e-2, atol=1e-2)
+
+
+def test_index_lsq_and_prq(ds):
+    for index in [
+        IndexLocalSearchQuantizer(32, 3, 6),
+        IndexProductResidualQuantizer(32, 2, 2, 6),
+    ]:
+        index.train(ds.get_train())
+        index.add(ds.get_database())
+        gt = ds.get_groundtruth(10)
+        _, I = index.search(ds.get_queries(), 10)
+        assert recall_at_k(I, gt, 10) > 0.5, type(index).__name__
+
+
+def test_ivf_rq(ds):
+    index = IndexIVFResidualQuantizer(None, 32, 16, 4, 8)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.nprobe = 16
+    gt = ds.get_groundtruth(10)
+    _, I = index.search(ds.get_queries(), 10)
+    assert recall_at_k(I, gt, 10) > 0.8
+
+
+def test_factory_aq():
+    for desc, cls in [
+        ("RQ4x8", IndexResidualQuantizer),
+        ("LSQ3x6", IndexLocalSearchQuantizer),
+        ("IVF16,RQ4x8", IndexIVFResidualQuantizer),
+        ("PRQ2x2x6", IndexProductResidualQuantizer),
+    ]:
+        index = ft.index_factory(32, desc)
+        assert isinstance(index, cls), desc
