@@ -168,12 +168,15 @@ class Clustering:
         best_centroids = None
         best_stats: List[ClusteringIterationStats] = []
 
+        from .callbacks import InterruptCallback
+
         for redo in range(self.cp.nredo):
             centroids = self._init_centroids(x, rs)
             centroids = self._postprocess(centroids)
             stats: List[ClusteringIterationStats] = []
             obj = np.inf
             for it in range(self.cp.niter):
+                InterruptCallback.check()
                 t0 = time.time()
                 sums, counts, obj_dev, _ = kmeans_assign_update(
                     xd, jnp.asarray(centroids), wd

@@ -214,3 +214,59 @@ class IndexRowwiseMinMaxFP16(IndexRowwiseMinMax):
         head = codes[:, :4].copy().view(np.float16).astype(np.float32)
         sub = self.index.sa_decode(codes[:, 4:])
         return sub * head[:, 0:1] + head[:, 1:2]
+
+
+class IndexIVFIndependentQuantizer(Index):
+    """IVF whose coarse quantizer sees UN-transformed vectors while the
+    codes are computed on transformed ones
+    (reference: IndexIVFIndependentQuantizer.h:24)."""
+
+    def __init__(self, quantizer: Index, index_ivf: IndexIVF, vt=None):
+        super().__init__(quantizer.d, index_ivf.metric_type)
+        self.quantizer = quantizer
+        self.index_ivf = index_ivf
+        self.vt = vt
+        self.is_trained = False
+
+    def train(self, x) -> None:
+        x = self._check_input(x)
+        if not self.quantizer.is_trained or self.quantizer.ntotal == 0:
+            from ..clustering import Clustering
+
+            clus = Clustering(self.d, self.index_ivf.nlist)
+            clus.train(x)
+            self.quantizer.reset()
+            self.quantizer.add(clus.centroids)
+        xt = self.vt.apply(x) if self.vt is not None else x
+        if self.vt is not None and not self.vt.is_trained:
+            self.vt.train(x)
+            xt = self.vt.apply(x)
+        _, assign = self.quantizer.search(x, 1)
+        self.index_ivf.quantizer.reset()
+        # coarse centroids live in untransformed space; the IVF's own
+        # quantizer holds transformed centroids for residual encoding
+        cent = self.quantizer.vectors()
+        self.index_ivf.quantizer.add(
+            self.vt.apply(cent) if self.vt is not None else cent
+        )
+        self.index_ivf.train_encoder(xt, assign.ravel())
+        self.index_ivf.is_trained = True
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        x = self._check_input(x)
+        _, assign = self.quantizer.search(x, 1)
+        xt = self.vt.apply(x) if self.vt is not None else x
+        self.index_ivf.add_core(xt, None, assign.ravel())
+        self.ntotal = self.index_ivf.ntotal
+
+    def search(self, x, k: int, *, params=None):
+        x = self._check_input(x)
+        nprobe = self.index_ivf.nprobe
+        cd, probes = self.quantizer.search(x, nprobe)
+        xt = self.vt.apply(x) if self.vt is not None else x
+        return self.index_ivf.search_preassigned(xt, k, probes, cd, params=params)
+
+    def reset(self) -> None:
+        self.index_ivf.reset()
+        self.ntotal = 0
