@@ -188,3 +188,13 @@ from .models.extra_indexes import (  # noqa: F401
 )
 from .factory_tools import reverse_index_factory  # noqa: F401
 from .stats import MatrixStats  # noqa: F401
+
+from .models.rabitq import IndexIVFRaBitQ, IndexRaBitQ  # noqa: F401
+from .codecs.rabitq import RaBitQuantizer  # noqa: F401
+from .callbacks import (  # noqa: F401
+    InterruptCallback,
+    InterruptedException,
+    PythonInterruptCallback,
+    TimeoutCallback,
+)
+from .models.extra_indexes import IndexIVFIndependentQuantizer  # noqa: F401
