@@ -198,3 +198,5 @@ from .callbacks import (  # noqa: F401
     TimeoutCallback,
 )
 from .models.extra_indexes import IndexIVFIndependentQuantizer  # noqa: F401
+
+from .models.nsg import IndexNNDescentFlat, IndexNSGFlat  # noqa: F401

@@ -162,7 +162,13 @@ def _parse_flat_encoding(tok: str, d: int, metric):
 
         return IndexHNSWFlat(d, int(m.group(1)) if m.group(1) else 32, metric)
     if m := re.fullmatch(r"NSG(\d+)?", tok):
-        raise NotImplementedError("NSG graph index is not implemented yet")
+        from .models.nsg import IndexNSGFlat
+
+        return IndexNSGFlat(d, int(m.group(1)) if m.group(1) else 32, metric)
+    if m := re.fullmatch(r"NNDescent(\d+)?", tok):
+        from .models.nsg import IndexNNDescentFlat
+
+        return IndexNNDescentFlat(d, int(m.group(1)) if m.group(1) else 32, metric)
     if m := re.fullmatch(r"LSH(r?)(t?)", tok):
         from .models.lsh import IndexLSH
 
