@@ -200,3 +200,5 @@ from .callbacks import (  # noqa: F401
 from .models.extra_indexes import IndexIVFIndependentQuantizer  # noqa: F401
 
 from .models.nsg import IndexNNDescentFlat, IndexNSGFlat  # noqa: F401
+
+from .codecs.polysemous import PolysemousTraining  # noqa: F401

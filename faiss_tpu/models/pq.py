@@ -24,12 +24,18 @@ from ..ops import pq_ops
 class IndexPQ(Index):
     """reference: faiss/IndexPQ.h:24."""
 
+    # search_type values (IndexPQ.h:56)
+    ST_PQ = 0
+    ST_polysemous = 2
+
     def __init__(self, d: int, M: int, nbits: int = 8, metric=MetricType.L2):
         super().__init__(d, metric)
         self.pq = ProductQuantizer(d, M, nbits)
         self.is_trained = False
-        self.do_polysemous_training = False  # accepted for API parity
-        self.search_type = 0  # ST_PQ
+        self.do_polysemous_training = False
+        self.polysemous_training = None  # PolysemousTraining instance
+        self.polysemous_ht = 0  # Hamming threshold (0 = M*nbits/2 default)
+        self.search_type = self.ST_PQ
         self._codes_host: Optional[np.ndarray] = None  # [n, M] unpacked
         self._dev_codes = None
 
@@ -37,6 +43,11 @@ class IndexPQ(Index):
         x = self._check_input(x)
         self.pq.verbose = self.verbose
         self.pq.train(x)
+        if self.do_polysemous_training:
+            from ..codecs.polysemous import PolysemousTraining
+
+            pt = self.polysemous_training or PolysemousTraining()
+            pt.optimize_pq_for_hamming(self.pq)
         self.is_trained = True
 
     def add(self, x) -> None:
@@ -84,7 +95,14 @@ class IndexPQ(Index):
                 luts = pq_ops.pq_distance_tables(jnp.asarray(xq), dev_cb)
             else:
                 luts = pq_ops.pq_ip_tables(jnp.asarray(xq), dev_cb)
-            d, i = pq_ops.pq_adc_knn(luts, codes, k, largest=largest)
+            if self.search_type == self.ST_polysemous:
+                ht = self.polysemous_ht or (self.pq.M * self.pq.nbits // 2)
+                qcodes = self.pq.compute_codes_int(xq).astype(np.int32)
+                d, i = pq_ops.pq_polysemous_knn(
+                    luts, jnp.asarray(qcodes), codes, k, ht
+                )
+            else:
+                d, i = pq_ops.pq_adc_knn(luts, codes, k, largest=largest)
             d, i = np.asarray(d)[:real], np.asarray(i)[:real].astype(np.int64)
             if sel_mask is not None:
                 ok = (i >= 0) & sel_mask[np.maximum(i, 0)]

@@ -199,3 +199,49 @@ def pq_adc_knn(
         )
         ids = jnp.concatenate([ids, jnp.full((nq, k - kk), -1, jnp.int32)], axis=-1)
     return vals, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "ht", "db_chunk"))
+def pq_polysemous_knn(
+    luts: jax.Array,  # [nq, M, ksub] f32 ADC tables
+    qcodes: jax.Array,  # [nq, M] int32 query PQ codes
+    codes: jax.Array,  # [nb, M] int32 db PQ codes
+    k: int,
+    ht: int,
+    db_chunk: int = 1 << 16,
+):
+    """Polysemous-filtered ADC search (reference: IndexPQ ST_polysemous,
+    IndexPQ.cpp search_core_polysemous): candidates whose code Hamming
+    distance to the query code is >= ht are excluded; survivors are ranked
+    by ADC. On TPU the "filter" is a mask — both terms are vectorized, the
+    Hamming pass costing one XOR+popcount per (query, code)."""
+    nq, M, ksub = luts.shape
+    nb = codes.shape[0]
+    nchunks = max(1, -(-nb // db_chunk))
+    pad = nchunks * db_chunk - nb
+    cp = jnp.pad(codes, ((0, pad), (0, 0))) if pad else codes
+    cp = cp.reshape(nchunks, db_chunk, M)
+
+    def body(carry, inputs):
+        vals, ids = carry
+        ci, cc = inputs
+        # hamming over concatenated per-subquantizer code bits
+        x = qcodes[:, None, :] ^ cc[None, :, :]  # [nq, chunk, M]
+        hamm = jnp.sum(jax.lax.population_count(x), axis=-1)
+        scores = adc_scores_gather(luts, cc)  # [nq, chunk]
+        scores = jnp.where(hamm < ht, scores, jnp.inf)
+        col = jnp.arange(db_chunk, dtype=jnp.int32) + ci * db_chunk
+        scores = jnp.where(col[None, :] < nb, scores, jnp.inf)
+        kk = min(k, db_chunk)
+        cv, cpos = jax.lax.approx_min_k(scores, kk)
+        cids = jnp.where(jnp.isinf(cv), -1, col[cpos])
+        vals, ids = merge_topk(vals, ids, cv, cids, min(k, nb), largest=False)
+        return (vals, ids), None
+
+    kk = min(k, nb)
+    init = (
+        jnp.full((nq, kk), jnp.inf, jnp.float32),
+        jnp.full((nq, kk), -1, jnp.int32),
+    )
+    (vals, ids), _ = jax.lax.scan(body, init, (jnp.arange(nchunks), cp))
+    return vals, ids

@@ -189,3 +189,35 @@ def test_ivfpqr(ds):
     _, Ir = pqr.search(ds.get_queries(), 10)
     # refinement must improve recall
     assert recall_at_k(Ir, gt, 10) >= recall_at_k(Ib, gt, 10)
+
+
+def test_polysemous(ds):
+    """Polysemous filter: large ht == plain ADC; small ht prunes but keeps
+    decent recall after reordering (reference tests/test_polysemous pattern)."""
+    index = IndexPQ(32, 8, 8)
+    index.do_polysemous_training = True
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+
+    plain = IndexPQ(32, 8, 8)
+    plain.pq = index.pq
+    plain.is_trained = True
+    plain.add(ds.get_database())
+    Dref, Iref = plain.search(ds.get_queries(), 10)
+
+    index.search_type = IndexPQ.ST_polysemous
+    index.polysemous_ht = 64  # full code length: no filtering
+    D, I = index.search(ds.get_queries(), 10)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+
+    gt = ds.get_groundtruth(10)
+    r_full = recall_at_k(Iref, gt, 10)
+    index.polysemous_ht = 30
+    _, I30 = index.search(ds.get_queries(), 10)
+    r_30 = recall_at_k(I30, gt, 10)
+    assert r_30 > 0.25  # pruned but useful (reordering keeps near codes close)
+    # very aggressive threshold must actually prune (fewer/nulled results)
+    index.polysemous_ht = 5
+    D5, I5 = index.search(ds.get_queries(), 10)
+    assert (I5 == -1).sum() > (I30 == -1).sum()
+    del r_full
