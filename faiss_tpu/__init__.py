@@ -202,3 +202,6 @@ from .models.extra_indexes import IndexIVFIndependentQuantizer  # noqa: F401
 from .models.nsg import IndexNNDescentFlat, IndexNSGFlat  # noqa: F401
 
 from .codecs.polysemous import PolysemousTraining  # noqa: F401
+
+from .models.binary import IndexBinaryHNSW  # noqa: F401
+from .models.extra_indexes import IndexIVFSpectralHash  # noqa: F401

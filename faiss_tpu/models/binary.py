@@ -324,3 +324,43 @@ class IndexBinaryMultiHash(IndexBinaryHash):
             D[q, : len(order)] = d[order]
             I[q, : len(order)] = self._ids[cand[order]]
         return D, I
+
+
+class IndexBinaryHNSW(IndexBinary):
+    """HNSW graph over binary codes (reference: IndexBinaryHNSW.h:21).
+
+    The native HNSW graph operates on float vectors; binary codes embed as
+    0/1 floats where squared L2 == Hamming distance, so graph semantics
+    match the reference exactly (distances returned as int32 Hamming).
+    """
+
+    def __init__(self, d: int, M: int = 16):
+        super().__init__(d)
+        from .hnsw import IndexHNSWFlat
+
+        self._impl = IndexHNSWFlat(d, M)
+        self.hnsw = self._impl.hnsw
+        self._codes = np.empty((0, self.code_size), np.uint8)
+
+    def _to_float(self, x):
+        return np.unpackbits(self._check(x), axis=1, bitorder="little").astype(
+            np.float32
+        )
+
+    def add(self, x) -> None:
+        x = self._check(x)
+        self._impl.add(self._to_float(x))
+        self._codes = np.concatenate([self._codes, x])
+        self.ntotal = self._impl.ntotal
+
+    def search(self, x, k: int):
+        D, I = self._impl.search(self._to_float(x), k)
+        return np.round(D).astype(np.int32), I
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self._codes[key].copy()
+
+    def reset(self) -> None:
+        self._impl.reset()
+        self._codes = self._codes[:0]
+        self.ntotal = 0

@@ -270,3 +270,75 @@ class IndexIVFIndependentQuantizer(Index):
     def reset(self) -> None:
         self.index_ivf.reset()
         self.ntotal = 0
+
+
+class IndexIVFSpectralHash(IndexIVF):
+    """IVF of binarized spectral-hash codes
+    (reference: IndexIVFSpectralHash.{h,cpp}).
+
+    Residuals pass through a global linear transform (random rotation by
+    default, like threshold mode Thresh_global), are thresholded into nbit
+    binary codes, and lists are scanned by Hamming distance.
+    """
+
+    def __init__(self, quantizer, d, nlist, nbit: int, period: float = 1.0):
+        from ..metric import MetricType
+
+        super().__init__(quantizer, d, nlist, MetricType.L2)
+        self.nbit = int(nbit)
+        self.period = period
+        self.threshold_type = 0  # Thresh_global
+        from ..transforms import RandomRotationMatrix
+
+        self.vt = RandomRotationMatrix(d, nbit)
+        self.vt.init()
+        self.trained_thresholds = np.zeros(nbit, np.float32)
+        self.code_size = (nbit + 7) // 8
+
+    def train_encoder(self, x, assign) -> None:
+        res = x - self.quantizer.vectors()[assign]
+        proj = self.vt.apply(res)
+        self.trained_thresholds = np.median(proj, axis=0).astype(np.float32)
+
+    def encode_vectors(self, x, listnos) -> np.ndarray:
+        res = x - self.quantizer.vectors()[listnos]
+        proj = self.vt.apply(res)
+        bits = proj > self.trained_thresholds
+        return np.packbits(bits, axis=1, bitorder="little")
+
+    def decode_vectors(self, codes, listnos):
+        raise NotImplementedError("spectral hash codes are not invertible")
+
+    def reconstruct(self, key):
+        raise NotImplementedError("spectral hash codes are not invertible")
+
+    def search(self, x, k: int, *, params=None):
+        """Hamming scan of probed lists (host popcount; lists are short)."""
+        x = self._check_input(x)
+        nprobe = self.nprobe
+        if params is not None and getattr(params, "nprobe", 0):
+            nprobe = params.nprobe
+        nprobe = min(max(1, nprobe), self.nlist)
+        _, probes = self.quantizer.search(x, nprobe)
+        nq = len(x)
+        D = np.full((nq, k), np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        if self.ntotal == 0:
+            return D, I
+        centroids = self.quantizer.vectors()
+        bbits = np.unpackbits(self._codes_host, axis=1, bitorder="little")[
+            :, : self.nbit
+        ]
+        for q in range(nq):
+            cand = np.nonzero(np.isin(self._listnos_host, probes[q]))[0]
+            if len(cand) == 0:
+                continue
+            # per-probe query code against each candidate's own list centroid
+            res = x[q][None] - centroids[self._listnos_host[cand]]
+            proj = self.vt.apply(res)
+            qbits = proj > self.trained_thresholds
+            d = (qbits != bbits[cand]).sum(1).astype(np.float32)
+            order = np.argsort(d, kind="stable")[:k]
+            D[q, : len(order)] = d[order]
+            I[q, : len(order)] = self._ids_host[cand[order]]
+        return D, I
