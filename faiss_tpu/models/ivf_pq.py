@@ -46,6 +46,11 @@ class IndexIVFPQ(IndexIVF):
         # 0 = auto (enable when it fits), 1 = yes, -1 = disable
         self.use_precomputed_table = 0
         self._term2 = None  # [nlist, M, ksub] device
+        # big-batch implem (IndexIVFFastScan.h:252 dispatch analogue):
+        # queries >= this threshold score ALL codes by one-hot GEMM instead
+        # of per-query list gathers. 0 disables.
+        self.big_batch_threshold = 2048
+        self._brute = None  # flat device arrays for the big-batch implem
         self.is_trained = False
 
     # -- training ---------------------------------------------------------
@@ -117,6 +122,82 @@ class IndexIVFPQ(IndexIVF):
             "lengths": jnp.asarray(lengths),
             "code_norms": None,
         }
+
+    # -- big-batch exhaustive-ADC implem ------------------------------------------
+    def _build_brute(self):
+        if self._brute is not None:
+            return self._brute
+        pq = self.pq
+        centroids = self._centroids_host()
+        codes = self._codes_host.astype(np.uint8)
+        listnos = self._listnos_host
+        # ||y||^2 = ||c_l||^2 + sum_m term2[l, m, code_m]
+        cb = pq.centroids
+        y_norms = np.sum(cb**2, axis=-1)  # [M, ksub]
+        cmk = centroids.reshape(self.nlist, pq.M, pq.dsub)
+        cdoty = 2.0 * np.einsum("cmd,mkd->cmk", cmk, cb)
+        term2 = (y_norms[None] + cdoty).astype(np.float32)
+        t2sum = np.take_along_axis(
+            term2[listnos], codes.astype(np.int64)[:, :, None], axis=2
+        )[:, :, 0].sum(1)
+        n2 = ((centroids**2).sum(1)[listnos] + t2sum).astype(np.float32)
+        self._brute = {
+            "codes": jnp.asarray(codes),
+            "listnos": jnp.asarray(listnos.astype(np.int32)),
+            "n2": jnp.asarray(n2),
+            "centroids": jnp.asarray(centroids),
+        }
+        return self._brute
+
+    def _search_big_batch(self, x, k):
+        """Exhaustive ADC over all codes (see ops/pq_ops.ivfpq_brute_adc_knn)."""
+        from ..base import query_buckets
+
+        nq = len(x)
+        br = self._build_brute()
+        cb = self.pq._dev()
+        D = np.full((nq, k), np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        for start, padded, real in query_buckets(nq):
+            xq = x[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            xq_dev = jnp.asarray(xq)
+            luts = -2.0 * pq_ops.pq_ip_tables(xq_dev, cb)
+            coarse_ip = xq_dev @ br["centroids"].T
+            qn2 = jnp.sum(jnp.square(xq_dev), axis=1)
+            d, i = pq_ops.ivfpq_brute_adc_knn(
+                luts, coarse_ip, qn2, br["codes"], br["listnos"], br["n2"], k
+            )
+            slots = np.asarray(i)[:real]
+            D[start : start + real] = np.asarray(d)[:real]
+            I[start : start + real] = np.where(
+                slots >= 0, self._ids_host[np.maximum(slots, 0)], -1
+            )
+        return D, I
+
+    def search(self, x, k: int, *, params=None):
+        x = self._check_input(x)
+        use_big = (
+            self.big_batch_threshold
+            and len(x) >= self.big_batch_threshold
+            and self.by_residual
+            and self.metric_type == MetricType.L2
+            and (params is None or params.sel is None)
+            and self.ntotal > 0
+        )
+        if use_big:
+            self._check_trained()
+            return self._search_big_batch(x, k)
+        return super().search(x, k, params=params)
+
+    def add_core(self, x, ids, listnos) -> None:
+        super().add_core(x, ids, listnos)
+        self._brute = None
+
+    def reset(self) -> None:
+        super().reset()
+        self._brute = None
 
     # -- scan --------------------------------------------------------------------
     def _scan(self, xq_dev, probes, coarse_dis, k, dev, sel_mask):

@@ -245,3 +245,72 @@ def pq_polysemous_knn(
     )
     (vals, ids), _ = jax.lax.scan(body, init, (jnp.arange(nchunks), cp))
     return vals, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact", "db_chunk"))
+def ivfpq_brute_adc_knn(
+    luts: jax.Array,  # [nq, M, ksub] f32: -2 q . y_mk  (term3)
+    coarse_ip: jax.Array,  # [nq, nlist] f32: q . c_l
+    qn2: jax.Array,  # [nq] f32: ||q||^2
+    codes: jax.Array,  # [nb, M] uint8/int32 PQ codes (slot order)
+    listnos: jax.Array,  # [nb] int32 coarse assignment per slot
+    n2: jax.Array,  # [nb] f32: ||c_l + pq(code)||^2 per slot
+    k: int,
+    exact: bool = False,
+    db_chunk: int = 1 << 15,
+):
+    """Exhaustive IVFPQ ADC over all codes — the big-batch implem.
+
+    The reference's IndexIVFFastScan dispatches to batch implems by nq
+    (search_dispatch_implem, IndexIVFFastScan.h:252; implem_12 reorders
+    computation list-major). On TPU the big-batch optimum goes further:
+    score EVERY code with one one-hot GEMM per chunk (MXU) using
+
+        d(q, y) = ||q||^2 + ||y||^2 - 2 (q.c_l + q.pq(code))
+
+    where q.c_l is a row gather from one [nq, nlist] GEMM and q.pq(code)
+    comes from the LUT contraction. Reads each code exactly once (the
+    per-query gather path reads each probed list once PER QUERY).
+    """
+    nq, M, ksub = luts.shape
+    nb = codes.shape[0]
+    nchunks = max(1, -(-nb // db_chunk))
+    pad = nchunks * db_chunk - nb
+    cp = (jnp.pad(codes, ((0, pad), (0, 0))) if pad else codes).reshape(
+        nchunks, db_chunk, M
+    )
+    lp = (jnp.pad(listnos, (0, pad)) if pad else listnos).reshape(
+        nchunks, db_chunk
+    )
+    np2 = (jnp.pad(n2, (0, pad)) if pad else n2).reshape(nchunks, db_chunk)
+    flat_luts = luts.reshape(nq, M * ksub).astype(jnp.bfloat16)
+
+    def body(carry, inputs):
+        vals, ids = carry
+        ci, cc, ln, nn = inputs
+        oh = codes_onehot(cc, ksub)  # [chunk, M*ksub] bf16
+        ip_pq = jax.lax.dot_general(
+            flat_luts, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [nq, chunk] = -2 q.pq(code)
+        cip = jnp.take(coarse_ip, ln, axis=1)  # [nq, chunk]
+        dist = qn2[:, None] + nn[None, :] - 2.0 * cip + ip_pq
+        col = jnp.arange(db_chunk, dtype=jnp.int32) + ci * db_chunk
+        dist = jnp.where(col[None, :] < nb, dist, jnp.inf)
+        kk = min(k, db_chunk)
+        cv, cpos = jax.lax.approx_min_k(
+            dist, kk, recall_target=1.0 if exact else 0.97
+        )
+        cids = jnp.where(col[cpos] < nb, col[cpos], -1)
+        vals, ids = merge_topk(vals, ids, cv, cids, min(k, nb), largest=False)
+        return (vals, ids), None
+
+    kk = min(k, nb)
+    init = (
+        jnp.full((nq, kk), jnp.inf, jnp.float32),
+        jnp.full((nq, kk), -1, jnp.int32),
+    )
+    (vals, ids), _ = jax.lax.scan(
+        body, init, (jnp.arange(nchunks), cp, lp, np2)
+    )
+    return vals, ids
