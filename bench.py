@@ -94,39 +94,27 @@ def main():
     t_add = time.time() - t0
     log(f"add+stage: {t_add:.1f}s")
 
-    # one-compile nprobe sweep: compute probes once at nprobe_max, mask tails
-    nprobe_max = 256
-    log(f"sweeping nprobe via masked probes (single compile, max {nprobe_max})")
-    cd, probes = index.quantizer.search(xq, nprobe_max)
-    best = None
-    for nprobe in [8, 16, 32, 64, 128, 256]:
-        pm = probes.copy()
-        pm[:, nprobe:] = -1
-        t0 = time.time()
-        _, I = index.search_preassigned(xq, 10, pm, cd)
-        r = recall_at_k(I, gt, 10)
-        log(f"nprobe={nprobe}: recall@10={r:.4f} ({time.time()-t0:.1f}s)")
-        if r >= 0.95:
-            best = nprobe
-            break
-    if best is None:
-        best = nprobe_max
-        log("WARNING: recall@10=0.95 not reached; timing nprobe=256")
+    # big-batch implem: exhaustive ADC over all codes via one-hot GEMM
+    # (the nq>=threshold dispatch, models/ivf_pq.py _search_big_batch —
+    # the TPU analogue of IndexIVFFastScan's batch implems)
+    log("big-batch exhaustive-ADC search (compile + warmup)")
+    t0 = time.time()
+    _, I = index.search(xq, 10)
+    log(f"first search (incl compile): {time.time()-t0:.1f}s")
+    r = recall_at_k(I, gt, 10)
+    log(f"recall@10 = {r:.4f}")
+    best = "exhaustive-adc"
+    if r < 0.95:
+        log("WARNING: recall@10 < 0.95 at full ADC precision (PQ32x4 limit)")
 
-    log(f"timing operating point nprobe={best}")
-    index.nprobe = best
-    _, I = index.search(xq, 10)  # compile the exact shape
-    nrep = 3
+    nrep = 5
     t0 = time.time()
     for _ in range(nrep):
         _, I = index.search(xq, 10)
     dt = (time.time() - t0) / nrep
     qps = nq / dt
     r = recall_at_k(I, gt, 10)
-    log(
-        f"operating point nprobe={best}: recall@10={r:.4f}, "
-        f"{dt*1000:.1f} ms / {nq} q -> {qps:.0f} QPS"
-    )
+    log(f"steady state: recall@10={r:.4f}, {dt*1000:.1f} ms / {nq} q -> {qps:.0f} QPS")
 
     baseline_qps = 74627.0  # Titan X IVF4096,PQ64 nprobe=32 (BASELINE.md #10)
     print(
@@ -137,7 +125,7 @@ def main():
                 "unit": "qps",
                 "vs_baseline": round(qps / baseline_qps, 3),
                 "recall_at_10": round(float(r), 4),
-                "nprobe": best,
+                "implem": best,
                 "train_s": round(t_train, 1),
                 "add_s": round(t_add, 1),
             }
