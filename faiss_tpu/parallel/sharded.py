@@ -287,3 +287,103 @@ def sharded_kmeans_iter(mesh, x, centroids):
         out_specs=(P(), P(), P()),
         check_vma=False,
     )(x, centroids)
+
+
+class ShardedIVFPQ:
+    """IVF-PQ with invlists sharded across chips (the Deep100M-on-v5e-8
+    north-star config): coarse centroids + query LUTs replicated, padded
+    code arrays and term-2 tables sharded by list range, per-chip ADC scan,
+    allgather + k-select merge.
+    """
+
+    def __init__(self, index, mesh: Mesh):
+        from ..models.ivf_pq import IndexIVFPQ
+
+        if not isinstance(index, IndexIVFPQ):
+            raise TypeError("ShardedIVFPQ wraps a trained IndexIVFPQ")
+        if index.metric_type != MetricType.L2 or not index.by_residual:
+            raise NotImplementedError("sharded IVFPQ: L2 by-residual only")
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.index = index
+        self.nprobe = index.nprobe
+        n_shards = mesh.devices.size
+        if index.nlist % n_shards:
+            raise ValueError("nlist must be divisible by the shard count")
+        self.lists_per_shard = index.nlist // n_shards
+
+        dev = index._build_device()
+        term2 = index._maybe_term2()
+        rows3 = jax.sharding.NamedSharding(mesh, P(self.axis, None, None))
+        rows2 = jax.sharding.NamedSharding(mesh, P(self.axis, None))
+        rows1 = jax.sharding.NamedSharding(mesh, P(self.axis))
+        repl = jax.sharding.NamedSharding(mesh, P())
+        self.codes = jax.device_put(np.asarray(dev["codes"]), rows3)
+        self.slot_ids = jax.device_put(np.asarray(dev["slot_ids"]), rows2)
+        self.lengths = jax.device_put(np.asarray(dev["lengths"]), rows1)
+        self.term2 = jax.device_put(np.asarray(term2), rows3)
+        self.centroids = jax.device_put(index.quantizer.vectors(), repl)
+        self.pq_codebooks = jax.device_put(index.pq.centroids, repl)
+        self._ids_host = index._ids_host
+
+    def search(self, x, k: int, nprobe: Optional[int] = None):
+        x = np.ascontiguousarray(x, np.float32)
+        nprobe = int(nprobe or self.nprobe)
+        D, slots = _sharded_ivfpq_search(
+            self.mesh,
+            jnp.asarray(x),
+            self.centroids,
+            self.pq_codebooks,
+            self.codes,
+            self.slot_ids,
+            self.lengths,
+            self.term2,
+            k,
+            nprobe,
+            self.lists_per_shard,
+        )
+        D = np.asarray(D)
+        slots = np.asarray(slots)
+        I = np.where(slots >= 0, self._ids_host[np.maximum(slots, 0)], -1)
+        return D, I
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "nprobe", "lists_per_shard"),
+)
+def _sharded_ivfpq_search(
+    mesh, xq, centroids, pq_cb, codes, slot_ids, lengths, term2, k, nprobe,
+    lists_per_shard,
+):
+    from ..ops import pq_ops
+
+    axis = mesh.axis_names[0]
+
+    def local(xq, centroids, pq_cb, codes, slot_ids, lengths, term2):
+        coarse_dis, probes = dops.knn(xq, centroids, nprobe)
+        probes = probes.astype(jnp.int32)
+        shard = jax.lax.axis_index(axis).astype(jnp.int32)
+        lo = shard * lists_per_shard
+        local_probe = probes - lo
+        owned = jnp.logical_and(local_probe >= 0, local_probe < lists_per_shard)
+        local_probe = jnp.where(owned, local_probe, -1)
+        luts = -2.0 * pq_ops.pq_ip_tables(xq, pq_cb)
+        d, slots = ivf_ops.ivf_pq_scan(
+            luts, local_probe, coarse_dis, codes, slot_ids, lengths, k,
+            largest=False, term2=term2,
+        )
+        dd = jnp.moveaxis(jax.lax.all_gather(d, axis), 0, 1)
+        ss = jnp.moveaxis(jax.lax.all_gather(slots, axis), 0, 1)
+        return merge_topk_many(dd, ss, k, largest=False)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),
+            P(axis, None, None), P(axis, None), P(axis), P(axis, None, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(xq, centroids, pq_cb, codes, slot_ids, lengths, term2)

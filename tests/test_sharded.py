@@ -73,3 +73,23 @@ def test_sharded_ivf_full_probe_exact(ds):
     flat.add(xb)
     Dref, Iref = flat.search(xq, 10)
     np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_ivfpq_matches_single(ds):
+    from faiss_tpu.parallel.sharded import ShardedIVFPQ
+
+    xb, xq = ds.get_database(), ds.get_queries()
+    index = ft.IndexIVFPQ(None, 32, 16, 4, 8)
+    index.big_batch_threshold = 0  # force the per-probe scan path
+    index.train(ds.get_train())
+    index.add(xb)
+    index.nprobe = 8
+    Dref, Iref = index.search(xq, 10)
+
+    mesh = make_mesh(8)
+    s = ShardedIVFPQ(index, mesh)
+    D, I = s.search(xq, 10, nprobe=8)
+    # distances must match; ids may differ on tied (duplicate PQ code)
+    # candidates, so the id check is intersection-based
+    np.testing.assert_allclose(D, Dref, rtol=1e-3, atol=1e-3)
+    assert knn_intersection_measure(I, Iref) > 0.9
