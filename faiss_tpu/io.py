@@ -212,6 +212,48 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
         arrays[f"{path}/ids"] = index._ids
         return meta
 
+    from .models.aq import IndexAdditiveQuantizer, IndexIVFAdditiveQuantizer
+    from .models.nsg import IndexNSGFlat
+    from .models.rabitq import IndexIVFRaBitQ, IndexRaBitQ
+
+    if isinstance(index, IndexAdditiveQuantizer):
+        meta.update(
+            d=index.d, metric=int(index.metric_type),
+            M=index.aq.M, nbits=index.aq.nbits,
+            aq_class=type(index.aq).__name__,
+            is_trained=index.is_trained,
+        )
+        if index.aq.codebooks is not None:
+            arrays[f"{path}/codebooks"] = index.aq.codebooks
+        if index._codes_int is not None:
+            arrays[f"{path}/codes"] = index._codes_int
+            arrays[f"{path}/norms"] = index._norms
+        return meta
+
+    if isinstance(index, IndexRaBitQ):
+        meta.update(d=index.d, is_trained=index.is_trained)
+        arrays[f"{path}/P"] = index.rabitq.P
+        if index.rabitq.center is not None:
+            arrays[f"{path}/center"] = index.rabitq.center
+        if index._bits is not None:
+            arrays[f"{path}/bits"] = index._bits
+            arrays[f"{path}/factors"] = index._factors
+        return meta
+
+    if isinstance(index, IndexNSGFlat):
+        meta.update(d=index.d, R=index.R, GK=index.GK)
+        state = index.graph_state()
+        meta["has_graph"] = state is not None
+        if state is not None:
+            arrays[f"{path}/graph"] = state["graph"]
+            arrays[f"{path}/xb"] = index._xb
+            meta["nsg"] = {
+                "enterpoint": state["enterpoint"],
+                "R": state["R"],
+                "search_L": state["search_L"],
+            }
+        return meta
+
     raise TypeError(f"don't know how to serialize {type(index).__name__}")
 
 
@@ -434,6 +476,61 @@ def _load(meta, arrays, path: str):
         index._listnos = arrays[f"{path}/listnos"]
         index._ids = arrays[f"{path}/ids"]
         index.ntotal = len(index._ids)
+        return index
+
+    if cls in (
+        "IndexAdditiveQuantizer",
+        "IndexResidualQuantizer",
+        "IndexLocalSearchQuantizer",
+        "IndexProductResidualQuantizer",
+        "IndexProductLocalSearchQuantizer",
+    ):
+        from .models import aq as aqm
+
+        metric = MetricType(meta["metric"])
+        if cls == "IndexResidualQuantizer":
+            index = aqm.IndexResidualQuantizer(
+                meta["d"], meta["M"], meta["nbits"], metric
+            )
+        elif cls == "IndexLocalSearchQuantizer":
+            index = aqm.IndexLocalSearchQuantizer(
+                meta["d"], meta["M"], meta["nbits"], metric
+            )
+        else:
+            raise TypeError(f"cannot reload {cls} (product AQ io planned)")
+        if f"{path}/codebooks" in arrays:
+            index.aq.codebooks = arrays[f"{path}/codebooks"]
+        index.is_trained = meta["is_trained"]
+        if f"{path}/codes" in arrays:
+            index._codes_int = arrays[f"{path}/codes"]
+            index._norms = arrays[f"{path}/norms"]
+            index.ntotal = len(index._codes_int)
+        return index
+
+    if cls == "IndexRaBitQ":
+        from .models.rabitq import IndexRaBitQ
+
+        index = IndexRaBitQ(meta["d"])
+        index.rabitq.P = arrays[f"{path}/P"]
+        if f"{path}/center" in arrays:
+            index.rabitq.center = arrays[f"{path}/center"]
+        index.is_trained = meta["is_trained"]
+        if f"{path}/bits" in arrays:
+            index._bits = arrays[f"{path}/bits"]
+            index._factors = arrays[f"{path}/factors"]
+            index.ntotal = len(index._bits)
+        return index
+
+    if cls in ("IndexNSGFlat", "IndexNNDescentFlat"):
+        from .models.nsg import IndexNNDescentFlat, IndexNSGFlat
+
+        kls = IndexNNDescentFlat if cls == "IndexNNDescentFlat" else IndexNSGFlat
+        index = kls(meta["d"], meta["R"])
+        index.GK = meta["GK"]
+        if meta["has_graph"]:
+            state = dict(meta["nsg"])
+            state["graph"] = arrays[f"{path}/graph"]
+            index.restore_graph(state, arrays[f"{path}/xb"])
         return index
 
     raise TypeError(f"unknown serialized class {cls}")

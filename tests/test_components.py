@@ -408,3 +408,29 @@ def test_io_idmap_binary(ds):
     b.add(xb)
     rb = _roundtrip(b)
     np.testing.assert_array_equal(rb.xb, xb)
+
+
+def test_io_new_families(ds):
+    # RQ
+    rq = ft.IndexResidualQuantizer(32, 3, 6)
+    rq.train(ds.get_train())
+    rq.add(ds.get_database()[:500])
+    r = _roundtrip(rq)
+    D1, I1 = rq.search(ds.get_queries(), 3)
+    D2, I2 = r.search(ds.get_queries(), 3)
+    np.testing.assert_array_equal(I1, I2)
+    # RaBitQ
+    rb = ft.IndexRaBitQ(32)
+    rb.train(ds.get_train())
+    rb.add(ds.get_database()[:500])
+    r = _roundtrip(rb)
+    D1, I1 = rb.search(ds.get_queries(), 3)
+    D2, I2 = r.search(ds.get_queries(), 3)
+    np.testing.assert_array_equal(I1, I2)
+    # NSG
+    nsg = ft.IndexNSGFlat(32, 8)
+    nsg.add(ds.get_database()[:500])
+    r = _roundtrip(nsg)
+    D1, I1 = nsg.search(ds.get_queries(), 3)
+    D2, I2 = r.search(ds.get_queries(), 3)
+    np.testing.assert_array_equal(I1, I2)
