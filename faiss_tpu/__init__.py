@@ -205,3 +205,9 @@ from .codecs.polysemous import PolysemousTraining  # noqa: F401
 
 from .models.binary import IndexBinaryHNSW  # noqa: F401
 from .models.extra_indexes import IndexIVFSpectralHash  # noqa: F401
+
+from .clustering import (  # noqa: F401
+    ProgressiveDimClustering,
+    ProgressiveDimClusteringParameters,
+    kmeans1d,
+)

@@ -266,3 +266,106 @@ class Kmeans:
             self.index.add(self.centroids)
         D, I = self.index.search(np.ascontiguousarray(x, np.float32), 1)
         return D.ravel(), I.ravel()
+
+
+def kmeans1d(x, k: int):
+    """Optimal 1-D k-means by dynamic programming
+    (reference: impl/kmeans1d.{h,cpp} smawk-based; this is the O(k n^2) DP —
+    exact, used for small n in SQ training).
+
+    Returns (centroids [k], assignment [n]).
+    """
+    x = np.sort(np.asarray(x, np.float64).ravel())
+    n = len(x)
+    k = min(k, n)
+    # prefix sums for O(1) interval cost
+    ps = np.concatenate([[0.0], np.cumsum(x)])
+    ps2 = np.concatenate([[0.0], np.cumsum(x * x)])
+
+    def cost(i, j):  # cost of cluster over x[i:j]
+        m = j - i
+        if m <= 0:
+            return 0.0
+        s = ps[j] - ps[i]
+        s2 = ps2[j] - ps2[i]
+        return s2 - s * s / m
+
+    INF = np.inf
+    D = np.full((k + 1, n + 1), INF)
+    B = np.zeros((k + 1, n + 1), np.int64)
+    D[0, 0] = 0.0
+    for c in range(1, k + 1):
+        for j in range(1, n + 1):
+            for i in range(c - 1, j):
+                v = D[c - 1, i] + cost(i, j)
+                if v < D[c, j]:
+                    D[c, j] = v
+                    B[c, j] = i
+    # backtrack
+    bounds = [n]
+    for c in range(k, 0, -1):
+        bounds.append(int(B[c, bounds[-1]]))
+    bounds = bounds[::-1]
+    centroids = np.empty(k, np.float32)
+    assign = np.empty(n, np.int64)
+    for c in range(k):
+        i, j = bounds[c], bounds[c + 1]
+        centroids[c] = x[i:j].mean() if j > i else (x[min(i, n - 1)])
+        assign[i:j] = c
+    return centroids, assign
+
+
+class ProgressiveDimClusteringParameters(ClusteringParameters):
+    """reference: Clustering.h ProgressiveDimClusteringParameters."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.progressive_dim_steps = 10
+        self.apply_pca = True
+
+
+class ProgressiveDimClustering:
+    """k-means over growing dimension prefixes
+    (reference: Clustering.h ProgressiveDimClustering — used for OPQ-style
+    training where early iterations on few dims give robust seeds).
+    """
+
+    def __init__(self, d: int, k: int, cp=None):
+        self.d, self.k = int(d), int(k)
+        self.cp = cp or ProgressiveDimClusteringParameters()
+        self.centroids = None
+        self.iteration_stats = []
+
+    def train(self, x) -> float:
+        x = np.ascontiguousarray(x, np.float32)
+        if getattr(self.cp, "apply_pca", True):
+            from .transforms import PCAMatrix
+
+            pca = PCAMatrix(self.d, self.d)
+            pca.train(x)
+            x = pca.apply(x)
+            self._pca = pca
+        else:
+            self._pca = None
+        steps = self.cp.progressive_dim_steps
+        centroids = None
+        obj = np.inf
+        for s in range(1, steps + 1):
+            dprefix = max(1, int(round(self.d ** (s / steps))))
+            dprefix = min(dprefix, self.d)
+            cp = ClusteringParameters(niter=self.cp.niter // steps + 2,
+                                      seed=self.cp.seed)
+            clus = Clustering(dprefix, self.k, cp)
+            if centroids is not None:
+                clus.centroids = centroids[:, :dprefix].copy()
+            obj = clus.train(x[:, :dprefix])
+            grown = np.zeros((self.k, self.d), np.float32)
+            grown[:, :dprefix] = clus.centroids
+            if dprefix < self.d:
+                # init remaining dims at the global mean (refined next step)
+                grown[:, dprefix:] = x[:, dprefix:].mean(0)[None]
+            centroids = grown
+        if self._pca is not None:
+            centroids = self._pca.reverse_transform(centroids)
+        self.centroids = centroids
+        return obj
