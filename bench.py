@@ -81,16 +81,19 @@ def main():
     _, gt = flat.search(xq, 10)
     log(f"ground truth done in {time.time() - t0:.1f}s")
 
-    log("building IVF4096,PQ32x4fs on TPU")
+    log("building IVF4096,PQ32x4fs,RFlat on TPU")
     t0 = time.time()
-    index = ft.IndexIVFPQFastScan(None, d, 4096, 32, 4)
-    index.cp.niter = 20
+    base = ft.IndexIVFPQFastScan(None, d, 4096, 32, 4)
+    base.cp.niter = 20
+    index = ft.IndexRefineFlat(base)
+    index.k_factor = 16  # re-rank top-160 exact (the RFlat suffix operating
+    # point; reference bench_all_ivf uses the same pattern for 4-bit codes)
     index.train(xt)
     t_train = time.time() - t0
     log(f"train: {t_train:.1f}s")
     t0 = time.time()
     index.add(xb)
-    index._build_device()
+    base._build_brute()
     t_add = time.time() - t0
     log(f"add+stage: {t_add:.1f}s")
 
@@ -103,7 +106,7 @@ def main():
     log(f"first search (incl compile): {time.time()-t0:.1f}s")
     r = recall_at_k(I, gt, 10)
     log(f"recall@10 = {r:.4f}")
-    best = "exhaustive-adc"
+    best = "exhaustive-adc+rerank16"
     if r < 0.95:
         log("WARNING: recall@10 < 0.95 at full ADC precision (PQ32x4 limit)")
 
@@ -120,7 +123,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "sift1m_ivfpq4096_pq32x4_qps_at_recall10_0.95",
+                "metric": "sift1m_ivfpq32x4fs_rflat_qps_at_recall10_0.95",
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(qps / baseline_qps, 3),

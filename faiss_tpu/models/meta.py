@@ -242,6 +242,32 @@ class IndexRefine(Index):
         _, Ic = self.base_index.search(x, kc, params=params)
         largest = is_similarity_metric(self.metric_type)
         nq = len(x)
+
+        from .flat import IndexFlat
+
+        if isinstance(self.refine_index, IndexFlat) and self.refine_index.ntotal:
+            # vectorized device re-rank (one gather + batched contraction)
+            import jax.numpy as jnp
+
+            from ..ops.distances import rerank_exact
+
+            xb = self.refine_index._consolidate()
+            D, I = rerank_exact(
+                jnp.asarray(x),
+                xb,
+                jnp.asarray(Ic.astype(np.int32)),
+                k,
+                metric=self.metric_type,
+            )
+            D = np.asarray(D)
+            I = np.asarray(I).astype(np.int64)
+            if D.shape[1] < k:  # pad if kc < k (tiny indexes)
+                pad = k - D.shape[1]
+                fill = -np.inf if largest else np.inf
+                D = np.pad(D, ((0, 0), (0, pad)), constant_values=fill)
+                I = np.pad(I, ((0, 0), (0, pad)), constant_values=-1)
+            return D, I
+
         D = np.full((nq, k), -np.inf if largest else np.inf, np.float32)
         I = np.full((nq, k), -1, np.int64)
         for q in range(nq):

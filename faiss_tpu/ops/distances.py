@@ -272,3 +272,37 @@ def _score_tile(x, y, metric, metric_arg, x_norms, y_norms, precision="highest")
     if metric == MetricType.INNER_PRODUCT:
         return pairwise_inner_product(x, y, precision)
     return _extra_metric_tile(x, y, metric, metric_arg)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def rerank_exact(
+    xq: jax.Array,  # [nq, d]
+    xb: jax.Array,  # [nb, d] exact vectors
+    cand: jax.Array,  # [nq, kc] int32 candidate ids (-1 = missing)
+    k: int,
+    metric: MetricType = MetricType.L2,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact re-ranking of per-query candidate lists (the IndexRefineFlat
+    inner loop, IndexRefine.cpp, as one batched gather + contraction)."""
+    largest = metric == MetricType.INNER_PRODUCT
+    sentinel = -jnp.inf if largest else jnp.inf
+    safe = jnp.maximum(cand, 0)
+    cv = xb[safe]  # [nq, kc, d]
+    ip = jax.lax.dot_general(
+        xq[:, None, :], cv, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0, :]
+    if metric == MetricType.L2:
+        d = (
+            jnp.sum(jnp.square(xq), -1)[:, None]
+            + jnp.sum(jnp.square(cv), -1)
+            - 2.0 * ip
+        )
+        d = jnp.maximum(d, 0.0)
+    else:
+        d = ip
+    d = jnp.where(cand >= 0, d, sentinel)
+    vals, pos = topk(d, min(k, cand.shape[1]), largest=largest)
+    ids = jnp.take_along_axis(cand, pos, axis=1)
+    return vals, jnp.where(jnp.isinf(vals), -1, ids)
