@@ -211,3 +211,5 @@ from .clustering import (  # noqa: F401
     ProgressiveDimClusteringParameters,
     kmeans1d,
 )
+
+from .models.neuralnet_codec import IndexNeuralNetCodec, IndexQINCo  # noqa: F401

@@ -434,3 +434,40 @@ def test_io_new_families(ds):
     D1, I1 = nsg.search(ds.get_queries(), 3)
     D2, I2 = r.search(ds.get_queries(), 3)
     np.testing.assert_array_equal(I1, I2)
+
+
+def test_qinco_roundtrip():
+    """QINCo with random (untrained) weights must still round-trip its own
+    codes deterministically: encode -> decode -> encode is a fixpoint."""
+    from faiss_tpu.models.neuralnet_codec import IndexQINCo
+
+    rs = np.random.RandomState(0)
+    idx = IndexQINCo(8, 3, 4, L=1, h=16)
+    # random-init weights
+    q = idx.qinco
+    q.codebook0.weight = rs.randn(16, 8).astype(np.float32)
+    for step in q.steps:
+        step.codebook.weight = rs.randn(16, 8).astype(np.float32) * 0.3
+        step.MLPconcat.weight = rs.randn(8, 16).astype(np.float32) * 0.1
+        for blk in step.residual_blocks:
+            blk.linear1.weight = rs.randn(16, 8).astype(np.float32) * 0.1
+            blk.linear2.weight = rs.randn(8, 16).astype(np.float32) * 0.1
+    idx.is_trained = True
+
+    x = rs.randn(50, 8).astype(np.float32)
+    codes = q.encode(x)
+    recon = q.decode(codes)
+    codes2 = q.encode(recon)
+    # reconstruction must be closer than the raw codebook0 quantizer alone
+    err_full = ((x - recon) ** 2).sum()
+    err_cb0 = ((x - q.codebook0.weight[codes[:, 0]]) ** 2).sum()
+    assert err_full < err_cb0
+    # index API
+    idx.add(x)
+    D, I = idx.search(x[:5], 1)
+    assert (I[:, 0] >= 0).all()
+    packed = idx.sa_encode(x[:5])
+    assert packed.shape == (5, idx.sa_code_size())
+    np.testing.assert_allclose(
+        idx.sa_decode(packed), q.decode(codes[:5]), rtol=1e-5
+    )
