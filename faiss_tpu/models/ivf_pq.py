@@ -124,6 +124,8 @@ class IndexIVFPQ(IndexIVF):
         }
 
     # -- big-batch exhaustive-ADC implem ------------------------------------------
+    FUSED_CT = 512  # slots per kernel chunk (one inverted list per chunk)
+
     def _build_brute(self):
         if self._brute is not None:
             return self._brute
@@ -147,15 +149,54 @@ class IndexIVFPQ(IndexIVF):
             "n2": jnp.asarray(n2),
             "centroids": jnp.asarray(centroids),
         }
+        # fused-kernel staging: list-major chunked layout (one list per
+        # ct-slot chunk; lists padded with +inf-norm slots)
+        ct = self.FUSED_CT
+        n = self.ntotal
+        order = np.argsort(listnos, kind="stable")
+        sorted_ln = listnos[order]
+        lengths = np.bincount(listnos, minlength=self.nlist)
+        pads = (-lengths) % ct
+        S = int((lengths + pads).sum())
+        starts = np.concatenate([[0], np.cumsum(lengths + pads)[:-1]])
+        offs_in = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        pos = starts[sorted_ln] + (np.arange(n) - offs_in[sorted_ln])
+        slot_map = np.full(S, -1, np.int64)
+        slot_map[pos] = order
+        codesT = np.zeros((pq.M, S), np.uint8)
+        codesT[:, pos] = codes[order].T
+        n2s = np.full((1, S), np.inf, np.float32)
+        n2s[0, pos] = n2[order]
+        chunk_list = np.repeat(
+            np.arange(self.nlist, dtype=np.int64), (lengths + pads) // ct
+        )
+        self._brute.update(
+            codesT=jnp.asarray(codesT),
+            n2s=jnp.asarray(n2s),
+            chunk_list=chunk_list,
+            slot_map=slot_map,
+        )
         return self._brute
 
     def _search_big_batch(self, x, k):
-        """Exhaustive ADC over all codes (see ops/pq_ops.ivfpq_brute_adc_knn)."""
+        """Exhaustive ADC over all codes.
+
+        Preferred path: the fused Pallas ADC+select kernel
+        (ops/pallas_knn.ivfpq_fused_pallas) on TPU for k <= 128; fallback is
+        the XLA one-hot GEMM + approx select (ops/pq_ops.ivfpq_brute_adc_knn).
+        """
+        import jax
+
         from ..base import query_buckets
 
         nq = len(x)
         br = self._build_brute()
         cb = self.pq._dev()
+        use_fused = (
+            jax.default_backend() not in ("cpu",)
+            and k <= 128
+            and self.pq.ksub <= 16
+        )
         D = np.full((nq, k), np.inf, np.float32)
         I = np.full((nq, k), -1, np.int64)
         for start, padded, real in query_buckets(nq):
@@ -164,13 +205,40 @@ class IndexIVFPQ(IndexIVF):
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
             xq_dev = jnp.asarray(xq)
             luts = -2.0 * pq_ops.pq_ip_tables(xq_dev, cb)
-            coarse_ip = xq_dev @ br["centroids"].T
-            qn2 = jnp.sum(jnp.square(xq_dev), axis=1)
-            d, i = pq_ops.ivfpq_brute_adc_knn(
-                luts, coarse_ip, qn2, br["codes"], br["listnos"], br["n2"], k
-            )
-            slots = np.asarray(i)[:real]
-            D[start : start + real] = np.asarray(d)[:real]
+            qn2 = np.square(xq).sum(1)
+            if use_fused:
+                from ..ops.pallas_knn import ivfpq_fused_pallas
+
+                cm2 = np.asarray(-2.0 * (xq_dev @ br["centroids"].T))
+                bias_cols = cm2[:, br["chunk_list"]]
+                padc = (-bias_cols.shape[1]) % 128
+                if padc:
+                    bias_cols = np.pad(bias_cols, ((0, 0), (0, padc)))
+                qt = min(padded, 256)
+                v, slots_dev, ev = ivfpq_fused_pallas(
+                    jnp.asarray(bias_cols),
+                    jnp.asarray(luts.reshape(padded, -1), jnp.bfloat16),
+                    br["codesT"],
+                    br["n2s"],
+                    qt=qt,
+                    ct=self.FUSED_CT,
+                    nlist=self.nlist,
+                )
+                d = np.asarray(v)[:real, :k] + qn2[:real, None]
+                d = np.maximum(d, 0.0)
+                raw = np.asarray(slots_dev)[:real, :k]
+                slots = np.where(
+                    raw >= 0, br["slot_map"][np.maximum(raw, 0)], -1
+                )
+            else:
+                coarse_ip = xq_dev @ br["centroids"].T
+                dd, ii = pq_ops.ivfpq_brute_adc_knn(
+                    luts, coarse_ip, jnp.asarray(qn2), br["codes"],
+                    br["listnos"], br["n2"], k,
+                )
+                d = np.asarray(dd)[:real]
+                slots = np.asarray(ii)[:real]
+            D[start : start + real] = d
             I[start : start + real] = np.where(
                 slots >= 0, self._ids_host[np.maximum(slots, 0)], -1
             )

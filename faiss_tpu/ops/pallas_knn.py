@@ -257,3 +257,164 @@ def knn_fused_pallas(
         interpret=interpret,
     )(jnp.asarray(nb, jnp.int32).reshape(1), x, yT)
     return out_v, out_i, out_ev
+
+
+# ---------------------------------------------------------------------------
+# Fused IVF-PQ ADC + k-select (the FastScan big-batch kernel)
+# ---------------------------------------------------------------------------
+
+
+def _make_adc_kernel(qt, ct, M, ksub, nlist):
+    """ADC score producer + the same queue/flush select as the flat kernel.
+
+    Scores for chunk j (one inverted list per chunk, list id prefetched):
+        key[q, c] = n2[c] + cm2[q, list(j)] + (-2 q . pq(code[c]))
+    where the last term is an MXU contraction of the flattened LUTs with a
+    one-hot expansion of the codes built in-kernel (the register-LUT shuffle
+    of impl/fast_scan/kernels_simd256.h as a matmul).
+    """
+    n_sub = ct // LANES
+    K = M * ksub
+
+    def kernel(luts_ref, bias_ref, codes_ref, n2_ref,
+               out_v_ref, out_i_ref, out_ev_ref,
+               rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref):
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (qt, LANES), 1)
+
+        @pl.when(j == 0)
+        def _init():
+            rv_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
+            ri_ref[:] = jnp.full((qt, LANES), -1, jnp.int32)
+            qv_ref[:] = jnp.full((QDEPTH, qt, LANES), jnp.inf, jnp.float32)
+            qi_ref[:] = jnp.full((QDEPTH, qt, LANES), -1, jnp.int32)
+            ev_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
+
+        interval = jnp.clip(j // 4, 1, 32)
+        do_flush = jnp.logical_and(j > 0, j % interval == 0)
+
+        @pl.when(do_flush)
+        def _scheduled():
+            flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane)
+
+        # one-hot expansion of the chunk's codes: [K, ct] bf16
+        codes = codes_ref[:].astype(jnp.int32)  # [M, ct]
+        rep = jnp.repeat(codes, ksub, axis=0)  # [K, ct]; row m*ksub+r <- m
+        rbit = jax.lax.broadcasted_iota(jnp.int32, (K, ct), 0) % ksub
+        oh = jnp.where(rep == rbit, 1.0, 0.0).astype(jnp.bfloat16)
+        ip = jax.lax.dot_general(
+            luts_ref[:], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [qt, ct] = -2 q.pq(code)
+        # bias block holds 128 chunk columns; extract column j%128 by a
+        # masked lane-reduce (dynamic lane slices must be 128-aligned)
+        r = j % 128
+        lmask = jax.lax.broadcasted_iota(jnp.int32, (qt, 128), 1) == r
+        bias = jnp.sum(
+            jnp.where(lmask, bias_ref[:], 0.0), axis=1, keepdims=True
+        )  # [qt, 1]: -2 q.c_list(j)
+        skey = ip + n2_ref[:] + bias  # [qt, ct] (n2 broadcasts [1, ct])
+
+        base = j * ct
+        theta = rv_ref[:, LANES - 1 : LANES]
+        for t in range(n_sub):
+            col = base + t * LANES + lane
+            sv = skey[:, t * LANES : (t + 1) * LANES]
+            sv = jnp.where(sv < theta, sv, jnp.inf)
+            cv = sv
+            ci = col
+            for lev in range(QDEPTH):
+                lv = qv_ref[lev]
+                li = qi_ref[lev]
+                lt = cv < lv
+                qv_ref[lev] = jnp.where(lt, cv, lv)
+                qi_ref[lev] = jnp.where(lt, ci, li)
+                cv = jnp.where(lt, lv, cv)
+                ci = jnp.where(lt, li, ci)
+            ev_ref[:] = jnp.minimum(ev_ref[:], cv)
+
+        @pl.when(j == nj - 1)
+        def _finish():
+            flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane)
+            out_v_ref[:] = rv_ref[:]
+            out_i_ref[:] = ri_ref[:]
+            out_ev_ref[:] = ev_ref[:]
+
+    def flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane):
+        for t in range(QDEPTH):
+            wv[:] = -qv_ref[t]
+            wi[:] = qi_ref[t]
+            _sort_asc_ref(wv, wi, lane)
+            wv[:] = -wv[:]
+            _merge_desc_into_ref(rv_ref, ri_ref, wv, wi, lane)
+        qv_ref[:] = jnp.full(qv_ref.shape, jnp.inf, jnp.float32)
+        qi_ref[:] = jnp.full(qi_ref.shape, -1, jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("qt", "ct", "nlist", "interpret")
+)
+def ivfpq_fused_pallas(
+    bias_cols: jax.Array,  # [nq, nchunks_pad128] f32: -2 q.c_list(chunk)
+    luts: jax.Array,  # [nq, M*ksub] bf16: flattened -2 q.pq tables
+    codesT: jax.Array,  # [M, nchunks*ct] uint8 codes, slot-major transposed
+    n2: jax.Array,  # [1, nchunks*ct] f32: ||y||^2 per slot (+inf on pads)
+    qt: int = 256,
+    ct: int = 512,
+    nlist: int = 0,
+    interpret: bool = False,
+):
+    """Fused exhaustive IVF-PQ ADC + top-128 select.
+
+    One chunk == slots of one inverted list (lists padded to ct multiples at
+    staging), so the coarse term is one [qt, 1] column streamed per grid
+    step. Returns (keys [nq,128] missing ||q||^2, slots [nq,128], evicted
+    floor) — callers add ||q||^2 and repair lossy rows like knn_fused_pallas.
+    """
+    nq = luts.shape[0]
+    M = codesT.shape[0]
+    ksub = luts.shape[1] // M
+    nchunks = codesT.shape[1] // ct
+    assert bias_cols.shape[1] % 128 == 0
+    grid = (nq // qt, nchunks)
+    kernel = _make_adc_kernel(qt, ct, M, ksub, nlist)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, M * ksub), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, 128), lambda i, j: (i, j // 128),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, ct), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((qt, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nq, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nq, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qt, LANES), jnp.float32),
+            pltpu.VMEM((qt, LANES), jnp.int32),
+            pltpu.VMEM((QDEPTH, qt, LANES), jnp.float32),
+            pltpu.VMEM((QDEPTH, qt, LANES), jnp.int32),
+            pltpu.VMEM((qt, LANES), jnp.float32),
+            pltpu.VMEM((qt, LANES), jnp.int32),
+            pltpu.VMEM((qt, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(luts, bias_cols, codesT, n2)
