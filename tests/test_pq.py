@@ -221,3 +221,57 @@ def test_polysemous(ds):
     D5, I5 = index.search(ds.get_queries(), 10)
     assert (I5 == -1).sum() > (I30 == -1).sum()
     del r_full
+
+
+def test_fused_adc_kernel_interpret(ds):
+    """The fused ADC+select Pallas kernel (interpret mode) must reproduce
+    brute-force ADC scores exactly (modulo bf16 LUT rounding)."""
+    import jax.numpy as jnp
+
+    from faiss_tpu.ops.pallas_knn import ivfpq_fused_pallas
+
+    rs = np.random.RandomState(0)
+    nq, M, ksub, nlist, ct, nb = 128, 4, 16, 8, 512, 1500
+    codes = rs.randint(ksub, size=(nb, M)).astype(np.uint8)
+    listnos = rs.randint(nlist, size=nb).astype(np.int32)
+    luts = rs.randn(nq, M, ksub).astype(np.float32)
+    cm2 = rs.randn(nq, nlist).astype(np.float32)
+    n2v = rs.rand(nb).astype(np.float32) * 2
+
+    order = np.argsort(listnos, kind="stable")
+    cc, cn, cl, sm = [], [], [], []
+    for l in range(nlist):
+        sl = order[listnos[order] == l]
+        if len(sl) == 0:
+            continue
+        pad = (-len(sl)) % ct
+        cc.append(np.concatenate([codes[sl], np.zeros((pad, M), np.uint8)]))
+        cn.append(np.concatenate([n2v[sl], np.full(pad, np.inf, np.float32)]))
+        sm.append(np.concatenate([sl, np.full(pad, -1, np.int64)]))
+        cl += [l] * (len(cc[-1]) // ct)
+    codesT = np.concatenate(cc).T.copy()
+    n2s = np.concatenate(cn)[None]
+    sm = np.concatenate(sm)
+    cl = np.asarray(cl, np.int64)
+    bias_cols = cm2[:, cl]
+    padc = (-bias_cols.shape[1]) % 128
+    if padc:
+        bias_cols = np.pad(bias_cols, ((0, 0), (0, padc)))
+
+    v, i, ev = ivfpq_fused_pallas(
+        jnp.asarray(bias_cols),
+        jnp.asarray(luts.reshape(nq, -1), jnp.bfloat16),
+        jnp.asarray(codesT),
+        jnp.asarray(n2s),
+        qt=128,
+        nlist=nlist,
+        interpret=True,
+    )
+    v = np.asarray(v)
+    lutflat = luts.reshape(nq, -1)
+    offs = np.arange(M) * ksub
+    ipq = lutflat[:, (codes.astype(np.int64) + offs)].sum(-1)
+    ref = np.sort(n2v[None] + cm2[:, listnos] + ipq, 1)[:, :128]
+    lossy = np.asarray(ev).min(1) < v[:, 127]
+    assert np.allclose(v[~lossy], ref[~lossy], atol=2e-2)
+    assert lossy.mean() < 0.2
