@@ -170,10 +170,13 @@ class IndexIVFPQ(IndexIVF):
         chunk_list = np.repeat(
             np.arange(self.nlist, dtype=np.int64), (lengths + pads) // ct
         )
+        padc = (-len(chunk_list)) % 128
+        chunk_list_pad = np.pad(chunk_list, (0, padc))  # pad cols reuse list 0
         self._brute.update(
             codesT=jnp.asarray(codesT),
             n2s=jnp.asarray(n2s),
             chunk_list=chunk_list,
+            chunk_list_dev=jnp.asarray(chunk_list_pad.astype(np.int32)),
             slot_map=slot_map,
         )
         return self._brute
@@ -209,14 +212,13 @@ class IndexIVFPQ(IndexIVF):
             if use_fused:
                 from ..ops.pallas_knn import ivfpq_fused_pallas
 
-                cm2 = np.asarray(-2.0 * (xq_dev @ br["centroids"].T))
-                bias_cols = cm2[:, br["chunk_list"]]
-                padc = (-bias_cols.shape[1]) % 128
-                if padc:
-                    bias_cols = np.pad(bias_cols, ((0, 0), (0, padc)))
+                # all staging stays on device: a host round-trip of the
+                # [nq, nchunks] bias matrix costs seconds over the tunnel
+                cm2 = -2.0 * (xq_dev @ br["centroids"].T)
+                bias_cols = jnp.take(cm2, br["chunk_list_dev"], axis=1)
                 qt = min(padded, 256)
                 v, slots_dev, ev = ivfpq_fused_pallas(
-                    jnp.asarray(bias_cols),
+                    bias_cols,
                     jnp.asarray(luts.reshape(padded, -1), jnp.bfloat16),
                     br["codesT"],
                     br["n2s"],
