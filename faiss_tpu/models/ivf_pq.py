@@ -16,11 +16,51 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
+import jax
+
 from ..codecs.pq import ProductQuantizer
 from ..metric import MetricType
 from ..ops import pq_ops
 from ..ops.ivf_ops import ivf_pq_scan
 from .ivf import IndexIVF
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "kc", "qt", "ct", "nlist")
+)
+def _fused_search_rerank(
+    xq, centroids, pq_cb, chunk_list, codesT, n2s, slot_map, xb,
+    k, kc, qt, ct, nlist,
+):
+    """One-dispatch big-batch IVFPQ search + exact re-rank.
+
+    Chains: ADC LUTs + coarse bias (MXU) -> fused Pallas ADC+select ->
+    slot translation -> exact re-rank of the top kc (gather + contraction).
+    Keeping it in one program avoids per-op tunnel round-trips (~35 ms each)
+    and all host staging.
+    """
+    from ..ops.distances import rerank_exact
+    from ..ops.pallas_knn import ivfpq_fused_pallas
+
+    luts = -2.0 * pq_ops.pq_ip_tables(xq, pq_cb)
+    cm2 = -2.0 * (xq @ centroids.T)
+    bias_cols = jnp.take(cm2, chunk_list, axis=1)
+    nq = xq.shape[0]
+    v, slots_raw, ev = ivfpq_fused_pallas(
+        bias_cols,
+        luts.reshape(nq, -1).astype(jnp.bfloat16),
+        codesT,
+        n2s,
+        qt=qt,
+        ct=ct,
+        nlist=nlist,
+    )
+    slots = jnp.where(
+        slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
+    )[:, :kc]
+    return rerank_exact(xq, xb, slots, k)
 
 # cap on the term-2 precomputed table size
 # (reference: precomputed_table_max_bytes, IndexIVFPQ.cpp:375 — 2 GiB)
@@ -178,8 +218,47 @@ class IndexIVFPQ(IndexIVF):
             chunk_list=chunk_list,
             chunk_list_dev=jnp.asarray(chunk_list_pad.astype(np.int32)),
             slot_map=slot_map,
+            slot_map_dev=jnp.asarray(
+                np.where(slot_map >= 0, slot_map, -1).astype(np.int32)
+            ),
         )
         return self._brute
+
+    def _search_big_batch_refined(self, x, k, kc, refine_xb):
+        """Big-batch search + exact re-rank in one device program
+        (used by IndexRefineFlat when wrapping this index)."""
+        from ..base import query_buckets
+
+        nq = len(x)
+        br = self._build_brute()
+        D = np.full((nq, k), np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        kc = min(kc, 128)
+        for start, padded, real in query_buckets(nq):
+            xq = x[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            d, slots = _fused_search_rerank(
+                jnp.asarray(xq),
+                br["centroids"],
+                self.pq._dev(),
+                br["chunk_list_dev"],
+                br["codesT"],
+                br["n2s"],
+                br["slot_map_dev"],
+                refine_xb,
+                k,
+                kc,
+                min(padded, 256),
+                self.FUSED_CT,
+                self.nlist,
+            )
+            slots = np.asarray(slots)[:real, :k]
+            D[start : start + real] = np.asarray(d)[:real, :k]
+            I[start : start + real] = np.where(
+                slots >= 0, self._ids_host[np.maximum(slots, 0)], -1
+            )
+        return D, I
 
     def _search_big_batch(self, x, k):
         """Exhaustive ADC over all codes.

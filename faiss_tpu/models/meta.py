@@ -244,6 +244,27 @@ class IndexRefine(Index):
         nq = len(x)
 
         from .flat import IndexFlat
+        from .ivf_pq import IndexIVFPQ
+
+        if (
+            isinstance(self.refine_index, IndexFlat)
+            and isinstance(self.base_index, IndexIVFPQ)
+            and self.base_index.big_batch_threshold
+            and len(x) >= self.base_index.big_batch_threshold
+            and self.base_index.by_residual
+            and self.base_index.metric_type.name == "L2"
+            and self.base_index.pq.ksub <= 16
+            and kc <= 128
+            and (params is None or params.sel is None)
+            and self.refine_index.ntotal
+        ):
+            import jax
+
+            if jax.default_backend() not in ("cpu",):
+                # single-dispatch fused search + re-rank
+                return self.base_index._search_big_batch_refined(
+                    x, k, kc, self.refine_index._consolidate()
+                )
 
         if isinstance(self.refine_index, IndexFlat) and self.refine_index.ntotal:
             # vectorized device re-rank (one gather + batched contraction)
