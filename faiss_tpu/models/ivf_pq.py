@@ -179,9 +179,12 @@ class IndexIVFPQ(IndexIVF):
         cmk = centroids.reshape(self.nlist, pq.M, pq.dsub)
         cdoty = 2.0 * np.einsum("cmd,mkd->cmk", cmk, cb)
         term2 = (y_norms[None] + cdoty).astype(np.float32)
-        t2sum = np.take_along_axis(
-            term2[listnos], codes.astype(np.int64)[:, :, None], axis=2
-        )[:, :, 0].sum(1)
+        # per-m gathers avoid materializing term2[listnos] ([n, M, ksub],
+        # gigabytes at 1M scale on the host)
+        t2sum = np.zeros(len(codes), np.float32)
+        ln64 = listnos.astype(np.int64)
+        for m in range(pq.M):
+            t2sum += term2[:, m, :][ln64, codes[:, m].astype(np.int64)]
         n2 = ((centroids**2).sum(1)[listnos] + t2sum).astype(np.float32)
         self._brute = {
             "codes": jnp.asarray(codes),
