@@ -164,7 +164,7 @@ class IndexIVFPQ(IndexIVF):
         }
 
     # -- big-batch exhaustive-ADC implem ------------------------------------------
-    FUSED_CT = 512  # slots per kernel chunk (one inverted list per chunk)
+    FUSED_CT = 256  # slots per kernel chunk (one inverted list per chunk)
 
     def _build_brute(self):
         if self._brute is not None:

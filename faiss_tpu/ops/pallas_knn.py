@@ -318,9 +318,23 @@ def _make_adc_kernel(qt, ct, M, ksub, nlist):
 
         base = j * ct
         theta = rv_ref[:, LANES - 1 : LANES]
-        for t in range(n_sub):
-            col = base + t * LANES + lane
-            sv = skey[:, t * LANES : (t + 1) * LANES]
+        # pair-reduce adjacent subtiles before the insert chain: the chain is
+        # the VPU bound, and two of a query's global top-128 landing on the
+        # same (lane, pair) slot is ~1e-3 per query — tracked through the
+        # eviction floor like queue overflows.
+        assert n_sub % 2 == 0
+        for t in range(0, n_sub, 2):
+            c0 = base + t * LANES + lane
+            c1 = c0 + LANES
+            s0 = skey[:, t * LANES : (t + 1) * LANES]
+            s1 = skey[:, (t + 1) * LANES : (t + 2) * LANES]
+            sel = s0 <= s1
+            sv = jnp.where(sel, s0, s1)
+            col = jnp.where(sel, c0, c1)
+            dropped = jnp.where(sel, s1, s0)
+            ev_ref[:] = jnp.minimum(
+                ev_ref[:], jnp.where(dropped < theta, dropped, jnp.inf)
+            )
             sv = jnp.where(sv < theta, sv, jnp.inf)
             cv = sv
             ci = col
