@@ -86,7 +86,7 @@ def main():
     base = ft.IndexIVFPQFastScan(None, d, 4096, 32, 4)
     base.cp.niter = 20
     index = ft.IndexRefineFlat(base)
-    index.k_factor = 8  # re-rank top-80 exact (the RFlat suffix operating
+    index.k_factor = 12  # re-rank top-120 exact (the RFlat suffix operating
     # point; reference bench_all_ivf uses the same pattern for 4-bit codes)
     index.train(xt)
     t_train = time.time() - t0
