@@ -106,7 +106,7 @@ def main():
     log(f"first search (incl compile): {time.time()-t0:.1f}s")
     r = recall_at_k(I, gt, 10)
     log(f"recall@10 = {r:.4f}")
-    best = "exhaustive-adc+rerank16"
+    best = "fused-adc-pallas+rerank12"
     if r < 0.95:
         log("WARNING: recall@10 < 0.95 at full ADC precision (PQ32x4 limit)")
 
