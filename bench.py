@@ -74,12 +74,23 @@ def main():
     xt = gen(nt, 2)
     xq = gen(nq, 3)
 
-    log("computing exact ground truth (fused Pallas kernel, one compile)")
-    t0 = time.time()
-    flat = ft.IndexFlatL2(d)
-    flat.add(xb)
-    _, gt = flat.search(xq, 10)
-    log(f"ground truth done in {time.time() - t0:.1f}s")
+    # ground truth is deterministic (fixed seeds): cache it in the repo so
+    # repeat runs skip the brute-force pass + its kernel compile
+    import os
+
+    gt_cache = "/root/repo/bench_gt_cache.npz"
+    if os.path.exists(gt_cache):
+        with np.load(gt_cache) as z:
+            gt = z["gt"]
+        log("ground truth loaded from cache")
+    else:
+        log("computing exact ground truth (fused Pallas kernel, one compile)")
+        t0 = time.time()
+        flat = ft.IndexFlatL2(d)
+        flat.add(xb)
+        _, gt = flat.search(xq, 10)
+        log(f"ground truth done in {time.time() - t0:.1f}s")
+        np.savez_compressed(gt_cache, gt=gt)
 
     log("building IVF4096,PQ32x4fs,RFlat on TPU")
     t0 = time.time()
