@@ -213,3 +213,5 @@ from .clustering import (  # noqa: F401
 )
 
 from .models.neuralnet_codec import IndexNeuralNetCodec, IndexQINCo  # noqa: F401
+
+from .models.meta import IndexShardsIVF  # noqa: F401

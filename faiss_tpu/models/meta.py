@@ -518,3 +518,42 @@ class IndexRandom(Index):
     def reconstruct(self, key):
         rs = np.random.RandomState(self.seed + int(key))
         return rs.rand(self.d).astype(np.float32)
+
+
+class IndexShardsIVF(IndexShards):
+    """IVF shards sharing ONE coarse quantizer (reference:
+    IndexShardsIVF.h:19): coarse assignment is computed once and
+    search_preassigned dispatches to the shards holding the lists.
+
+    The mesh-native form is parallel/sharded.ShardedIVF; this host-composed
+    variant covers heterogeneous or separately-built shards.
+    """
+
+    def __init__(self, quantizer, d: int, nlist: int, nprobe: int = 1):
+        super().__init__(d)
+        self.quantizer = quantizer
+        self.nlist = int(nlist)
+        self.nprobe = nprobe
+
+    def add_shard(self, index) -> None:
+        from .ivf import IndexIVF
+
+        if not isinstance(index, IndexIVF):
+            raise TypeError("IndexShardsIVF shards must be IndexIVF")
+        if index.nlist != self.nlist:
+            raise ValueError("shard nlist mismatch")
+        super().add_shard(index)
+
+    def search(self, x, k, *, params=None):
+        x = self._check_input(x)
+        nprobe = self.nprobe
+        if params is not None and getattr(params, "nprobe", 0):
+            nprobe = params.nprobe
+        coarse_dis, assign = self.quantizer.search(x, nprobe)
+        largest = is_similarity_metric(self.metric_type)
+        Ds, Is = [], []
+        for s in self.shards:
+            D, I = s.search_preassigned(x, k, assign, coarse_dis, params=params)
+            Ds.append(D)
+            Is.append(I)
+        return _merge_result_tables(Ds, Is, k, largest)

@@ -93,3 +93,29 @@ def test_sharded_ivfpq_matches_single(ds):
     # candidates, so the id check is intersection-based
     np.testing.assert_allclose(D, Dref, rtol=1e-3, atol=1e-3)
     assert knn_intersection_measure(I, Iref) > 0.9
+
+
+def test_host_shards_ivf_matches_single(ds):
+    """Host-composed IndexShardsIVF == one IVF index (SURVEY §4 sharded ==
+    unsharded equivalence; reference tests/test_ivf_sharding.cpp)."""
+    from faiss_tpu.models.meta import IndexShardsIVF
+
+    xb = ds.get_database()
+    full = ft.IndexIVFFlat(None, 32, 16)
+    full.train(ds.get_train())
+    full.add(xb)
+    full.nprobe = 8
+    Dref, Iref = full.search(ds.get_queries(), 10)
+
+    shards = IndexShardsIVF(full.quantizer, 32, 16, nprobe=8)
+    for i in range(2):
+        sh = ft.IndexIVFFlat(full.quantizer, 32, 16)
+        sh.is_trained = True
+        sh.add_with_ids(
+            xb[i::2], np.arange(i, len(xb), 2, dtype=np.int64)
+        )
+        shards.add_shard(sh)
+    shards.successive_ids = False  # shards carry explicit global ids
+    D, I = shards.search(ds.get_queries(), 10)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+    assert knn_intersection_measure(I, Iref) > 0.999
