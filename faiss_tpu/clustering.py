@@ -50,7 +50,8 @@ class ClusteringParameters:
     seed: int = 1234
     decode_block_size: int = 32768
     check_input_data_for_NaNs: bool = True
-    init_method: str = "random"  # random | kmeans++ (ClusteringInitialization.h)
+    init_method: str = "random"  # random | kmeans++ | afkmc2
+    # (reference init enum: Clustering.h:63-72 / ClusteringInitialization.h)
 
 
 def imbalance_factor(counts: np.ndarray) -> float:
@@ -59,6 +60,34 @@ def imbalance_factor(counts: np.ndarray) -> float:
     if tot == 0:
         return float("nan")
     return float(len(counts) * (counts.astype(np.float64) ** 2).sum() / tot**2)
+
+
+def _afk_mc2_init(
+    x: np.ndarray, k: int, rs: np.random.RandomState, chain_length: int = 200
+) -> np.ndarray:
+    """AFK-MC^2 seeding (reference: impl/ClusteringInitialization.cpp,
+    Bachem et al. NeurIPS'16): approximates k-means++ with a Metropolis
+    chain over a mixture proposal q = 0.5 d(x,c1)/sum + 0.5/n, avoiding the
+    full distance update per pick."""
+    n = len(x)
+    centroids = np.empty((k, x.shape[1]), np.float32)
+    centroids[0] = x[rs.randint(n)]
+    d1 = ((x - centroids[0]) ** 2).sum(1)
+    q = 0.5 * d1 / max(d1.sum(), 1e-30) + 0.5 / n
+    cum = np.cumsum(q)
+    for i in range(1, k):
+        cand = np.searchsorted(cum, rs.rand(chain_length))
+        cand = np.minimum(cand, n - 1)
+        # distances of the chain candidates to current centroids
+        dc = ((x[cand][:, None, :] - centroids[None, :i, :]) ** 2).sum(-1).min(1)
+        cur = cand[0]
+        cur_d = dc[0]
+        for j in range(1, chain_length):
+            a = (dc[j] * q[cur]) / max(cur_d * q[cand[j]], 1e-30)
+            if a >= 1 or rs.rand() < a:
+                cur, cur_d = cand[j], dc[j]
+        centroids[i] = x[cur]
+    return centroids
 
 
 def _kmeans_pp_init(x: np.ndarray, k: int, rs: np.random.RandomState) -> np.ndarray:
@@ -118,6 +147,8 @@ class Clustering:
             return np.array(self.centroids, dtype=np.float32)  # warm start
         if self.cp.init_method == "kmeans++":
             c = _kmeans_pp_init(x, self.k, rs)
+        elif self.cp.init_method == "afkmc2":
+            c = _afk_mc2_init(x, self.k, rs)
         else:
             perm = rs.permutation(len(x))[: self.k]
             c = x[perm].astype(np.float32).copy()

@@ -111,3 +111,11 @@ def test_kmeans_assign():
     # assignment must be argmin over centroids
     d2 = ((x[:, None] - km.centroids[None]) ** 2).sum(-1)
     np.testing.assert_array_equal(I, d2.argmin(1))
+
+
+def test_afkmc2_init():
+    x, _ = make_blobs(n=1000, d=8, k=8)
+    cp = ClusteringParameters(niter=5, init_method="afkmc2")
+    clus = Clustering(8, 8, cp)
+    obj = clus.train(x)
+    assert obj / len(x) < 1.0
