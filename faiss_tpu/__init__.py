@@ -215,3 +215,5 @@ from .clustering import (  # noqa: F401
 from .models.neuralnet_codec import IndexNeuralNetCodec, IndexQINCo  # noqa: F401
 
 from .models.meta import IndexShardsIVF  # noqa: F401
+
+from .models.imi import MultiIndexQuantizer  # noqa: F401

@@ -84,10 +84,10 @@ def _parse_coarse(tok: str, d: int, metric):
         hm = int(m.group(2)) if m.group(2) else 32
         return IndexHNSWFlat(d, hm, metric), nlist
     if m := re.fullmatch(r"IMI2x(\d+)", tok):
-        raise NotImplementedError(
-            "IMI (multi-index) coarse quantizer is not implemented; use "
-            f"IVF{1 << (2 * int(m.group(1)))} for an equivalent list count"
-        )
+        from .models.imi import MultiIndexQuantizer
+
+        nbits = int(m.group(1))
+        return MultiIndexQuantizer(d, 2, nbits), 1 << (2 * nbits)
     return None
 
 
@@ -227,6 +227,12 @@ def index_factory(d: int, description: str, metric=MetricType.L2) -> Index:
             enc = _parse_ivf_encoding(toks[i], quantizer, cur_d, nlist, metric)
             if enc is None:
                 raise ValueError(f"cannot parse IVF encoding {toks[i]!r}")
+            from .models.imi import MultiIndexQuantizer
+
+            if isinstance(quantizer, MultiIndexQuantizer):
+                # IMI trains itself on the data (reference index_factory
+                # sets quantizer_trains_alone for IMI coarse quantizers)
+                enc.quantizer_trains_alone = 1
             core = enc
             i += 1
             continue

@@ -471,3 +471,33 @@ def test_qinco_roundtrip():
     np.testing.assert_allclose(
         idx.sa_decode(packed), q.decode(codes[:5]), rtol=1e-5
     )
+
+
+def test_multi_index_quantizer(ds):
+    """IMI assignment == brute force over the virtual centroid product
+    (reference MultiIndexQuantizer semantics)."""
+    from faiss_tpu.models.imi import MultiIndexQuantizer
+
+    imi = MultiIndexQuantizer(32, 2, 5)  # 1024 virtual centroids
+    imi.train(ds.get_train())
+    assert imi.ntotal == 1024
+    xq = ds.get_queries()[:20]
+    D, I = imi.search(xq, 4)
+    cent = imi.vectors()
+    dref = ((xq[:, None] - cent[None]) ** 2).sum(-1)
+    iref = np.argsort(dref, 1)[:, :4]
+    np.testing.assert_allclose(
+        D, np.take_along_axis(dref, I.astype(np.int64), 1), rtol=1e-3, atol=1e-3
+    )
+    assert knn_intersection_measure(I, iref) > 0.99
+
+
+def test_imi_ivf_end_to_end(ds):
+    """IMI2x4,Flat (256 lists) through the factory."""
+    index = ft.index_factory(32, "IMI2x4,Flat")
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.nprobe = 64
+    gt = ds.get_groundtruth(10)
+    _, I = index.search(ds.get_queries(), 10)
+    assert recall_at_k(I, gt, 10) > 0.7
