@@ -289,11 +289,14 @@ class IndexIVF(Index, Level1Quantizer):
         x = self._check_input(x)
         self._check_trained()
         nprobe = self.nprobe
+        max_codes = self.max_codes
         sel = None
         if params is not None:
             sel = params.sel
             if getattr(params, "nprobe", 0):
                 nprobe = params.nprobe
+            if getattr(params, "max_codes", 0):
+                max_codes = params.max_codes
         nprobe = min(max(1, nprobe), self.nlist)
 
         nq = len(x)
@@ -308,12 +311,29 @@ class IndexIVF(Index, Level1Quantizer):
         if sel is not None:
             sel_mask = jnp.asarray(sel.mask_for_ids(self._ids_host))
 
+        lengths_host = None
+        if max_codes:
+            lengths_host = np.bincount(self._listnos_host, minlength=self.nlist)
+
         indexIVF_stats.nq += nq
         for start, padded, real in query_buckets(nq):
             xq = x[start : start + real]
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
             coarse_dis, probes = self._coarse_search(xq, nprobe)
+            if max_codes:
+                # stop probing once the per-query scanned-code budget is hit
+                # (reference: SearchParametersIVF::max_codes, IndexIVF.h:68)
+                ph = np.asarray(probes)
+                cum = np.cumsum(
+                    np.where(ph >= 0, lengths_host[np.maximum(ph, 0)], 0),
+                    axis=1,
+                )
+                keep = np.concatenate(
+                    [np.ones((len(ph), 1), bool), cum[:, :-1] < max_codes],
+                    axis=1,
+                )
+                probes = jnp.asarray(np.where(keep, ph, -1).astype(np.int32))
             xq_dev = jnp.asarray(xq)
             dists, slots = self._scan(xq_dev, probes, coarse_dis, k, dev, sel_mask)
             slots = np.asarray(slots)[:real]

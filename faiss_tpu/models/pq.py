@@ -117,6 +117,38 @@ class IndexPQ(Index):
             I[start : start + real] = i
         return D, I
 
+    def range_search(self, x, radius: float, *, params=None):
+        """ADC range search (reference: IndexPQ range_search) — decode-based
+        thresholding with host CSR assembly."""
+        from ..base import RangeSearchResult
+
+        x = self._check_input(x)
+        nq = len(x)
+        largest = is_similarity_metric(self.metric_type)
+        lims = np.zeros(nq + 1, np.uint64)
+        if self.ntotal == 0:
+            return RangeSearchResult(
+                lims, np.empty(0, np.float32), np.empty(0, np.int64)
+            )
+        recon = self.pq.decode_int(self._codes_host)
+        all_d, all_i = [], []
+        for q in range(nq):
+            if largest:
+                d = recon @ x[q]
+                hit = d > radius
+            else:
+                d = ((recon - x[q][None]) ** 2).sum(1)
+                hit = d < radius
+            idx = np.nonzero(hit)[0]
+            all_d.append(d[idx].astype(np.float32))
+            all_i.append(idx.astype(np.int64))
+            lims[q + 1] = lims[q] + len(idx)
+        return RangeSearchResult(
+            lims,
+            np.concatenate(all_d) if nq else np.empty(0, np.float32),
+            np.concatenate(all_i) if nq else np.empty(0, np.int64),
+        )
+
     # -- reconstruction / codec ----------------------------------------------
     def reconstruct_n(self, n0: int, ni: int) -> np.ndarray:
         return self.pq.decode_int(self._codes_host[n0 : n0 + ni])

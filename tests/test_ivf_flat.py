@@ -123,3 +123,33 @@ def test_empty_lists_and_small_index():
     D, I = index.search(xt[:5], 20)
     assert (I[:, 10:] == -1).all()
     assert (I[:, 0] == np.arange(5)).all()  # self is nearest
+
+
+def test_max_codes_budget(ds, trained):
+    """max_codes limits the scanned candidates
+    (reference: SearchParametersIVF.max_codes)."""
+    xq = ds.get_queries()
+    Dfull, _ = trained.search(xq, 10, params=SearchParametersIVF(nprobe=64))
+    Dlim, Ilim = trained.search(
+        xq, 10, params=SearchParametersIVF(nprobe=64, max_codes=200)
+    )
+    # limited search sees fewer candidates: distances can only be >= full
+    assert (Dlim[np.isfinite(Dlim)] >= -1e-6).all()
+    assert np.nanmean(np.where(np.isfinite(Dlim), Dlim, np.nan)) >= (
+        np.nanmean(np.where(np.isfinite(Dfull), Dfull, np.nan)) - 1e-6
+    )
+    # at least the first probe is always scanned
+    assert (Ilim[:, 0] >= 0).all()
+
+
+def test_pq_range_search(ds):
+    from faiss_tpu.models.pq import IndexPQ
+
+    index = IndexPQ(32, 8, 8)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    D, _ = index.search(ds.get_queries(), 10)
+    radius = float(np.median(D[:, 5]))
+    res = index.range_search(ds.get_queries(), radius)
+    assert (res.distances < radius).all()
+    assert res.lims[-1] > 0
