@@ -217,3 +217,5 @@ from .models.neuralnet_codec import IndexNeuralNetCodec, IndexQINCo  # noqa: F40
 from .models.meta import IndexShardsIVF  # noqa: F401
 
 from .models.imi import MultiIndexQuantizer  # noqa: F401
+
+from .models.panorama import IndexFlatPanorama  # noqa: F401

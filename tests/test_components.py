@@ -501,3 +501,23 @@ def test_imi_ivf_end_to_end(ds):
     gt = ds.get_groundtruth(10)
     _, I = index.search(ds.get_queries(), 10)
     assert recall_at_k(I, gt, 10) > 0.7
+
+
+def test_panorama_matches_flat():
+    """Panorama screened search == exact flat search
+    (cumulative-norm bound screening is near-lossless)."""
+    from faiss_tpu.models.panorama import IndexFlatPanorama
+
+    ds2 = SyntheticDataset(64, 1000, 20000, 50)
+    xb, xq = ds2.get_database(), ds2.get_queries()
+    flat = ft.IndexFlatL2(64)
+    flat.add(xb)
+    Dref, Iref = flat.search(xq, 10)
+
+    pan = IndexFlatPanorama(64, num_levels=4)
+    pan.add(xb)
+    D, I = pan.search(xq, 10)
+    # screening is near-lossless (not guaranteed exact — see class docstring)
+    assert knn_intersection_measure(I, Iref) > 0.99
+    match = I == Iref
+    np.testing.assert_allclose(D[match], Dref[match], rtol=1e-3, atol=1e-3)
