@@ -182,6 +182,8 @@ class IDSelectorArray(IDSelector):
         self.ids = np.unique(np.asarray(ids, dtype=np.int64))
 
     def mask_for_ids(self, ids):
+        if len(self.ids) == 0:
+            return np.zeros(np.shape(ids), bool)
         pos = np.searchsorted(self.ids, ids)
         pos = np.clip(pos, 0, len(self.ids) - 1)
         return self.ids[pos] == ids

@@ -149,8 +149,12 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
             if isinstance(index, IndexIVFPQR):
                 meta["refine_pq"] = _pq_meta(index.refine_pq)
                 meta["k_factor"] = index.k_factor
-                arrays[f"{path}/refine_pq_centroids"] = index.refine_pq.centroids
-                arrays[f"{path}/refine_codes"] = index._refine_codes
+                if index.refine_pq.centroids is not None:
+                    arrays[f"{path}/refine_pq_centroids"] = (
+                        index.refine_pq.centroids
+                    )
+                if index._refine_codes is not None:
+                    arrays[f"{path}/refine_codes"] = index._refine_codes
             if isinstance(index, IndexIVFPQFastScan):
                 meta["bbs"] = index.bbs
         if isinstance(index, IndexIVFScalarQuantizer):
@@ -195,7 +199,21 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
         )
         if isinstance(index, IndexFlat1D):
             meta["continuous_update"] = index.continuous_update
+        from .models.panorama import IndexFlatPanorama
+
+        if isinstance(index, IndexFlatPanorama):
+            meta["num_levels"] = index.num_levels
+            meta["prune_factor"] = index.prune_factor
         arrays[f"{path}/xb"] = index.vectors()
+        return meta
+
+    from .models.imi import MultiIndexQuantizer
+
+    if isinstance(index, MultiIndexQuantizer):
+        meta["pq"] = _pq_meta(index.pq)
+        meta["is_trained"] = index.is_trained
+        if index.pq.centroids is not None:
+            arrays[f"{path}/pq_centroids"] = index.pq.centroids
         return meta
 
     if isinstance(index, B.IndexBinaryFlat):
@@ -404,7 +422,9 @@ def _load(meta, arrays, path: str):
                     quantizer, d, nlist, pq["M"], pq["nbits"], rpq["M"], rpq["nbits"], metric
                 )
                 index.k_factor = meta["k_factor"]
-                index.refine_pq.centroids = arrays[f"{path}/refine_pq_centroids"]
+                index.refine_pq.centroids = arrays.get(
+                    f"{path}/refine_pq_centroids"
+                )
                 index._refine_codes = arrays.get(f"{path}/refine_codes")
             else:
                 index = IndexIVFPQ(quantizer, d, nlist, pq["M"], pq["nbits"], metric)
@@ -447,7 +467,13 @@ def _load(meta, arrays, path: str):
             index.ntotal = len(index._codes_host)
         return index
 
-    if cls in ("IndexFlat", "IndexFlatL2", "IndexFlatIP", "IndexFlat1D"):
+    if cls in (
+        "IndexFlat",
+        "IndexFlatL2",
+        "IndexFlatIP",
+        "IndexFlat1D",
+        "IndexFlatPanorama",
+    ):
         metric = MetricType(meta["metric"])
         if cls == "IndexFlatL2":
             index = IndexFlatL2(meta["d"])
@@ -455,11 +481,27 @@ def _load(meta, arrays, path: str):
             index = IndexFlatIP(meta["d"])
         elif cls == "IndexFlat1D":
             index = IndexFlat1D(meta.get("continuous_update", True))
+        elif cls == "IndexFlatPanorama":
+            from .models.panorama import IndexFlatPanorama
+
+            index = IndexFlatPanorama(meta["d"], meta["num_levels"])
+            index.prune_factor = meta["prune_factor"]
         else:
             index = IndexFlat(meta["d"], metric, meta.get("metric_arg", 0.0))
         xb = arrays[f"{path}/xb"]
         if len(xb):
             index.add(xb)
+        return index
+
+    if cls == "MultiIndexQuantizer":
+        from .models.imi import MultiIndexQuantizer
+
+        pq = meta["pq"]
+        index = MultiIndexQuantizer(pq["d"], pq["M"], pq["nbits"])
+        index.pq.centroids = arrays.get(f"{path}/pq_centroids")
+        index.is_trained = meta["is_trained"]
+        if index.is_trained:
+            index.ntotal = index.pq.ksub ** index.pq.M
         return index
 
     if cls == "IndexBinaryFlat":

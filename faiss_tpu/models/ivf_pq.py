@@ -60,7 +60,11 @@ def _fused_search_rerank(
     slots = jnp.where(
         slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
     )[:, :kc]
-    return rerank_exact(xq, xb, slots, k)
+    D, I = rerank_exact(xq, xb, slots, k)
+    # kernel contract (pallas_knn docstring): a row is lossy iff the best
+    # evicted key beats its kc-th kept key — caller must repair those rows
+    lossy = jnp.min(ev, -1) < v[:, kc - 1]
+    return D, I, lossy
 
 # cap on the term-2 precomputed table size
 # (reference: precomputed_table_max_bytes, IndexIVFPQ.cpp:375 — 2 GiB)
@@ -196,7 +200,12 @@ class IndexIVFPQ(IndexIVF):
         # ct-slot chunk; lists padded with +inf-norm slots)
         ct = self.FUSED_CT
         n = self.ntotal
-        order = np.argsort(listnos, kind="stable")
+        # shuffle within each list: adjacent slots of a list are similar
+        # vectors (sorted by assignment), so the kernel's pair-reduction
+        # would drop co-located true top-k candidates far more often than
+        # the uniform ~1e-3 rate. A random within-list order restores it.
+        perm = np.random.RandomState(0xFA155).permutation(n)
+        order = perm[np.argsort(listnos[perm], kind="stable")]
         sorted_ln = listnos[order]
         lengths = np.bincount(listnos, minlength=self.nlist)
         pads = (-lengths) % ct
@@ -241,7 +250,7 @@ class IndexIVFPQ(IndexIVF):
             xq = x[start : start + real]
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
-            d, slots = _fused_search_rerank(
+            d, slots, lossy = _fused_search_rerank(
                 jnp.asarray(xq),
                 br["centroids"],
                 self.pq._dev(),
@@ -261,7 +270,54 @@ class IndexIVFPQ(IndexIVF):
             I[start : start + real] = np.where(
                 slots >= 0, self._ids_host[np.maximum(slots, 0)], -1
             )
+            bad = np.where(np.asarray(lossy)[:real])[0]
+            if len(bad):
+                Df, If = self._repair_rows_refined(x[start + bad], k, kc,
+                                                   refine_xb)
+                D[start + bad] = Df
+                I[start + bad] = If
         return D, I
+
+    def _repair_rows_refined(self, x_rows, k, kc, refine_xb):
+        """Exact-path redo for kernel-flagged lossy rows: XLA brute ADC
+        top-kc (no pair-reduction loss) + the same exact re-rank."""
+        from ..ops.distances import rerank_exact
+
+        Dc, slots = self._big_batch_xla(x_rows, kc)
+        D, I = rerank_exact(
+            jnp.asarray(x_rows), refine_xb,
+            jnp.asarray(np.where(slots >= 0, slots, -1).astype(np.int32)), k,
+        )
+        I = np.asarray(I).astype(np.int64)
+        return np.asarray(D), np.where(
+            I >= 0, self._ids_host[np.maximum(I, 0)], -1
+        )
+
+    def _big_batch_xla(self, x, k):
+        """Exhaustive ADC via one-hot GEMM + approx select (the exact
+        fallback used for lossy-row repair and CPU runs). Returns slot ids."""
+        from ..base import query_buckets
+
+        nq = len(x)
+        br = self._build_brute()
+        cb = self.pq._dev()
+        D = np.full((nq, k), np.inf, np.float32)
+        S = np.full((nq, k), -1, np.int64)
+        for start, padded, real in query_buckets(nq):
+            xq = x[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            xq_dev = jnp.asarray(xq)
+            luts = -2.0 * pq_ops.pq_ip_tables(xq_dev, cb)
+            qn2 = np.square(xq).sum(1)
+            coarse_ip = xq_dev @ br["centroids"].T
+            dd, ii = pq_ops.ivfpq_brute_adc_knn(
+                luts, coarse_ip, jnp.asarray(qn2), br["codes"],
+                br["listnos"], br["n2"], k,
+            )
+            D[start : start + real] = np.asarray(dd)[:real]
+            S[start : start + real] = np.asarray(ii)[:real]
+        return D, S
 
     def _search_big_batch(self, x, k):
         """Exhaustive ADC over all codes.
@@ -314,6 +370,13 @@ class IndexIVFPQ(IndexIVF):
                 slots = np.where(
                     raw >= 0, br["slot_map"][np.maximum(raw, 0)], -1
                 )
+                # repair kernel-flagged lossy rows (see pallas_knn contract)
+                ev_min = np.asarray(jnp.min(ev, -1))[:real]
+                bad = np.where(ev_min < np.asarray(v)[:real, k - 1])[0]
+                if len(bad):
+                    db, sb = self._big_batch_xla(x[start + bad], k)
+                    d[bad] = db
+                    slots[bad] = sb
             else:
                 coarse_ip = xq_dev @ br["centroids"].T
                 dd, ii = pq_ops.ivfpq_brute_adc_knn(

@@ -125,11 +125,25 @@ class IndexFlatPanorama(IndexFlat):
         from ..ops.distances import rerank_exact
 
         nq = len(x)
-        c = min(self.prune_factor * k, self.ntotal)
+        c = min(self.prune_factor * k, self.ntotal - 1)
         xq1 = jnp.asarray(x[:, :d1])
         q_suf = jnp.asarray(
             np.linalg.norm(x[:, d1:], axis=1).astype(np.float32)
         )
-        _, cand = _panorama_screen(xq1, q_suf, pan["xb1"], pan["b_suf"], c)
-        D, I = rerank_exact(jnp.asarray(x), xb, cand, k)
-        return np.asarray(D), np.asarray(I).astype(np.int64)
+        # screen c+1 so the (c+1)-th smallest LB certifies exactness:
+        # every non-kept candidate has LB >= lbv[:, c], so if the k-th
+        # exact distance <= lbv[:, c] no true top-k candidate was pruned
+        # (the reference maintains the equivalent bound incrementally,
+        # impl/Panorama.h:237).
+        lbv, cand = _panorama_screen(
+            xq1, q_suf, pan["xb1"], pan["b_suf"], c + 1
+        )
+        D, I = rerank_exact(jnp.asarray(x), xb, cand[:, :c], k)
+        D = np.array(D)
+        I = np.array(I).astype(np.int64)
+        uncertified = np.where(D[:, k - 1] > np.asarray(lbv[:, c]))[0]
+        if len(uncertified):
+            Df, If = super().search(x[uncertified], k, params=params)
+            D[uncertified] = Df
+            I[uncertified] = If
+        return D, I

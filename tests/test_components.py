@@ -517,7 +517,79 @@ def test_panorama_matches_flat():
     pan = IndexFlatPanorama(64, num_levels=4)
     pan.add(xb)
     D, I = pan.search(xq, 10)
-    # screening is near-lossless (not guaranteed exact — see class docstring)
-    assert knn_intersection_measure(I, Iref) > 0.99
-    match = I == Iref
-    np.testing.assert_allclose(D[match], Dref[match], rtol=1e-3, atol=1e-3)
+    # exact: the certificate falls back to the flat path for any query whose
+    # k-th exact distance beats the (C+1)-th smallest lower bound
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+    assert knn_intersection_measure(I, Iref) > 0.999
+
+
+def test_panorama_exact_when_level1_uninformative():
+    """Adversarial case: the first d/num_levels dims are constant, so the
+    level-1 partial distance carries no signal — the certificate must route
+    every query through the exact fallback (reference index is exact,
+    impl/Panorama.h:237)."""
+    from faiss_tpu.models.panorama import IndexFlatPanorama
+
+    rs = np.random.RandomState(7)
+    d, nb, nq = 64, 20000, 30
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    xb[:, : d // 4] = 1.0
+    xq[:, : d // 4] = 1.0
+    flat = ft.IndexFlatL2(d)
+    flat.add(xb)
+    Dref, Iref = flat.search(xq, 10)
+    pan = IndexFlatPanorama(d, num_levels=4)
+    pan.add(xb)
+    D, I = pan.search(xq, 10)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+    assert knn_intersection_measure(I, Iref) > 0.999
+
+
+def test_io_panorama_and_imi(ds):
+    from faiss_tpu.models.imi import MultiIndexQuantizer
+    from faiss_tpu.models.panorama import IndexFlatPanorama
+
+    pan = IndexFlatPanorama(32, num_levels=4)
+    pan.add(ds.get_database())
+    r = ft.deserialize_index(ft.serialize_index(pan))
+    assert r.num_levels == 4 and r.prune_factor == pan.prune_factor
+    D1, I1 = pan.search(ds.get_queries(), 5)
+    D2, I2 = r.search(ds.get_queries(), 5)
+    np.testing.assert_array_equal(I1, I2)
+
+    imi = MultiIndexQuantizer(32, 2, 4)
+    imi.train(ds.get_train())
+    r = ft.deserialize_index(ft.serialize_index(imi))
+    assert r.ntotal == imi.ntotal
+    D1, I1 = imi.search(ds.get_queries(), 5)
+    D2, I2 = r.search(ds.get_queries(), 5)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-6)
+
+
+def test_io_ivfpqr_trained_empty(ds):
+    """Trained-but-empty IVFPQR must round-trip (refine codes are None)."""
+    index = ft.IndexIVFPQR(None, 32, 16, 4, 8, 4, 8)
+    index.train(ds.get_train())
+    r = ft.deserialize_index(ft.serialize_index(index))
+    assert r.is_trained and r.ntotal == 0
+    r.add(ds.get_database())
+    index.add(ds.get_database())
+    D1, I1 = index.search(ds.get_queries(), 5)
+    D2, I2 = r.search(ds.get_queries(), 5)
+    np.testing.assert_array_equal(I1, I2)
+
+
+def test_idselector_array_empty(ds):
+    """Empty IDSelectorArray matches nothing (reference IDSelectorArray n=0)."""
+    from faiss_tpu.base import IDSelectorArray, SearchParameters
+
+    index = ft.IndexFlatL2(32)
+    index.add(ds.get_database())
+    sel = IDSelectorArray([])
+    assert not sel.is_member(3)
+    D, I = index.search(
+        ds.get_queries()[:4], 5, params=SearchParameters(sel=sel)
+    )
+    assert (I == -1).all()
