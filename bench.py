@@ -96,6 +96,9 @@ def main():
     t0 = time.time()
     base = ft.IndexIVFPQFastScan(None, d, 4096, 32, 4)
     base.cp.niter = 20
+    # big-batch now honors nprobe (round-2); the fused kernel streams all
+    # codes either way, so the best operating point is full probing
+    base.nprobe = 4096
     index = ft.IndexRefineFlat(base)
     index.k_factor = 12  # re-rank top-120 exact (the RFlat suffix operating
     # point; reference bench_all_ivf uses the same pattern for 4-bit codes)

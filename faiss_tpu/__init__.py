@@ -191,6 +191,8 @@ from .stats import MatrixStats  # noqa: F401
 
 from .models.rabitq import IndexIVFRaBitQ, IndexRaBitQ  # noqa: F401
 from .codecs.rabitq import RaBitQuantizer  # noqa: F401
+from .models.eden import IndexEDEN, IndexIVFEDEN  # noqa: F401
+from .codecs.eden import EDENQuantizer, EDENScaleType  # noqa: F401
 from .callbacks import (  # noqa: F401
     InterruptCallback,
     InterruptedException,

@@ -27,6 +27,51 @@ MIN_QUERY_BUCKET = 128
 MAX_QUERY_BATCH = 8192
 
 
+# ---------------------------------------------------------------------------
+# shared H2D staging for add pipelines. Uploading the vector batch once and
+# letting every consumer (coarse assignment, residual encode, refine storage)
+# reuse the device copy is the TPU analogue of the reference GPU backend's
+# paged add with pinned double buffering (gpu/GpuIndex.cu:554) — over the
+# tunnel one 512 MB upload costs ~11 s, so duplicates dominate add().
+# ---------------------------------------------------------------------------
+
+_stage_cache = {}
+
+
+def _stage_key(x: np.ndarray):
+    return (x.ctypes.data, x.shape, str(x.dtype))
+
+
+def staged_device(x):
+    """Device copy of ``x`` if one is staged (else None)."""
+    if not isinstance(x, np.ndarray):
+        return None
+    return _stage_cache.get(_stage_key(x))
+
+
+class device_staging:
+    """Context manager: stage ``x`` on device for the duration of an add
+    flow; nested uses reuse the same copy, the outermost one releases it."""
+
+    def __init__(self, x):
+        self.x = x
+
+    def __enter__(self):
+        import jax.numpy as jnp
+
+        key = _stage_key(self.x)
+        dev = _stage_cache.get(key)
+        self._owner = dev is None
+        if dev is None:
+            dev = _stage_cache[key] = jnp.asarray(self.x)
+        return dev
+
+    def __exit__(self, *exc):
+        if self._owner:
+            _stage_cache.pop(_stage_key(self.x), None)
+        return False
+
+
 def query_buckets(nq: int, max_batch: int = MAX_QUERY_BATCH):
     """Split nq into (start, padded_len, real_len) power-of-two buckets."""
     out = []

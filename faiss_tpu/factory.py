@@ -121,6 +121,17 @@ def _parse_ivf_encoding(tok: str, quantizer, d: int, nlist: int, metric):
         )
     if m := re.fullmatch(r"PQ(\d+)", tok):
         return IndexIVFPQ(quantizer, d, nlist, int(m.group(1)), 8, metric)
+    if m := re.fullmatch(r"EDEN([1-8])?(BIASED|BIAS)?", tok):
+        from .codecs.eden import EDENScaleType
+        from .models.eden import IndexIVFEDEN
+
+        st = (
+            EDENScaleType.BIASED if m.group(2) else EDENScaleType.UNBIASED
+        )
+        return IndexIVFEDEN(
+            quantizer, d, nlist, metric,
+            int(m.group(1)) if m.group(1) else 1, st,
+        )
     return None
 
 
@@ -153,6 +164,16 @@ def _parse_flat_encoding(tok: str, d: int, metric):
         from .models.panorama import IndexFlatPanorama
 
         return IndexFlatPanorama(d, int(m.group(1)) if m.group(1) else 4, metric)
+    if m := re.fullmatch(r"EDEN([1-8])?(BIASED|BIAS)?", tok):
+        from .codecs.eden import EDENScaleType
+        from .models.eden import IndexEDEN
+
+        st = (
+            EDENScaleType.BIASED if m.group(2) else EDENScaleType.UNBIASED
+        )
+        return IndexEDEN(
+            d, metric, int(m.group(1)) if m.group(1) else 1, st
+        )
     if tok in _SQ_TYPES:
         return IndexScalarQuantizer(d, _SQ_TYPES[tok], metric)
     if m := re.fullmatch(r"PQ(\d+)x4fs(?:_(\d+))?", tok):

@@ -161,6 +161,11 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
             meta["qtype"] = int(index.sq.qtype)
             if index.sq.trained is not None:
                 arrays[f"{path}/sq_trained"] = index.sq.trained
+        from .models.eden import IndexIVFEDEN
+
+        if isinstance(index, IndexIVFEDEN):
+            meta["nb_bits"] = index.eden.nb_bits
+            meta["scale_type"] = int(index.eden.scale_type)
         return meta
 
     if isinstance(index, IndexScalarQuantizer):
@@ -231,8 +236,23 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
         return meta
 
     from .models.aq import IndexAdditiveQuantizer, IndexIVFAdditiveQuantizer
+    from .models.eden import IndexEDEN, IndexIVFEDEN
     from .models.nsg import IndexNSGFlat
     from .models.rabitq import IndexIVFRaBitQ, IndexRaBitQ
+
+    if isinstance(index, IndexEDEN):
+        meta.update(
+            d=index.d,
+            metric=int(index.metric_type),
+            nb_bits=index.eden.nb_bits,
+            scale_type=int(index.eden.scale_type),
+            is_trained=index.is_trained,
+        )
+        arrays[f"{path}/center"] = index.center
+        if index._codes is not None:
+            arrays[f"{path}/codes"] = index._codes
+            arrays[f"{path}/factors"] = index._factors
+        return meta
 
     if isinstance(index, IndexAdditiveQuantizer):
         meta.update(
@@ -399,11 +419,20 @@ def _load(meta, arrays, path: str):
         "IndexIVFPQFastScan",
         "IndexIVFPQR",
         "IndexIVFScalarQuantizer",
+        "IndexIVFEDEN",
     ):
         quantizer = _load(meta["quantizer"], arrays, f"{path}/quantizer")
         d, nlist, metric = meta["d"], meta["nlist"], MetricType(meta["metric"])
         if cls == "IndexIVFFlat":
             index = IndexIVFFlat(quantizer, d, nlist, metric)
+        elif cls == "IndexIVFEDEN":
+            from .codecs.eden import EDENScaleType
+            from .models.eden import IndexIVFEDEN
+
+            index = IndexIVFEDEN(
+                quantizer, d, nlist, metric, meta["nb_bits"],
+                EDENScaleType(meta["scale_type"]),
+            )
         elif cls == "IndexIVFScalarQuantizer":
             index = IndexIVFScalarQuantizer(
                 quantizer, d, nlist, QuantizerType(meta["qtype"]), metric
@@ -547,6 +576,22 @@ def _load(meta, arrays, path: str):
             index._codes_int = arrays[f"{path}/codes"]
             index._norms = arrays[f"{path}/norms"]
             index.ntotal = len(index._codes_int)
+        return index
+
+    if cls == "IndexEDEN":
+        from .codecs.eden import EDENScaleType
+        from .models.eden import IndexEDEN
+
+        index = IndexEDEN(
+            meta["d"], MetricType(meta["metric"]), meta["nb_bits"],
+            EDENScaleType(meta["scale_type"]),
+        )
+        index.center = arrays[f"{path}/center"]
+        index.is_trained = meta["is_trained"]
+        if f"{path}/codes" in arrays:
+            index._codes = arrays[f"{path}/codes"]
+            index._factors = arrays[f"{path}/factors"]
+            index.ntotal = len(index._codes)
         return index
 
     if cls == "IndexRaBitQ":

@@ -34,8 +34,23 @@ class IndexFlat(Index):
 
     # -- population -------------------------------------------------------
     def add(self, x) -> None:
+        from ..base import staged_device
+
         x = self._check_input(x)
         if len(x) == 0:
+            return
+        dev = staged_device(x)
+        if dev is not None and not self._pending:
+            # an add flow already uploaded this batch — append the device
+            # copy directly instead of re-uploading at consolidation
+            import jax.numpy as jnp
+
+            self._xb = (
+                dev if self._xb is None else jnp.concatenate([self._xb, dev])
+            )
+            self._norms = None
+            self._xbT = None
+            self.ntotal += len(x)
             return
         self._pending.append(x)
         self.ntotal += len(x)

@@ -137,10 +137,23 @@ class IndexIVF(Index, Level1Quantizer):
         self.add_with_ids(x, None)
 
     def add_with_ids(self, x, ids) -> None:
+        from ..base import device_staging
+
         x = self._check_input(x)
         self._check_trained()
         n = len(x)
         if n == 0:
+            return
+        if isinstance(self.quantizer, IndexFlat) and n >= 4096:
+            # bulk path: stage x on device ONCE; assignment, residual
+            # encoding and any refine-index storage reuse the same copy
+            # (gpu/GpuIndex.cu:554 paged-add analogue)
+            with device_staging(x) as x_dev:
+                _, assign = dops.assign_flat(
+                    x_dev, self.quantizer._consolidate(),
+                    metric=self.quantizer.metric_type,
+                )
+                self.add_core(x, ids, np.asarray(assign))
             return
         _, assign = self.quantizer.search(x, 1)
         self.add_core(x, ids, assign.ravel())

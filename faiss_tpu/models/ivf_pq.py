@@ -27,35 +27,107 @@ from ..ops.ivf_ops import ivf_pq_scan
 from .ivf import IndexIVF
 
 
+def pack_invlists_grouped(listnos, nlist, ct, seed=0xFA155):
+    """Group-packed layout for the fused ADC kernel (pallas_knn docstring).
+
+    Lists are bin-packed into groups of <=128 lists balanced by slot count
+    (greedy longest-first), every group padded to a COMMON chunk count so
+    chunk->group is the static map ``j // cpg``. Within-list order is
+    shuffled so the kernel's pair-reduction sees decorrelated candidates.
+
+    Returns a dict with:
+      pos       [n]    packed position of every input slot
+      order     [n]    input slot per packed rank (pos[i] places order-th)
+      slot_map  [S]    input slot per packed position (-1 = pad)
+      lid       [S]    local list id (0..127) within the group (<- 0 on pads)
+      list_perm [ngroups*128] original list id per grouped column (-1 unused)
+      ngroups, cpg, S
+    """
+    import heapq
+
+    n = len(listnos)
+    lengths = np.bincount(listnos, minlength=nlist).astype(np.int64)
+    ngroups = max(1, -(-nlist // 128))
+    # greedy balance: longest lists first into the lightest group
+    heap = [(0, 0, g) for g in range(ngroups)]
+    heapq.heapify(heap)
+    group_lists = [[] for _ in range(ngroups)]
+    for li in np.argsort(-lengths, kind="stable"):
+        slots, cnt, g = heapq.heappop(heap)
+        group_lists[g].append(int(li))
+        cnt += 1
+        if cnt < 128:
+            heapq.heappush(heap, (slots + int(lengths[li]), cnt, g))
+    cpg = max(
+        1,
+        max(
+            -(-int(sum(lengths[li] for li in gl)) // ct)
+            for gl in group_lists
+        ),
+    )
+    S = ngroups * cpg * ct
+    packed_start = np.zeros(nlist, np.int64)
+    local_of = np.zeros(nlist, np.int32)
+    list_perm = np.full(ngroups * 128, -1, np.int64)
+    for g, gl in enumerate(group_lists):
+        running = g * cpg * ct
+        for loc, li in enumerate(gl):
+            packed_start[li] = running
+            local_of[li] = loc
+            list_perm[g * 128 + loc] = li
+            running += int(lengths[li])
+
+    perm = np.random.RandomState(seed).permutation(n)
+    order = perm[np.argsort(listnos[perm], kind="stable")]
+    sorted_ln = listnos[order]
+    off = np.zeros(nlist, np.int64)
+    np.cumsum(lengths[:-1], out=off[1:])
+    rank = np.arange(n, dtype=np.int64) - off[sorted_ln]
+    pos = packed_start[sorted_ln] + rank
+    slot_map = np.full(S, -1, np.int64)
+    slot_map[pos] = order
+    lid = np.zeros(S, np.int32)
+    lid[pos] = local_of[sorted_ln]
+    return {
+        "pos": pos,
+        "order": order,
+        "slot_map": slot_map,
+        "lid": lid,
+        "list_perm": list_perm,
+        "ngroups": ngroups,
+        "cpg": cpg,
+        "S": S,
+    }
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "kc", "qt", "ct", "nlist")
+    jax.jit, static_argnames=("k", "kc", "qt", "ct", "nprobe")
 )
 def _fused_search_rerank(
-    xq, centroids, pq_cb, chunk_list, codesT, n2s, slot_map, xb,
-    k, kc, qt, ct, nlist,
+    xq, centroids_g, cn2g, pq_cb, codesT, n2s, lid, slot_map, xb,
+    k, kc, qt, ct, nprobe,
 ):
     """One-dispatch big-batch IVFPQ search + exact re-rank.
 
-    Chains: ADC LUTs + coarse bias (MXU) -> fused Pallas ADC+select ->
-    slot translation -> exact re-rank of the top kc (gather + contraction).
-    Keeping it in one program avoids per-op tunnel round-trips (~35 ms each)
-    and all host staging.
+    Chains: ADC LUTs + grouped coarse bias (MXU, optionally nprobe-masked) ->
+    fused Pallas ADC+select -> slot translation -> exact re-rank of the top
+    kc (gather + contraction). Keeping it in one program avoids per-op
+    tunnel round-trips (~35 ms each) and all host staging.
     """
     from ..ops.distances import rerank_exact
     from ..ops.pallas_knn import ivfpq_fused_pallas
 
     luts = -2.0 * pq_ops.pq_ip_tables(xq, pq_cb)
-    cm2 = -2.0 * (xq @ centroids.T)
-    bias_cols = jnp.take(cm2, chunk_list, axis=1)
+    cm2 = _masked_coarse_bias(xq, centroids_g, cn2g, nprobe)
     nq = xq.shape[0]
     v, slots_raw, ev = ivfpq_fused_pallas(
-        bias_cols,
+        cm2,
         luts.reshape(nq, -1).astype(jnp.bfloat16),
         codesT,
         n2s,
+        lid,
         qt=qt,
         ct=ct,
-        nlist=nlist,
     )
     slots = jnp.where(
         slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
@@ -65,6 +137,26 @@ def _fused_search_rerank(
     # evicted key beats its kc-th kept key — caller must repair those rows
     lossy = jnp.min(ev, -1) < v[:, kc - 1]
     return D, I, lossy
+
+
+def _masked_coarse_bias(xq, centroids_g, cn2g, nprobe):
+    """-2 q.c per grouped list column; unprobed columns get +1e9 (the
+    nprobe-faithful mask — search_preassigned semantics, IndexIVF.cpp:401).
+    ``nprobe == 0`` means exhaustive (no masking); unused group columns are
+    never probed because their cn2g is +inf."""
+    cm2 = -2.0 * jax.lax.dot_general(
+        xq, centroids_g, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if nprobe:
+        key = cn2g[None, :] + cm2  # coarse L2 distance (missing ||q||^2)
+        _, cols = jax.lax.top_k(-key, nprobe)
+        rows = jnp.arange(xq.shape[0], dtype=jnp.int32)[:, None]
+        probed = (
+            jnp.zeros(cm2.shape, jnp.bool_).at[rows, cols].set(True)
+        )
+        cm2 = jnp.where(probed, cm2, 1e9)
+    return cm2
 
 # cap on the term-2 precomputed table size
 # (reference: precomputed_table_max_bytes, IndexIVFPQ.cpp:375 — 2 GiB)
@@ -111,6 +203,24 @@ class IndexIVFPQ(IndexIVF):
 
     # -- codec ---------------------------------------------------------------
     def encode_vectors(self, x, listnos):
+        from ..base import staged_device
+        from .flat import IndexFlat
+
+        x_dev = staged_device(x) if isinstance(x, np.ndarray) else None
+        if (
+            x_dev is not None
+            and isinstance(self.quantizer, IndexFlat)
+            and self.pq.nbits <= 8
+        ):
+            # residual + PQ assignment fully on device from the staged copy
+            cent = self.quantizer._consolidate()
+            resid = (
+                x_dev - cent[jnp.asarray(listnos, jnp.int32)]
+                if self.by_residual
+                else x_dev
+            )
+            codes = pq_ops.pq_encode(resid, self.pq._dev())
+            return np.asarray(codes).astype(np.uint8)
         if self.by_residual:
             x = x - self._centroids_host()[listnos]
         return self.pq.compute_codes_int(x)
@@ -168,7 +278,7 @@ class IndexIVFPQ(IndexIVF):
         }
 
     # -- big-batch exhaustive-ADC implem ------------------------------------------
-    FUSED_CT = 256  # slots per kernel chunk (one inverted list per chunk)
+    FUSED_CT = 1024  # slots per kernel chunk (group-packed, multi-list)
 
     def _build_brute(self):
         if self._brute is not None:
@@ -196,49 +306,36 @@ class IndexIVFPQ(IndexIVF):
             "n2": jnp.asarray(n2),
             "centroids": jnp.asarray(centroids),
         }
-        # fused-kernel staging: list-major chunked layout (one list per
-        # ct-slot chunk; lists padded with +inf-norm slots)
-        ct = self.FUSED_CT
-        n = self.ntotal
-        # shuffle within each list: adjacent slots of a list are similar
-        # vectors (sorted by assignment), so the kernel's pair-reduction
-        # would drop co-located true top-k candidates far more often than
-        # the uniform ~1e-3 rate. A random within-list order restores it.
-        perm = np.random.RandomState(0xFA155).permutation(n)
-        order = perm[np.argsort(listnos[perm], kind="stable")]
-        sorted_ln = listnos[order]
-        lengths = np.bincount(listnos, minlength=self.nlist)
-        pads = (-lengths) % ct
-        S = int((lengths + pads).sum())
-        starts = np.concatenate([[0], np.cumsum(lengths + pads)[:-1]])
-        offs_in = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-        pos = starts[sorted_ln] + (np.arange(n) - offs_in[sorted_ln])
-        slot_map = np.full(S, -1, np.int64)
-        slot_map[pos] = order
+        # fused-kernel staging: group-packed layout (lists bin-packed into
+        # 128-list groups; within-list order shuffled so pair-reduction sees
+        # decorrelated candidates — see pack_invlists_grouped)
+        g = pack_invlists_grouped(listnos, self.nlist, self.FUSED_CT)
+        pos, order, S = g["pos"], g["order"], g["S"]
         codesT = np.zeros((pq.M, S), np.uint8)
         codesT[:, pos] = codes[order].T
         n2s = np.full((1, S), np.inf, np.float32)
         n2s[0, pos] = n2[order]
-        chunk_list = np.repeat(
-            np.arange(self.nlist, dtype=np.int64), (lengths + pads) // ct
-        )
-        padc = (-len(chunk_list)) % 128
-        chunk_list_pad = np.pad(chunk_list, (0, padc))  # pad cols reuse list 0
+        lp = g["list_perm"]
+        cent_g = np.zeros((len(lp), centroids.shape[1]), np.float32)
+        cent_g[lp >= 0] = centroids[lp[lp >= 0]]
+        cn2g = np.full(len(lp), np.inf, np.float32)
+        cn2g[lp >= 0] = (cent_g[lp >= 0] ** 2).sum(1)
         self._brute.update(
             codesT=jnp.asarray(codesT),
             n2s=jnp.asarray(n2s),
-            chunk_list=chunk_list,
-            chunk_list_dev=jnp.asarray(chunk_list_pad.astype(np.int32)),
-            slot_map=slot_map,
-            slot_map_dev=jnp.asarray(
-                np.where(slot_map >= 0, slot_map, -1).astype(np.int32)
-            ),
+            lid=jnp.asarray(g["lid"][None, :]),
+            centroids_g=jnp.asarray(cent_g),
+            cn2g=jnp.asarray(cn2g),
+            slot_map=g["slot_map"],
+            slot_map_dev=jnp.asarray(g["slot_map"].astype(np.int32)),
         )
         return self._brute
 
-    def _search_big_batch_refined(self, x, k, kc, refine_xb):
+    def _search_big_batch_refined(self, x, k, kc, refine_xb, nprobe=0):
         """Big-batch search + exact re-rank in one device program
-        (used by IndexRefineFlat when wrapping this index)."""
+        (used by IndexRefineFlat when wrapping this index).
+        ``nprobe == 0`` scans everything; otherwise unprobed lists are
+        masked in the coarse bias (faithful nprobe semantics)."""
         from ..base import query_buckets
 
         nq = len(x)
@@ -246,24 +343,27 @@ class IndexIVFPQ(IndexIVF):
         D = np.full((nq, k), np.inf, np.float32)
         I = np.full((nq, k), -1, np.int64)
         kc = min(kc, 128)
+        if nprobe >= self.nlist:
+            nprobe = 0
         for start, padded, real in query_buckets(nq):
             xq = x[start : start + real]
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
             d, slots, lossy = _fused_search_rerank(
                 jnp.asarray(xq),
-                br["centroids"],
+                br["centroids_g"],
+                br["cn2g"],
                 self.pq._dev(),
-                br["chunk_list_dev"],
                 br["codesT"],
                 br["n2s"],
+                br["lid"],
                 br["slot_map_dev"],
                 refine_xb,
                 k,
                 kc,
                 min(padded, 256),
                 self.FUSED_CT,
-                self.nlist,
+                nprobe,
             )
             slots = np.asarray(slots)[:real, :k]
             D[start : start + real] = np.asarray(d)[:real, :k]
@@ -272,18 +372,19 @@ class IndexIVFPQ(IndexIVF):
             )
             bad = np.where(np.asarray(lossy)[:real])[0]
             if len(bad):
-                Df, If = self._repair_rows_refined(x[start + bad], k, kc,
-                                                   refine_xb)
+                Df, If = self._repair_rows_refined(
+                    x[start + bad], k, kc, refine_xb, nprobe
+                )
                 D[start + bad] = Df
                 I[start + bad] = If
         return D, I
 
-    def _repair_rows_refined(self, x_rows, k, kc, refine_xb):
+    def _repair_rows_refined(self, x_rows, k, kc, refine_xb, nprobe=0):
         """Exact-path redo for kernel-flagged lossy rows: XLA brute ADC
         top-kc (no pair-reduction loss) + the same exact re-rank."""
         from ..ops.distances import rerank_exact
 
-        Dc, slots = self._big_batch_xla(x_rows, kc)
+        Dc, slots = self._big_batch_xla(x_rows, kc, nprobe)
         D, I = rerank_exact(
             jnp.asarray(x_rows), refine_xb,
             jnp.asarray(np.where(slots >= 0, slots, -1).astype(np.int32)), k,
@@ -293,7 +394,7 @@ class IndexIVFPQ(IndexIVF):
             I >= 0, self._ids_host[np.maximum(I, 0)], -1
         )
 
-    def _big_batch_xla(self, x, k):
+    def _big_batch_xla(self, x, k, nprobe=0):
         """Exhaustive ADC via one-hot GEMM + approx select (the exact
         fallback used for lossy-row repair and CPU runs). Returns slot ids."""
         from ..base import query_buckets
@@ -301,6 +402,8 @@ class IndexIVFPQ(IndexIVF):
         nq = len(x)
         br = self._build_brute()
         cb = self.pq._dev()
+        if nprobe >= self.nlist:
+            nprobe = 0
         D = np.full((nq, k), np.inf, np.float32)
         S = np.full((nq, k), -1, np.int64)
         for start, padded, real in query_buckets(nq):
@@ -311,16 +414,33 @@ class IndexIVFPQ(IndexIVF):
             luts = -2.0 * pq_ops.pq_ip_tables(xq_dev, cb)
             qn2 = np.square(xq).sum(1)
             coarse_ip = xq_dev @ br["centroids"].T
+            if nprobe:
+                cn2 = jnp.sum(jnp.square(br["centroids"]), -1)
+                key = cn2[None, :] - 2.0 * coarse_ip
+                _, cols = jax.lax.top_k(-key, nprobe)
+                rows = jnp.arange(coarse_ip.shape[0])[:, None]
+                probed = (
+                    jnp.zeros(coarse_ip.shape, jnp.bool_)
+                    .at[rows, cols]
+                    .set(True)
+                )
+                coarse_ip = jnp.where(probed, coarse_ip, -5e8)
             dd, ii = pq_ops.ivfpq_brute_adc_knn(
                 luts, coarse_ip, jnp.asarray(qn2), br["codes"],
                 br["listnos"], br["n2"], k,
             )
-            D[start : start + real] = np.asarray(dd)[:real]
-            S[start : start + real] = np.asarray(ii)[:real]
+            ddh = np.asarray(dd)[:real]
+            iih = np.asarray(ii)[:real]
+            if nprobe:  # candidates from masked lists are not results
+                iih = np.where(ddh < 5e8, iih, -1)
+                ddh = np.where(ddh < 5e8, ddh, np.inf)
+            D[start : start + real] = ddh
+            S[start : start + real] = iih
         return D, S
 
-    def _search_big_batch(self, x, k):
-        """Exhaustive ADC over all codes.
+    def _search_big_batch(self, x, k, nprobe=0):
+        """Big-batch ADC over the group-packed layout (``nprobe == 0`` =
+        exhaustive; otherwise the coarse bias masks unprobed lists).
 
         Preferred path: the fused Pallas ADC+select kernel
         (ops/pallas_knn.ivfpq_fused_pallas) on TPU for k <= 128; fallback is
@@ -333,11 +453,19 @@ class IndexIVFPQ(IndexIVF):
         nq = len(x)
         br = self._build_brute()
         cb = self.pq._dev()
+        if nprobe >= self.nlist:
+            nprobe = 0
         use_fused = (
             jax.default_backend() not in ("cpu",)
             and k <= 128
             and self.pq.ksub <= 16
         )
+        if not use_fused:
+            D, S = self._big_batch_xla(x, k, nprobe)
+            I = np.where(S >= 0, self._ids_host[np.maximum(S, 0)], -1)
+            return D, I
+        from ..ops.pallas_knn import ivfpq_fused_pallas
+
         D = np.full((nq, k), np.inf, np.float32)
         I = np.full((nq, k), -1, np.int64)
         for start, padded, real in query_buckets(nq):
@@ -347,44 +475,37 @@ class IndexIVFPQ(IndexIVF):
             xq_dev = jnp.asarray(xq)
             luts = -2.0 * pq_ops.pq_ip_tables(xq_dev, cb)
             qn2 = np.square(xq).sum(1)
-            if use_fused:
-                from ..ops.pallas_knn import ivfpq_fused_pallas
-
-                # all staging stays on device: a host round-trip of the
-                # [nq, nchunks] bias matrix costs seconds over the tunnel
-                cm2 = -2.0 * (xq_dev @ br["centroids"].T)
-                bias_cols = jnp.take(cm2, br["chunk_list_dev"], axis=1)
-                qt = min(padded, 256)
-                v, slots_dev, ev = ivfpq_fused_pallas(
-                    bias_cols,
-                    jnp.asarray(luts.reshape(padded, -1), jnp.bfloat16),
-                    br["codesT"],
-                    br["n2s"],
-                    qt=qt,
-                    ct=self.FUSED_CT,
-                    nlist=self.nlist,
-                )
-                d = np.asarray(v)[:real, :k] + qn2[:real, None]
-                d = np.maximum(d, 0.0)
-                raw = np.asarray(slots_dev)[:real, :k]
-                slots = np.where(
-                    raw >= 0, br["slot_map"][np.maximum(raw, 0)], -1
-                )
-                # repair kernel-flagged lossy rows (see pallas_knn contract)
-                ev_min = np.asarray(jnp.min(ev, -1))[:real]
-                bad = np.where(ev_min < np.asarray(v)[:real, k - 1])[0]
-                if len(bad):
-                    db, sb = self._big_batch_xla(x[start + bad], k)
-                    d[bad] = db
-                    slots[bad] = sb
-            else:
-                coarse_ip = xq_dev @ br["centroids"].T
-                dd, ii = pq_ops.ivfpq_brute_adc_knn(
-                    luts, coarse_ip, jnp.asarray(qn2), br["codes"],
-                    br["listnos"], br["n2"], k,
-                )
-                d = np.asarray(dd)[:real]
-                slots = np.asarray(ii)[:real]
+            # all staging stays on device: a host round-trip of the
+            # [nq, ngroups*128] bias matrix costs seconds over the tunnel
+            cm2 = _masked_coarse_bias(
+                xq_dev, br["centroids_g"], br["cn2g"], nprobe
+            )
+            qt = min(padded, 256)
+            v, slots_dev, ev = ivfpq_fused_pallas(
+                cm2,
+                jnp.asarray(luts.reshape(padded, -1), jnp.bfloat16),
+                br["codesT"],
+                br["n2s"],
+                br["lid"],
+                qt=qt,
+                ct=self.FUSED_CT,
+            )
+            d = np.asarray(v)[:real, :k] + qn2[:real, None]
+            raw = np.asarray(slots_dev)[:real, :k]
+            slots = np.where(
+                raw >= 0, br["slot_map"][np.maximum(raw, 0)], -1
+            )
+            if nprobe:  # masked-list sentinels are not results
+                slots = np.where(d < 5e8, slots, -1)
+                d = np.where(d < 5e8, d, np.inf)
+            d = np.maximum(d, 0.0)
+            # repair kernel-flagged lossy rows (see pallas_knn contract)
+            ev_min = np.asarray(jnp.min(ev, -1))[:real]
+            bad = np.where(ev_min < np.asarray(v)[:real, k - 1])[0]
+            if len(bad):
+                db, sb = self._big_batch_xla(x[start + bad], k, nprobe)
+                d[bad] = db
+                slots[bad] = sb
             D[start : start + real] = d
             I[start : start + real] = np.where(
                 slots >= 0, self._ids_host[np.maximum(slots, 0)], -1
@@ -403,7 +524,10 @@ class IndexIVFPQ(IndexIVF):
         )
         if use_big:
             self._check_trained()
-            return self._search_big_batch(x, k)
+            nprobe = self.nprobe
+            if params is not None and getattr(params, "nprobe", 0):
+                nprobe = params.nprobe
+            return self._search_big_batch(x, k, min(nprobe, self.nlist))
         return super().search(x, k, params=params)
 
     def add_core(self, x, ids, listnos) -> None:

@@ -227,8 +227,19 @@ class IndexRefine(Index):
         self.is_trained = True
 
     def add(self, x) -> None:
-        self.base_index.add(x)
-        self.refine_index.add(x)
+        import jax
+
+        from ..base import device_staging
+
+        x = self._check_input(x)
+        if len(x) >= 4096 and jax.default_backend() not in ("cpu",):
+            # one H2D upload shared by the base add AND the refine storage
+            with device_staging(x):
+                self.base_index.add(x)
+                self.refine_index.add(x)
+        else:
+            self.base_index.add(x)
+            self.refine_index.add(x)
         self.ntotal = self.base_index.ntotal
 
     def reset(self) -> None:
@@ -239,7 +250,6 @@ class IndexRefine(Index):
     def search(self, x, k, *, params=None):
         x = self._check_input(x)
         kc = max(k, int(round(k * self.k_factor)))
-        _, Ic = self.base_index.search(x, kc, params=params)
         largest = is_similarity_metric(self.metric_type)
         nq = len(x)
 
@@ -261,10 +271,17 @@ class IndexRefine(Index):
             import jax
 
             if jax.default_backend() not in ("cpu",):
-                # single-dispatch fused search + re-rank
+                # single-dispatch fused search + re-rank (the base search
+                # happens INSIDE this program — do not search twice)
+                nprobe = self.base_index.nprobe
+                if params is not None and getattr(params, "nprobe", 0):
+                    nprobe = params.nprobe
                 return self.base_index._search_big_batch_refined(
-                    x, k, kc, self.refine_index._consolidate()
+                    x, k, kc, self.refine_index._consolidate(),
+                    min(nprobe, self.base_index.nlist),
                 )
+
+        _, Ic = self.base_index.search(x, kc, params=params)
 
         if isinstance(self.refine_index, IndexFlat) and self.refine_index.ntotal:
             # vectorized device re-rank (one gather + batched contraction)

@@ -263,6 +263,43 @@ def knn(
     return vals, ids.astype(jnp.int64)
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "chunk"))
+def assign_flat(
+    x: jax.Array,  # [n, d] device
+    centroids: jax.Array,  # [nc, d]
+    metric: MetricType = MetricType.L2,
+    chunk: int = 1 << 14,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-1 assignment of a LARGE batch against a flat centroid set,
+    chunked over queries under one jit (the bulk-add / k-means assign path;
+    the reference pages CPU inputs through the GPU the same way,
+    gpu/GpuIndex.cu:554). Returns (dist [n] f32, assign [n] int32)."""
+    n = x.shape[0]
+    c_norms = l2_norms(centroids)
+    nchunks = max(1, -(-n // chunk))
+    pad = nchunks * chunk - n
+    xp = (jnp.pad(x, ((0, pad), (0, 0))) if pad else x).reshape(
+        nchunks, chunk, -1
+    )
+
+    def body(_, xc):
+        ip = pairwise_inner_product(xc, centroids)
+        if metric == MetricType.INNER_PRODUCT:
+            key = -ip
+        else:
+            key = c_norms[None, :] - 2.0 * ip
+        a = jnp.argmin(key, axis=1).astype(jnp.int32)
+        best = jnp.min(key, axis=1)
+        if metric == MetricType.INNER_PRODUCT:
+            best = -best
+        else:
+            best = jnp.maximum(best + l2_norms(xc), 0.0)
+        return None, (best, a)
+
+    _, (dist, assign) = jax.lax.scan(body, None, xp)
+    return dist.reshape(-1)[:n], assign.reshape(-1)[:n]
+
+
 def _score_tile(x, y, metric, metric_arg, x_norms, y_norms, precision="highest"):
     if metric == MetricType.L2:
         ip = pairwise_inner_product(x, y, precision)

@@ -264,19 +264,26 @@ def knn_fused_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_adc_kernel(qt, ct, M, ksub, nlist):
+def _make_adc_kernel(qt, ct, M, ksub):
     """ADC score producer + the same queue/flush select as the flat kernel.
 
-    Scores for chunk j (one inverted list per chunk, list id prefetched):
-        key[q, c] = n2[c] + cm2[q, list(j)] + (-2 q . pq(code[c]))
-    where the last term is an MXU contraction of the flattened LUTs with a
-    one-hot expansion of the codes built in-kernel (the register-LUT shuffle
-    of impl/fast_scan/kernels_simd256.h as a matmul).
+    Chunks hold ``ct`` slots of a 128-list GROUP (lists packed back to back,
+    group padded to a ct multiple — the analogue of the reference's
+    block-packed FastScan layout, impl/fast_scan/fast_scan.h:47). Scores:
+
+        key[q, c] = n2[c] + cm2g[q, group(j)*128 + lid[c]] + (-2 q.pq(code[c]))
+
+    The PQ term is an MXU contraction of the flattened LUTs with a one-hot
+    expansion of the codes built in-kernel (the register-LUT shuffle of
+    impl/fast_scan/kernels_simd256.h as a matmul); the coarse term is a
+    second MXU contraction of the group's bias block with a one-hot of the
+    per-slot local list id — exact, since one-hot selection in bf16x3 passes
+    reproduces the f32 bias bit-for-bit.
     """
     n_sub = ct // LANES
     K = M * ksub
 
-    def kernel(luts_ref, bias_ref, codes_ref, n2_ref,
+    def kernel(luts_ref, bias_ref, codes_ref, n2_ref, lid_ref,
                out_v_ref, out_i_ref, out_ev_ref,
                rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref):
         j = pl.program_id(1)
@@ -307,13 +314,15 @@ def _make_adc_kernel(qt, ct, M, ksub, nlist):
             luts_ref[:], oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [qt, ct] = -2 q.pq(code)
-        # bias block holds 128 chunk columns; extract column j%128 by a
-        # masked lane-reduce (dynamic lane slices must be 128-aligned)
-        r = j % 128
-        lmask = jax.lax.broadcasted_iota(jnp.int32, (qt, 128), 1) == r
-        bias = jnp.sum(
-            jnp.where(lmask, bias_ref[:], 0.0), axis=1, keepdims=True
-        )  # [qt, 1]: -2 q.c_list(j)
+        # coarse bias per slot: one-hot of the local list id against the
+        # group's 128 bias columns ([qt, 128] @ [128, ct] on the MXU)
+        lid = lid_ref[:].astype(jnp.int32)  # [1, ct]
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (LANES, ct), 0)
+        listoh = jnp.where(lrow == lid, 1.0, 0.0).astype(jnp.float32)
+        bias = jax.lax.dot_general(
+            bias_ref[:], listoh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [qt, ct]: -2 q.c_list(slot)
         skey = ip + n2_ref[:] + bias  # [qt, ct] (n2 broadcasts [1, ct])
 
         base = j * ct
@@ -369,41 +378,49 @@ def _make_adc_kernel(qt, ct, M, ksub, nlist):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("qt", "ct", "nlist", "interpret")
+    jax.jit, static_argnames=("qt", "ct", "interpret")
 )
 def ivfpq_fused_pallas(
-    bias_cols: jax.Array,  # [nq, nchunks_pad128] f32: -2 q.c_list(chunk)
+    biasg: jax.Array,  # [nq, ngroups*128] f32: -2 q.c per GROUPED list column
     luts: jax.Array,  # [nq, M*ksub] bf16: flattened -2 q.pq tables
-    codesT: jax.Array,  # [M, nchunks*ct] uint8 codes, slot-major transposed
+    codesT: jax.Array,  # [M, nchunks*ct] uint8 codes, group-packed transposed
     n2: jax.Array,  # [1, nchunks*ct] f32: ||y||^2 per slot (+inf on pads)
+    lid: jax.Array,  # [1, nchunks*ct] int32: local list id within group
     qt: int = 256,
-    ct: int = 512,
-    nlist: int = 0,
+    ct: int = 1024,
     interpret: bool = False,
 ):
-    """Fused exhaustive IVF-PQ ADC + top-128 select.
+    """Fused exhaustive IVF-PQ ADC + top-128 select (group-packed layout).
 
-    One chunk == slots of one inverted list (lists padded to ct multiples at
-    staging), so the coarse term is one [qt, 1] column streamed per grid
-    step. Returns (keys [nq,128] missing ||q||^2, slots [nq,128], evicted
-    floor) — callers add ||q||^2 and repair lossy rows like knn_fused_pallas.
+    Lists are bin-packed into groups of <=128 (``pack_invlists_grouped``);
+    every group spans the same number of chunks, so chunk j's bias block is
+    the static slice ``biasg[:, (j // cpg)*128 : ...]``. Unprobed lists can
+    be masked by setting their biasg column to a large value — the
+    nprobe-faithful mode (search_preassigned semantics, IndexIVF.cpp:401).
+    Returns (keys [nq,128] missing ||q||^2, slots [nq,128], evicted floor) —
+    callers add ||q||^2 and repair lossy rows like knn_fused_pallas.
     """
     nq = luts.shape[0]
     M = codesT.shape[0]
     ksub = luts.shape[1] // M
     nchunks = codesT.shape[1] // ct
-    assert bias_cols.shape[1] % 128 == 0
+    assert biasg.shape[1] % 128 == 0
+    ngroups = biasg.shape[1] // 128
+    assert nchunks % ngroups == 0, (nchunks, ngroups)
+    cpg = nchunks // ngroups  # chunks per group
     grid = (nq // qt, nchunks)
-    kernel = _make_adc_kernel(qt, ct, M, ksub, nlist)
+    kernel = _make_adc_kernel(qt, ct, M, ksub)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((qt, M * ksub), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((qt, 128), lambda i, j: (i, j // 128),
+            pl.BlockSpec((qt, 128), lambda i, j: (i, j // cpg),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((M, ct), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ct), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -431,4 +448,4 @@ def ivfpq_fused_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(luts, bias_cols, codesT, n2)
+    )(luts, biasg, codesT, n2, lid)

@@ -128,6 +128,36 @@ def test_ivfpq_recall_and_fullprobe(ds):
             np.testing.assert_allclose(D[q, j], dref, rtol=1e-2, atol=1e-2)
 
 
+def test_ivfpq_big_batch_respects_nprobe(ds):
+    """The big-batch implem must honor nprobe (VERDICT r1: it silently
+    scanned everything) — results match the standard per-probe path."""
+    index = IndexIVFPQ(None, 32, 16, 4, 8)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    xq = ds.get_queries()
+    index.nprobe = 2
+    index.big_batch_threshold = 0
+    Dref, Iref = index.search(xq, 5)
+    index.big_batch_threshold = 1  # force the big-batch implem
+    D, I = index.search(xq, 5)
+    # same distances modulo bf16-LUT rounding + tie order (the XLA
+    # big-batch path scores with bf16 tables; PQ code collisions make many
+    # exact ties, so ids are compared by probed-list membership below)
+    np.testing.assert_allclose(np.sort(D, 1), np.sort(Dref, 1), rtol=0.05,
+                               atol=0.05)
+    # every returned id must belong to one of the query's 2 probed lists
+    _, probes = index.quantizer.search(xq, 2)
+    id_to_list = np.full(index.ntotal, -1, np.int64)
+    id_to_list[index._ids_host] = index._listnos_host
+    for q in range(len(xq)):
+        got = I[q][I[q] >= 0]
+        assert np.isin(id_to_list[got], probes[q]).all()
+    # sanity: nprobe=2 big-batch differs from exhaustive
+    index.nprobe = index.nlist
+    Dall, _ = index.search(xq, 5)
+    assert not np.allclose(Dall, D)
+
+
 def test_ivfpq_no_residual_matches_pq(ds):
     """by_residual=False + nprobe=nlist == IndexPQ (equivalence, SURVEY §4)."""
     ivf = IndexIVFPQ(None, 32, 8, 8, 8)
@@ -230,6 +260,8 @@ def test_fused_adc_kernel_interpret(ds):
 
     from faiss_tpu.ops.pallas_knn import ivfpq_fused_pallas
 
+    from faiss_tpu.models.ivf_pq import pack_invlists_grouped
+
     rs = np.random.RandomState(0)
     nq, M, ksub, nlist, ct, nb = 128, 4, 16, 8, 512, 1500
     codes = rs.randint(ksub, size=(nb, M)).astype(np.uint8)
@@ -238,33 +270,25 @@ def test_fused_adc_kernel_interpret(ds):
     cm2 = rs.randn(nq, nlist).astype(np.float32)
     n2v = rs.rand(nb).astype(np.float32) * 2
 
-    order = np.argsort(listnos, kind="stable")
-    cc, cn, cl, sm = [], [], [], []
-    for l in range(nlist):
-        sl = order[listnos[order] == l]
-        if len(sl) == 0:
-            continue
-        pad = (-len(sl)) % ct
-        cc.append(np.concatenate([codes[sl], np.zeros((pad, M), np.uint8)]))
-        cn.append(np.concatenate([n2v[sl], np.full(pad, np.inf, np.float32)]))
-        sm.append(np.concatenate([sl, np.full(pad, -1, np.int64)]))
-        cl += [l] * (len(cc[-1]) // ct)
-    codesT = np.concatenate(cc).T.copy()
-    n2s = np.concatenate(cn)[None]
-    sm = np.concatenate(sm)
-    cl = np.asarray(cl, np.int64)
-    bias_cols = cm2[:, cl]
-    padc = (-bias_cols.shape[1]) % 128
-    if padc:
-        bias_cols = np.pad(bias_cols, ((0, 0), (0, padc)))
+    g = pack_invlists_grouped(listnos, nlist, ct)
+    pos, order = g["pos"], g["order"]
+    codesT = np.zeros((M, g["S"]), np.uint8)
+    codesT[:, pos] = codes[order].T
+    n2s = np.full((1, g["S"]), np.inf, np.float32)
+    n2s[0, pos] = n2v[order]
+    sm = g["slot_map"]
+    lp = g["list_perm"]
+    biasg = np.zeros((nq, len(lp)), np.float32)
+    biasg[:, lp >= 0] = cm2[:, lp[lp >= 0]]
 
     v, i, ev = ivfpq_fused_pallas(
-        jnp.asarray(bias_cols),
+        jnp.asarray(biasg),
         jnp.asarray(luts.reshape(nq, -1), jnp.bfloat16),
         jnp.asarray(codesT),
         jnp.asarray(n2s),
+        jnp.asarray(g["lid"][None, :]),
         qt=128,
-        nlist=nlist,
+        ct=ct,
         interpret=True,
     )
     v = np.asarray(v)
