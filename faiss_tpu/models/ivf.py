@@ -394,20 +394,30 @@ class IndexIVF(Index, Level1Quantizer):
     def make_direct_map(self, new_maintain: bool = True) -> None:
         pass  # the flat entry store always supports reconstruction
 
+    def _slots_of_ids(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized id -> slot lookup (DirectMap analogue,
+        invlists/DirectMap.h:38). Raises on any missing id."""
+        order = np.argsort(self._ids_host, kind="stable")
+        pos = np.searchsorted(self._ids_host, keys, sorter=order)
+        pos = np.clip(pos, 0, len(order) - 1)
+        slots = order[pos]
+        bad = self._ids_host[slots] != keys
+        if bad.any():
+            raise KeyError(f"id {keys[bad][0]} not found")
+        return slots
+
     def reconstruct(self, key: int) -> np.ndarray:
-        pos = np.nonzero(self._ids_host == key)[0]
-        if len(pos) == 0:
-            raise KeyError(f"id {key} not found")
-        p = pos[0]
+        return self.reconstruct_batch(np.array([key], np.int64))[0]
+
+    def reconstruct_batch(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, np.int64).ravel()
+        slots = self._slots_of_ids(keys)
         return self.decode_vectors(
-            self._codes_host[p : p + 1], self._listnos_host[p : p + 1]
-        )[0]
+            self._codes_host[slots], self._listnos_host[slots]
+        )
 
     def reconstruct_n(self, n0: int, ni: int) -> np.ndarray:
-        out = np.empty((ni, self.d), np.float32)
-        for j in range(ni):
-            out[j] = self.reconstruct(n0 + j)
-        return out
+        return self.reconstruct_batch(np.arange(n0, n0 + ni, dtype=np.int64))
 
     # ---- invlist introspection (InvertedLists.h API surface) ------------------
     def get_list_size(self, list_no: int) -> int:
@@ -471,9 +481,19 @@ def _ivf_range_search(index: "IndexIVF", x, radius: float, params=None):
     all_d = [[] for _ in range(nq)]
     all_i = [[] for _ in range(nq)]
     listnos = index._listnos_host
+    # per-list slot buckets (CSR over lists) so each query touches only its
+    # probed lists' candidates instead of an O(ntotal) isin scan
+    order = np.argsort(listnos, kind="stable")
+    lengths = np.bincount(listnos, minlength=index.nlist)
+    offsets = np.zeros(index.nlist + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
     for q in range(nq):
-        mask = np.isin(listnos, probes[q][probes[q] >= 0])
-        cand = np.nonzero(mask)[0]
+        pls = probes[q][probes[q] >= 0]
+        cand = (
+            np.concatenate([order[offsets[l] : offsets[l + 1]] for l in pls])
+            if len(pls)
+            else np.empty(0, np.int64)
+        )
         if sel is not None:
             keep = sel.mask_for_ids(index._ids_host[cand])
             cand = cand[keep]

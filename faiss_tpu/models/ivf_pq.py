@@ -32,8 +32,12 @@ def pack_invlists_grouped(listnos, nlist, ct, seed=0xFA155):
 
     Lists are bin-packed into groups of <=128 lists balanced by slot count
     (greedy longest-first), every group padded to a COMMON chunk count so
-    chunk->group is the static map ``j // cpg``. Within-list order is
-    shuffled so the kernel's pair-reduction sees decorrelated candidates.
+    chunk->group is the static map ``j // cpg``. Lists stay CONTIGUOUS
+    (a list's candidates then arrive in the same grid step spread across
+    lanes — measured to halve queue-eviction losses vs random placement)
+    but the order WITHIN each list is shuffled, and the kernel pairs slots
+    ct/2 apart, so same-list top-k candidates essentially never collide in
+    the pair-reduction.
 
     Returns a dict with:
       pos       [n]    packed position of every input slot
@@ -66,28 +70,30 @@ def pack_invlists_grouped(listnos, nlist, ct, seed=0xFA155):
         ),
     )
     S = ngroups * cpg * ct
-    packed_start = np.zeros(nlist, np.int64)
+    group_of = np.zeros(nlist, np.int32)
     local_of = np.zeros(nlist, np.int32)
     list_perm = np.full(ngroups * 128, -1, np.int64)
     for g, gl in enumerate(group_lists):
-        running = g * cpg * ct
         for loc, li in enumerate(gl):
-            packed_start[li] = running
+            group_of[li] = g
             local_of[li] = loc
             list_perm[g * 128 + loc] = li
-            running += int(lengths[li])
 
-    perm = np.random.RandomState(seed).permutation(n)
-    order = perm[np.argsort(listnos[perm], kind="stable")]
-    sorted_ln = listnos[order]
-    off = np.zeros(nlist, np.int64)
-    np.cumsum(lengths[:-1], out=off[1:])
-    rank = np.arange(n, dtype=np.int64) - off[sorted_ln]
-    pos = packed_start[sorted_ln] + rank
+    rng = np.random.RandomState(seed)
+    g_of = group_of[listnos]  # [n] group of every slot
+    # order: by group, lists contiguous within the group, random inside
+    # each list
+    order = np.lexsort((rng.rand(n), listnos, g_of))
+    cnt = np.bincount(g_of, minlength=ngroups).astype(np.int64)
+    start_of = np.zeros(ngroups, np.int64)
+    np.cumsum(cnt[:-1], out=start_of[1:])
+    g_sorted = g_of[order]
+    rank_in_group = np.arange(n, dtype=np.int64) - start_of[g_sorted]
+    pos = g_sorted.astype(np.int64) * (cpg * ct) + rank_in_group
     slot_map = np.full(S, -1, np.int64)
     slot_map[pos] = order
     lid = np.zeros(S, np.int32)
-    lid[pos] = local_of[sorted_ln]
+    lid[pos] = local_of[listnos[order]]
     return {
         "pos": pos,
         "order": order,
@@ -104,25 +110,28 @@ def pack_invlists_grouped(listnos, nlist, ct, seed=0xFA155):
     jax.jit, static_argnames=("k", "kc", "qt", "ct", "nprobe")
 )
 def _fused_search_rerank(
-    xq, centroids_g, cn2g, pq_cb, codesT, n2s, lid, slot_map, xb,
+    xq, centroids_g, cn2g, cbt, codesT, n2s, lid, slot_map, xb,
     k, kc, qt, ct, nprobe,
 ):
     """One-dispatch big-batch IVFPQ search + exact re-rank.
 
-    Chains: ADC LUTs + grouped coarse bias (MXU, optionally nprobe-masked) ->
-    fused Pallas ADC+select -> slot translation -> exact re-rank of the top
-    kc (gather + contraction). Keeping it in one program avoids per-op
-    tunnel round-trips (~35 ms each) and all host staging.
+    Chains: ADC LUTs (block-diagonal GEMM) + grouped coarse bias (MXU,
+    optionally nprobe-masked) -> fused Pallas ADC+select -> slot translation
+    -> exact re-rank of the top kc (gather + contraction). Keeping it in one
+    program avoids per-op tunnel round-trips (~35 ms each) and host staging.
     """
     from ..ops.distances import rerank_exact
     from ..ops.pallas_knn import ivfpq_fused_pallas
 
-    luts = -2.0 * pq_ops.pq_ip_tables(xq, pq_cb)
+    luts = -2.0 * jax.lax.dot_general(
+        xq, cbt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [nq, M*ksub] flattened ADC tables (pq_blockdiag_codebook)
     cm2 = _masked_coarse_bias(xq, centroids_g, cn2g, nprobe)
-    nq = xq.shape[0]
     v, slots_raw, ev = ivfpq_fused_pallas(
         cm2,
-        luts.reshape(nq, -1).astype(jnp.bfloat16),
+        luts.astype(jnp.bfloat16),
         codesT,
         n2s,
         lid,
@@ -179,6 +188,12 @@ class IndexIVFPQ(IndexIVF):
         self.pq = ProductQuantizer(d, M, nbits)
         self.by_residual = True
         self.code_size = self.pq.code_size
+        # polysemous filtering inside lists (IndexIVFPQ.h:47-60); 0 = off.
+        # Requires do_polysemous_training for the Hamming distances to be
+        # meaningful (like the reference).
+        self.polysemous_ht = 0
+        self.do_polysemous_training = False
+        self.polysemous_training = None
         # 0 = auto (enable when it fits), 1 = yes, -1 = disable
         self.use_precomputed_table = 0
         self._term2 = None  # [nlist, M, ksub] device
@@ -196,6 +211,11 @@ class IndexIVFPQ(IndexIVF):
             x = x - centroids[assign]
         self.pq.cp.verbose = False
         self.pq.train(x)
+        if self.do_polysemous_training:
+            from ..codecs.polysemous import PolysemousTraining
+
+            pt = self.polysemous_training or PolysemousTraining()
+            pt.optimize_pq_for_hamming(self.pq)
         self._term2 = None
 
     def _centroids_host(self) -> np.ndarray:
@@ -326,6 +346,7 @@ class IndexIVFPQ(IndexIVF):
             lid=jnp.asarray(g["lid"][None, :]),
             centroids_g=jnp.asarray(cent_g),
             cn2g=jnp.asarray(cn2g),
+            cbt=jnp.asarray(pq_ops.pq_blockdiag_codebook(pq.centroids)),
             slot_map=g["slot_map"],
             slot_map_dev=jnp.asarray(g["slot_map"].astype(np.int32)),
         )
@@ -353,7 +374,7 @@ class IndexIVFPQ(IndexIVF):
                 jnp.asarray(xq),
                 br["centroids_g"],
                 br["cn2g"],
-                self.pq._dev(),
+                br["cbt"],
                 br["codesT"],
                 br["n2s"],
                 br["lid"],
@@ -370,29 +391,15 @@ class IndexIVFPQ(IndexIVF):
             I[start : start + real] = np.where(
                 slots >= 0, self._ids_host[np.maximum(slots, 0)], -1
             )
-            bad = np.where(np.asarray(lossy)[:real])[0]
-            if len(bad):
-                Df, If = self._repair_rows_refined(
-                    x[start + bad], k, kc, refine_xb, nprobe
-                )
-                D[start + bad] = Df
-                I[start + bad] = If
+            # NOTE on the eviction floor: a flagged row lost >=1 of its
+            # ADC-top-kc candidates, but the EXACT re-rank over the other
+            # kc-1 absorbs that (measured: unrepaired flagged rows score
+            # HIGHER than rows re-routed through the approximate XLA repair
+            # path — 0.998 vs 0.987 recall@10). The refined path therefore
+            # keeps the kernel output; the unrefined path, whose candidates
+            # ARE the results, still repairs (_search_big_batch).
+            del lossy
         return D, I
-
-    def _repair_rows_refined(self, x_rows, k, kc, refine_xb, nprobe=0):
-        """Exact-path redo for kernel-flagged lossy rows: XLA brute ADC
-        top-kc (no pair-reduction loss) + the same exact re-rank."""
-        from ..ops.distances import rerank_exact
-
-        Dc, slots = self._big_batch_xla(x_rows, kc, nprobe)
-        D, I = rerank_exact(
-            jnp.asarray(x_rows), refine_xb,
-            jnp.asarray(np.where(slots >= 0, slots, -1).astype(np.int32)), k,
-        )
-        I = np.asarray(I).astype(np.int64)
-        return np.asarray(D), np.where(
-            I >= 0, self._ids_host[np.maximum(I, 0)], -1
-        )
 
     def _big_batch_xla(self, x, k, nprobe=0):
         """Exhaustive ADC via one-hot GEMM + approx select (the exact
@@ -473,7 +480,7 @@ class IndexIVFPQ(IndexIVF):
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
             xq_dev = jnp.asarray(xq)
-            luts = -2.0 * pq_ops.pq_ip_tables(xq_dev, cb)
+            luts = -2.0 * (xq_dev @ br["cbt"])
             qn2 = np.square(xq).sum(1)
             # all staging stays on device: a host round-trip of the
             # [nq, ngroups*128] bias matrix costs seconds over the tunnel
@@ -483,7 +490,7 @@ class IndexIVFPQ(IndexIVF):
             qt = min(padded, 256)
             v, slots_dev, ev = ivfpq_fused_pallas(
                 cm2,
-                jnp.asarray(luts.reshape(padded, -1), jnp.bfloat16),
+                jnp.asarray(luts, jnp.bfloat16),
                 br["codesT"],
                 br["n2s"],
                 br["lid"],
@@ -520,6 +527,7 @@ class IndexIVFPQ(IndexIVF):
             and self.by_residual
             and self.metric_type == MetricType.L2
             and (params is None or params.sel is None)
+            and not self.polysemous_ht  # ht filter runs in the probe scan
             and self.ntotal > 0
         )
         if use_big:
@@ -539,9 +547,26 @@ class IndexIVFPQ(IndexIVF):
         self._brute = None
 
     # -- scan --------------------------------------------------------------------
+    def _query_residual_codes(self, xq_dev, probes):
+        """PQ codes of the query residual per probed list, for the
+        polysemous Hamming filter (IndexIVFPQ.cpp polysemous path)."""
+        xq = np.asarray(xq_dev)
+        pr = np.asarray(probes)
+        nq, nprobe = pr.shape
+        cents = self._centroids_host()[np.maximum(pr, 0)]  # [nq, nprobe, d]
+        resid = (xq[:, None, :] - cents).reshape(nq * nprobe, self.d)
+        qc = self.pq.compute_codes_int(resid).reshape(nq, nprobe, self.pq.M)
+        return jnp.asarray(qc.astype(np.int32))
+
     def _scan(self, xq_dev, probes, coarse_dis, k, dev, sel_mask):
         pq = self.pq
         cb = pq._dev()
+        ht = int(self.polysemous_ht)
+        qcodes = (
+            self._query_residual_codes(xq_dev, probes)
+            if ht and self.by_residual
+            else None
+        )
         if self.metric_type == MetricType.L2:
             if self.by_residual:
                 term2 = self._maybe_term2()
@@ -563,6 +588,8 @@ class IndexIVFPQ(IndexIVF):
                 largest=False,
                 term2=term2,
                 sel_mask=sel_mask,
+                qcodes=qcodes,
+                ht=ht if qcodes is not None else 0,
             )
         # inner product: d = q.c_list + q.y
         luts = pq_ops.pq_ip_tables(xq_dev, cb)
@@ -641,22 +668,38 @@ class IndexIVFPQR(IndexIVFPQ):
         x = self._check_input(x)
         kc = max(k, int(k * self.k_factor))
         Dc, Ic = super().search(x, kc, params=params)
-        # map ids back to slots for refined reconstruction
-        id_to_slot = {int(i): s for s, i in enumerate(self._ids_host)}
         nq = len(x)
         D = np.full((nq, k), np.inf, np.float32)
         I = np.full((nq, k), -1, np.int64)
-        for q in range(nq):
-            cands = [id_to_slot[int(i)] for i in Ic[q] if i >= 0]
-            if not cands:
-                continue
-            slots = np.array(cands, np.int64)
+        # vectorized refined re-rank (chunked over queries to bound the
+        # [chunk*kc, d] reconstruction buffer)
+        order_ids = np.argsort(self._ids_host, kind="stable")
+        sorted_ids = self._ids_host[order_ids]
+        chunk = max(1, (1 << 22) // max(kc * self.d, 1))
+        for s in range(0, nq, chunk):
+            Icc = Ic[s : s + chunk]
+            valid = Icc >= 0
+            safe = np.where(valid, Icc, sorted_ids[0])
+            slots = order_ids[
+                np.clip(np.searchsorted(sorted_ids, safe), 0,
+                        len(sorted_ids) - 1)
+            ]
+            flat = slots.ravel()
             base = self.decode_vectors(
-                self._codes_host[slots], self._listnos_host[slots]
+                self._codes_host[flat], self._listnos_host[flat]
             )
-            refined = base + self.refine_pq.decode_int(self._refine_codes[slots])
-            d2 = ((refined - x[q][None]) ** 2).sum(1)
-            order = np.argsort(d2, kind="stable")[:k]
-            D[q, : len(order)] = d2[order]
-            I[q, : len(order)] = self._ids_host[slots[order]]
+            refined = base + self.refine_pq.decode_int(
+                self._refine_codes[flat]
+            )
+            refined = refined.reshape(len(Icc), -1, self.d)
+            d2 = ((refined - x[s : s + chunk, None, :]) ** 2).sum(-1)
+            d2 = np.where(valid, d2, np.inf).astype(np.float32)
+            top = np.argsort(d2, axis=1, kind="stable")[:, :k]
+            dd = np.take_along_axis(d2, top, axis=1)
+            ii = np.take_along_axis(
+                np.where(valid, Icc, -1), top, axis=1
+            )
+            kk = dd.shape[1]
+            D[s : s + chunk, :kk] = dd
+            I[s : s + chunk, :kk] = np.where(np.isinf(dd), -1, ii)
         return D, I

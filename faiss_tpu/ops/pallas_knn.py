@@ -298,7 +298,7 @@ def _make_adc_kernel(qt, ct, M, ksub):
             qi_ref[:] = jnp.full((QDEPTH, qt, LANES), -1, jnp.int32)
             ev_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
 
-        interval = jnp.clip(j // 4, 1, 32)
+        interval = jnp.clip(j // 4, 1, 16)
         do_flush = jnp.logical_and(j > 0, j % interval == 0)
 
         @pl.when(do_flush)
@@ -315,28 +315,43 @@ def _make_adc_kernel(qt, ct, M, ksub):
             preferred_element_type=jnp.float32,
         )  # [qt, ct] = -2 q.pq(code)
         # coarse bias per slot: one-hot of the local list id against the
-        # group's 128 bias columns ([qt, 128] @ [128, ct] on the MXU)
+        # group's 128 bias columns ([qt, 128] @ [128, ct] on the MXU).
+        # The MXU pass is bf16: split the f32 bias into hi+lo bf16 parts so
+        # the one-hot selection reproduces it to ~16 mantissa bits — a plain
+        # bf16 pass loses 0.4% of a value that dominates the L2 key and
+        # visibly degrades the candidate ranking.
         lid = lid_ref[:].astype(jnp.int32)  # [1, ct]
         lrow = jax.lax.broadcasted_iota(jnp.int32, (LANES, ct), 0)
-        listoh = jnp.where(lrow == lid, 1.0, 0.0).astype(jnp.float32)
+        listoh = jnp.where(lrow == lid, 1.0, 0.0).astype(jnp.bfloat16)
+        b32 = bias_ref[:]
+        b_hi = b32.astype(jnp.bfloat16)
+        b_lo = (b32 - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         bias = jax.lax.dot_general(
-            bias_ref[:], listoh, (((1,), (0,)), ((), ())),
+            b_hi, listoh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [qt, ct]: -2 q.c_list(slot)
+        ) + jax.lax.dot_general(
+            b_lo, listoh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [qt, ct]: -2 q.c_list(slot), f32-faithful
         skey = ip + n2_ref[:] + bias  # [qt, ct] (n2 broadcasts [1, ct])
 
         base = j * ct
         theta = rv_ref[:, LANES - 1 : LANES]
-        # pair-reduce adjacent subtiles before the insert chain: the chain is
-        # the VPU bound, and two of a query's global top-128 landing on the
-        # same (lane, pair) slot is ~1e-3 per query — tracked through the
-        # eviction floor like queue overflows.
+        # pair-reduce subtile t with t + n_sub/2 before the insert chain:
+        # the chain is the VPU bound. Partners sit ct/2 slots apart — FARTHER
+        # than a typical inverted list (lists are contiguous runs in the
+        # group-packed layout), so two of a query's top-128 colliding on the
+        # same (lane, pair) slot needs either two independent lists (~1e-3)
+        # or a single list longer than ct/2 — tracked through the eviction
+        # floor. (A deeper 4->1 reduction was measured STRICTLY worse: 3x
+        # the pair-drop rate and no net VPU win.)
         assert n_sub % 2 == 0
-        for t in range(0, n_sub, 2):
+        half = n_sub // 2
+        for t in range(half):
             c0 = base + t * LANES + lane
-            c1 = c0 + LANES
+            c1 = c0 + half * LANES
             s0 = skey[:, t * LANES : (t + 1) * LANES]
-            s1 = skey[:, (t + 1) * LANES : (t + 2) * LANES]
+            s1 = skey[:, (t + half) * LANES : (t + half + 1) * LANES]
             sel = s0 <= s1
             sv = jnp.where(sel, s0, s1)
             col = jnp.where(sel, c0, c1)

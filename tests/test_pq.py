@@ -253,6 +253,53 @@ def test_polysemous(ds):
     del r_full
 
 
+def test_pq_sdc_search(ds):
+    """ST_SDC: symmetric distances == sum of SDC table entries; recall in
+    the ballpark of (below) ADC (reference: IndexPQ.h:78, test_index.py
+    SDC coverage)."""
+    index = ft.IndexPQ(32, 4, 8)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    gt = ds.get_groundtruth(10)
+    _, I_adc = index.search(ds.get_queries(), 10)
+    index.search_type = index.ST_SDC
+    D, I = index.search(ds.get_queries(), 10)
+    r_sdc = recall_at_k(I, gt, 10)
+    r_adc = recall_at_k(I_adc, gt, 10)
+    assert r_sdc > 0.3 and r_sdc <= r_adc + 0.05
+    # distances match the SDC table sum exactly
+    sdc = index.pq.compute_sdc_table()
+    qc = index.pq.compute_codes_int(ds.get_queries()[:5]).astype(np.int64)
+    for q in range(5):
+        for j in range(3):
+            i = int(I[q, j])
+            if i < 0:
+                continue
+            dc = index._codes_host[i].astype(np.int64)
+            ref = sum(sdc[m, qc[q, m], dc[m]] for m in range(4))
+            np.testing.assert_allclose(D[q, j], ref, rtol=1e-3, atol=1e-3)
+
+
+def test_ivfpq_polysemous_ht(ds):
+    """polysemous_ht inside IVF lists (IndexIVFPQ.h:47): tighter thresholds
+    filter more candidates; generous thresholds keep recall."""
+    index = ft.IndexIVFPQ(None, 32, 8, 4, 8)
+    index.do_polysemous_training = True
+    index.big_batch_threshold = 0
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.nprobe = 8
+    gt = ds.get_groundtruth(10)
+    _, I0 = index.search(ds.get_queries(), 10)
+    r0 = recall_at_k(I0, gt, 10)
+    index.polysemous_ht = 4 * 8  # generous: no filtering effect
+    _, I = index.search(ds.get_queries(), 10)
+    assert recall_at_k(I, gt, 10) >= r0 - 0.02
+    index.polysemous_ht = 8  # tight: filters most candidates
+    _, I8 = index.search(ds.get_queries(), 10)
+    assert (I8 == -1).sum() > (I == -1).sum()
+
+
 def test_fused_adc_kernel_interpret(ds):
     """The fused ADC+select Pallas kernel (interpret mode) must reproduce
     brute-force ADC scores exactly (modulo bf16 LUT rounding)."""
