@@ -114,6 +114,8 @@ from .transforms import (  # noqa: F401
 from .factory import index_factory  # noqa: F401
 from .io import (  # noqa: F401
     deserialize_index,
+    IO_FLAG_MMAP,
+    IO_FLAG_READ_ONLY,
     read_index,
     read_index_binary,
     serialize_index,
@@ -193,6 +195,13 @@ from .models.rabitq import IndexIVFRaBitQ, IndexRaBitQ  # noqa: F401
 from .codecs.rabitq import RaBitQuantizer  # noqa: F401
 from .models.eden import IndexEDEN, IndexIVFEDEN  # noqa: F401
 from .codecs.eden import EDENQuantizer, EDENScaleType  # noqa: F401
+from .models.lattice import IndexLattice  # noqa: F401
+from .codecs.lattice import (  # noqa: F401
+    ZnSphereCodec,
+    ZnSphereCodecAlt,
+    ZnSphereSearch,
+)
+from .codecs.rabitq import MultiBitRaBitQ  # noqa: F401
 from .callbacks import (  # noqa: F401
     InterruptCallback,
     InterruptedException,
@@ -220,4 +229,7 @@ from .models.meta import IndexShardsIVF  # noqa: F401
 
 from .models.imi import MultiIndexQuantizer  # noqa: F401
 
-from .models.panorama import IndexFlatPanorama  # noqa: F401
+from .models.panorama import (  # noqa: F401
+    IndexFlatPanorama,
+    IndexIVFFlatPanorama,
+)

@@ -84,3 +84,163 @@ class RaBitQuantizer:
         c = self.center if centers is None else centers
         qr = (np.ascontiguousarray(xq, np.float32) - c) @ self.P.T
         return qr.astype(np.float32), (qr**2).sum(1).astype(np.float32)
+
+
+class MultiBitRaBitQ:
+    """Multi-bit RaBitQ (reference: impl/RaBitQuantizerMultiBit.{h,cpp};
+    Gao et al., "Practical and asymptotically optimal quantization...",
+    SIGMOD'25). Each rotated-residual dimension stores nb_bits: a sign bit
+    plus (nb_bits-1) magnitude bits on the ladder u = code - (2^nb - 1)/2,
+    scaled per vector by an optimized factor t.
+
+    Reference divergence (documented): the per-vector optimal t is found by
+    a dense grid search over the same [t_start, t_end] range instead of the
+    sequential priority-queue event walk (RaBitQuantizerMultiBit.cpp:49) —
+    vectorizable over the whole batch, within <0.1% of the exact optimum's
+    inner product in practice.
+
+    Factors per code (rabitq_utils::ExtraBitsFactors):
+      L2: f_add = ||r||^2,          f_rescale = -2 ||r|| / ipnorm
+      IP: f_add = <c, r>,           f_rescale =    ||r|| / ipnorm
+    Estimator: dist = base(q) + f_add + f_rescale * <P(q - c), u>.
+    """
+
+    # search-range tightening per ex_bits (RaBitQuantizerMultiBit.cpp:29)
+    TIGHT_START = [0.0, 0.15, 0.20, 0.52, 0.59, 0.71, 0.75, 0.77, 0.81]
+    T_GRID = 128
+
+    def __init__(self, d: int, nb_bits: int, seed: int = 1234):
+        if not 2 <= nb_bits <= 9:
+            raise ValueError("multi-bit RaBitQ needs nb_bits in [2, 9]")
+        self.d = int(d)
+        self.nb_bits = int(nb_bits)
+        self.ex_bits = nb_bits - 1
+        self.P = _random_orthogonal(d, d, seed)
+        self.center: Optional[np.ndarray] = None
+        # full codes stored unpacked [n, d] uint8 + 2 f32 factors
+        self.code_size = (d * nb_bits + 7) // 8 + 8
+
+    def train(self, x) -> None:
+        self.center = np.ascontiguousarray(x, np.float32).mean(0)
+
+    @property
+    def is_trained(self) -> bool:
+        return self.center is not None
+
+    def _optimal_t(self, o_abs: np.ndarray) -> np.ndarray:
+        """Vectorized grid search for the scaling factor per row."""
+        eps = 1e-5
+        max_code = (1 << self.ex_bits) - 1
+        max_o = np.maximum(o_abs.max(1), 1e-20)
+        t_end = (max_code + 10) / max_o
+        t_start = t_end * self.TIGHT_START[self.ex_bits]
+        grid = np.linspace(0.0, 1.0, self.T_GRID, dtype=np.float32)
+        out = np.empty(len(o_abs), np.float32)
+        chunk = max(1, (1 << 22) // (self.T_GRID * o_abs.shape[1]))
+        for s in range(0, len(o_abs), chunk):
+            oa = o_abs[s : s + chunk]  # [c, d]
+            ts = (
+                t_start[s : s + chunk, None]
+                + (t_end - t_start)[s : s + chunk, None] * grid[None, :]
+            )  # [c, T]
+            mag = np.minimum(
+                (ts[:, :, None] * oa[:, None, :] + eps).astype(np.int32),
+                max_code,
+            )  # [c, T, d]
+            num = ((mag + 0.5) * oa[:, None, :]).sum(-1)
+            den = np.sqrt(
+                oa.shape[1] * 0.25 + (mag * (mag + 1)).sum(-1)
+            )
+            out[s : s + chunk] = np.take_along_axis(
+                ts, np.argmax(num / den, 1)[:, None], 1
+            )[:, 0]
+        return out
+
+    def encode_parts(self, x, centers=None, metric="L2"):
+        """-> (codes [n, d] uint8 combined sign+magnitude, factors [n, 2])."""
+        x = np.ascontiguousarray(x, np.float32)
+        c = self.center if centers is None else centers
+        r = x - c
+        xr = r @ self.P.T
+        norm = np.linalg.norm(xr, axis=1)
+        ok = norm > 1e-10
+        o = xr / np.maximum(norm, 1e-20)[:, None]
+        o_abs = np.abs(o)
+        t = self._optimal_t(o_abs)
+        max_code = (1 << self.ex_bits) - 1
+        mag = np.minimum(
+            (t[:, None] * o_abs + 1e-5).astype(np.int32), max_code
+        )
+        ipnorm = ((mag + 0.5) * o_abs).sum(1)
+        # sign handling: negative dims flip magnitude bits; combined code
+        # c = sign * 2^ex + mag' lands on the symmetric ladder
+        # u = c - (2^nb - 1) / 2 (RaBitQuantizerMultiBit.cpp:305)
+        neg = xr < 0
+        magf = np.where(neg, max_code - mag, mag)
+        codes = (np.where(neg, 0, 1 << self.ex_bits) + magf).astype(np.uint8)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / ipnorm
+        inv = np.where(np.isfinite(inv) & ok, inv, 0.0)
+        if metric == "L2":
+            f_add = norm * norm
+            f_rescale = -2.0 * norm * inv
+        else:
+            f_add = (r * np.asarray(np.broadcast_to(c, r.shape))).sum(1)
+            f_rescale = norm * inv
+        factors = np.stack(
+            [
+                np.where(ok, f_add, 0.0),
+                np.where(ok, f_rescale, 0.0),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        return codes, factors
+
+    def u_values(self, codes: np.ndarray) -> np.ndarray:
+        """Combined codes -> symmetric ladder values u [n, d] f32."""
+        return codes.astype(np.float32) - ((1 << self.nb_bits) - 1) / 2.0
+
+    def implied_vectors(self, codes, factors, metric="L2") -> np.ndarray:
+        """y such that the estimator is base(q) + f_add +/- 2 <q, y>:
+        the scaled, back-rotated quantized direction (in original space)."""
+        scale = (
+            -0.5 * factors[:, 1] if metric == "L2" else factors[:, 1]
+        )
+        return (self.u_values(codes) * scale[:, None]) @ self.P
+
+    def decode(self, codes, factors, centers=None, metric="L2") -> np.ndarray:
+        c = self.center if centers is None else centers
+        return (self.implied_vectors(codes, factors, metric) + c).astype(
+            np.float32
+        )
+
+    def rotate_queries(self, xq, centers=None):
+        c = self.center if centers is None else centers
+        qr = (np.ascontiguousarray(xq, np.float32) - c) @ self.P.T
+        return qr.astype(np.float32), (qr**2).sum(1).astype(np.float32)
+
+    # -- packed byte format (sa parity; our own bit layout) -----------------
+    def pack(self, codes: np.ndarray, factors: np.ndarray) -> np.ndarray:
+        n = len(codes)
+        nbytes = (self.d * self.nb_bits + 7) // 8
+        bits = np.unpackbits(
+            codes[:, :, None], axis=2, count=8, bitorder="little"
+        )[:, :, : self.nb_bits]
+        packed = np.packbits(bits.reshape(n, -1), axis=1, bitorder="little")
+        out = np.zeros((n, self.code_size), np.uint8)
+        out[:, :nbytes] = packed[:, :nbytes]
+        out[:, nbytes:] = factors.astype(np.float32).view(np.uint8)
+        return out
+
+    def unpack(self, data: np.ndarray):
+        n = len(data)
+        nbytes = (self.d * self.nb_bits + 7) // 8
+        bits = np.unpackbits(
+            data[:, :nbytes], axis=1, bitorder="little"
+        )[:, : self.d * self.nb_bits].reshape(n, self.d, self.nb_bits)
+        weights = (1 << np.arange(self.nb_bits)).astype(np.int64)
+        codes = (bits.astype(np.int64) * weights).sum(-1).astype(np.uint8)
+        factors = (
+            np.ascontiguousarray(data[:, nbytes:]).view(np.float32).reshape(n, 2)
+        )
+        return codes, factors

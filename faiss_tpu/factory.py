@@ -100,6 +100,12 @@ def _parse_ivf_encoding(tok: str, quantizer, d: int, nlist: int, metric):
 
     if tok == "Flat":
         return IndexIVFFlat(quantizer, d, nlist, metric)
+    if m := re.fullmatch(r"FlatPanorama(\d+)?(?:_\d+)?", tok):
+        from .models.panorama import IndexIVFFlatPanorama
+
+        return IndexIVFFlatPanorama(
+            quantizer, d, nlist, int(m.group(1)) if m.group(1) else 4, metric
+        )
     if m := re.fullmatch(r"RQ(\d+)x(\d+)", tok):
         return IndexIVFResidualQuantizer(
             quantizer, d, nlist, int(m.group(1)), int(m.group(2)), metric
@@ -121,6 +127,13 @@ def _parse_ivf_encoding(tok: str, quantizer, d: int, nlist: int, metric):
         )
     if m := re.fullmatch(r"PQ(\d+)", tok):
         return IndexIVFPQ(quantizer, d, nlist, int(m.group(1)), 8, metric)
+    if m := re.fullmatch(r"RaBitQ([1-9])?", tok):
+        from .models.rabitq import IndexIVFRaBitQ
+
+        return IndexIVFRaBitQ(
+            quantizer, d, nlist, metric,
+            int(m.group(1)) if m.group(1) else 1,
+        )
     if m := re.fullmatch(r"EDEN([1-8])?(BIASED|BIAS)?", tok):
         from .codecs.eden import EDENScaleType
         from .models.eden import IndexIVFEDEN
@@ -164,6 +177,16 @@ def _parse_flat_encoding(tok: str, d: int, metric):
         from .models.panorama import IndexFlatPanorama
 
         return IndexFlatPanorama(d, int(m.group(1)) if m.group(1) else 4, metric)
+    if m := re.fullmatch(r"RaBitQ([1-9])?", tok):
+        from .models.rabitq import IndexRaBitQ
+
+        return IndexRaBitQ(d, metric, int(m.group(1)) if m.group(1) else 1)
+    if m := re.fullmatch(r"ZnLattice(\d+)x(\d+)_(\d+)", tok):
+        from .models.lattice import IndexLattice
+
+        return IndexLattice(
+            d, int(m.group(1)), int(m.group(2)), int(m.group(3)), metric
+        )
     if m := re.fullmatch(r"EDEN([1-8])?(BIASED|BIAS)?", tok):
         from .codecs.eden import EDENScaleType
         from .models.eden import IndexEDEN

@@ -162,10 +162,18 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
             if index.sq.trained is not None:
                 arrays[f"{path}/sq_trained"] = index.sq.trained
         from .models.eden import IndexIVFEDEN
+        from .models.rabitq import IndexIVFRaBitQ
 
         if isinstance(index, IndexIVFEDEN):
             meta["nb_bits"] = index.eden.nb_bits
             meta["scale_type"] = int(index.eden.scale_type)
+        if isinstance(index, IndexIVFRaBitQ):
+            meta["nb_bits"] = index.nb_bits
+        from .models.panorama import IndexIVFFlatPanorama
+
+        if isinstance(index, IndexIVFFlatPanorama):
+            meta["n_levels"] = index.n_levels
+            meta["prune_factor"] = index.prune_factor
         return meta
 
     if isinstance(index, IndexScalarQuantizer):
@@ -269,13 +277,29 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
         return meta
 
     if isinstance(index, IndexRaBitQ):
-        meta.update(d=index.d, is_trained=index.is_trained)
+        meta.update(
+            d=index.d, is_trained=index.is_trained, nb_bits=index.nb_bits
+        )
         arrays[f"{path}/P"] = index.rabitq.P
         if index.rabitq.center is not None:
             arrays[f"{path}/center"] = index.rabitq.center
         if index._bits is not None:
             arrays[f"{path}/bits"] = index._bits
             arrays[f"{path}/factors"] = index._factors
+        return meta
+
+    from .models.lattice import IndexLattice
+
+    if isinstance(index, IndexLattice):
+        meta.update(
+            d=index.d, nsq=index.nsq, scale_nbit=index.scale_nbit,
+            r2=index.zn_sphere_codec.r2, metric=int(index.metric_type),
+            is_trained=index.is_trained,
+        )
+        if index.trained is not None:
+            arrays[f"{path}/trained"] = index.trained
+        if index._codes is not None:
+            arrays[f"{path}/codes"] = index._codes
         return meta
 
     if isinstance(index, IndexNSGFlat):
@@ -420,11 +444,27 @@ def _load(meta, arrays, path: str):
         "IndexIVFPQR",
         "IndexIVFScalarQuantizer",
         "IndexIVFEDEN",
+        "IndexIVFRaBitQ",
+        "IndexIVFFlatPanorama",
     ):
         quantizer = _load(meta["quantizer"], arrays, f"{path}/quantizer")
         d, nlist, metric = meta["d"], meta["nlist"], MetricType(meta["metric"])
         if cls == "IndexIVFFlat":
             index = IndexIVFFlat(quantizer, d, nlist, metric)
+        elif cls == "IndexIVFFlatPanorama":
+            from .models.panorama import IndexIVFFlatPanorama
+
+            index = IndexIVFFlatPanorama(
+                quantizer, d, nlist, meta["n_levels"], metric
+            )
+            index.prune_factor = meta["prune_factor"]
+        elif cls == "IndexIVFRaBitQ":
+            from .models.rabitq import IndexIVFRaBitQ
+
+            index = IndexIVFRaBitQ(
+                quantizer, d, nlist, metric, meta.get("nb_bits", 1)
+            )
+            index.rabitq.center = np.zeros(d, np.float32)
         elif cls == "IndexIVFEDEN":
             from .codecs.eden import EDENScaleType
             from .models.eden import IndexIVFEDEN
@@ -597,7 +637,7 @@ def _load(meta, arrays, path: str):
     if cls == "IndexRaBitQ":
         from .models.rabitq import IndexRaBitQ
 
-        index = IndexRaBitQ(meta["d"])
+        index = IndexRaBitQ(meta["d"], nb_bits=meta.get("nb_bits", 1))
         index.rabitq.P = arrays[f"{path}/P"]
         if f"{path}/center" in arrays:
             index.rabitq.center = arrays[f"{path}/center"]
@@ -606,6 +646,22 @@ def _load(meta, arrays, path: str):
             index._bits = arrays[f"{path}/bits"]
             index._factors = arrays[f"{path}/factors"]
             index.ntotal = len(index._bits)
+        return index
+
+    if cls == "IndexLattice":
+        from .models.lattice import IndexLattice
+
+        index = IndexLattice(
+            meta["d"], meta["nsq"], meta["scale_nbit"], meta["r2"],
+            MetricType(meta["metric"]),
+        )
+        if f"{path}/trained" in arrays:
+            index.trained = arrays[f"{path}/trained"]
+        index.is_trained = meta["is_trained"]
+        if f"{path}/codes" in arrays:
+            index._codes = arrays[f"{path}/codes"]
+            index._flat.add(index._decode_fields(index._codes))
+            index.ntotal = len(index._codes)
         return index
 
     if cls in ("IndexNSGFlat", "IndexNNDescentFlat"):
@@ -628,6 +684,11 @@ def _load(meta, arrays, path: str):
 # ---------------------------------------------------------------------------
 
 
+# io flags (reference: faiss/index_io.h:40-71)
+IO_FLAG_MMAP = 0x646f0000  # memory-map array payloads (IO_FLAG_MMAP)
+IO_FLAG_READ_ONLY = 2
+
+
 def write_index(index: Index, fname_or_file) -> None:
     arrays: Dict[str, np.ndarray] = {}
     meta = _dump(index, arrays, "root")
@@ -637,9 +698,59 @@ def write_index(index: Index, fname_or_file) -> None:
     np.savez(fname_or_file, **arrays)
 
 
-def read_index(fname_or_file) -> Index:
-    with np.load(fname_or_file, allow_pickle=False) as z:
-        arrays = {k: z[k] for k in z.files}
+def _mmap_npz(fname: str) -> Dict[str, np.ndarray]:
+    """Memory-map every array payload of an (uncompressed) .npz in place.
+
+    np.savez stores members uncompressed (ZIP STORED), so each .npy payload
+    sits at a computable byte offset: parse the zip directory + npy headers
+    and hand out np.memmap views — the analogue of the reference's mapped
+    deserialization (impl/mapped_io.h:35, zero-copy impl/zerocopy_io.h:17).
+    Nothing is read eagerly except headers; the OS pages data in on access.
+    """
+    import struct
+    import zipfile
+
+    from numpy.lib import format as npformat
+
+    out: Dict[str, np.ndarray] = {}
+    with zipfile.ZipFile(fname) as zf, open(fname, "rb") as f:
+        for info in zf.infolist():
+            name = info.filename[:-4]  # strip ".npy"
+            if info.compress_type != zipfile.ZIP_STORED:
+                raise ValueError(
+                    "IO_FLAG_MMAP needs uncompressed payloads "
+                    "(write_index uses np.savez, which stores them)"
+                )
+            # zip local header: 30 fixed bytes + name + extra (the extra
+            # field LENGTH differs between local and central directory)
+            f.seek(info.header_offset)
+            lh = f.read(30)
+            name_len, extra_len = struct.unpack("<HH", lh[26:30])
+            payload = info.header_offset + 30 + name_len + extra_len
+            f.seek(payload)
+            version = npformat.read_magic(f)
+            shape, fortran, dtype = npformat._read_array_header(f, version)
+            if dtype.hasobject:
+                raise ValueError("object arrays cannot be mmapped")
+            out[name] = np.memmap(
+                fname,
+                dtype=dtype,
+                mode="r",
+                offset=f.tell(),
+                shape=tuple(shape),
+                order="F" if fortran else "C",
+            )
+    return out
+
+
+def read_index(fname_or_file, io_flags: int = 0) -> Index:
+    if io_flags & IO_FLAG_MMAP:
+        if not isinstance(fname_or_file, (str, bytes)):
+            raise ValueError("IO_FLAG_MMAP requires a file path")
+        arrays = _mmap_npz(fname_or_file)
+    else:
+        with np.load(fname_or_file, allow_pickle=False) as z:
+            arrays = {k: z[k] for k in z.files}
     meta = json.loads(bytes(arrays.pop("__meta__")).decode("utf-8"))
     return _load(meta, arrays, "root")
 

@@ -31,6 +31,7 @@ from ..base import SearchParameters
 from ..metric import MetricType
 from ..ops.topk import merge_topk, topk
 from .flat import IndexFlat
+from .ivf import IndexIVFFlat
 
 
 @functools.partial(jax.jit, static_argnames=("c", "db_chunk"))
@@ -146,4 +147,117 @@ class IndexFlatPanorama(IndexFlat):
             Df, If = super().search(x[uncertified], k, params=params)
             D[uncertified] = Df
             I[uncertified] = If
+        return D, I
+
+
+class IndexIVFFlatPanorama(IndexIVFFlat):
+    """IVF-Flat with progressive-dimension pruned list scans
+    (reference: faiss/IndexIVFFlatPanorama.h:39, arXiv:2510.00566).
+
+    TPU formulation: the level-1 lower bound
+
+        LB = ||q_1 - x_1||^2 + (||q_rest|| - ||x_rest||)^2
+
+    is EXACTLY the L2 distance between the (d1+1)-dim augmented vectors
+    [x_1, ||x_rest||] and [q_1, ||q_rest||], so phase 1 is the standard
+    IVF-flat scan kernel on augmented codes (d/num_levels + 1 dims instead
+    of d — the dimension-pruning win), selecting C = prune_factor*k
+    candidates; phase 2 re-ranks them exactly. A query is certified exact
+    (w.r.t. its probed lists) iff its k-th exact distance <= its (C+1)-th
+    smallest lower bound; uncertified rows fall back to the full-dimension
+    scan, matching the reference's exactness (impl/Panorama.h:237).
+    """
+
+    def __init__(self, quantizer, d: int, nlist: int, n_levels: int = 4,
+                 metric=MetricType.L2):
+        if metric != MetricType.L2:
+            raise ValueError("Panorama pruning is defined for L2")
+        super().__init__(quantizer, d, nlist, metric)
+        self.n_levels = int(n_levels)
+        self.prune_factor = 32
+
+    def _stage_codes(self, slot_ids, lengths, max_len, sorted_ln, ranks, order):
+        dev = super()._stage_codes(
+            slot_ids, lengths, max_len, sorted_ln, ranks, order
+        )
+        d1 = max(1, self.d // self.n_levels)
+        aug = np.zeros((self.nlist, max_len, d1 + 1), np.float32)
+        if self.ntotal:
+            host = self._codes_host[order]
+            aug[sorted_ln, ranks, :d1] = host[:, :d1]
+            aug[sorted_ln, ranks, d1] = np.linalg.norm(host[:, d1:], axis=1)
+        dev["aug"] = jnp.asarray(aug)
+        dev["aug_norms"] = jnp.sum(jnp.square(dev["aug"]), axis=-1)
+        dev["d1"] = d1
+        return dev
+
+    def search(self, x, k: int, *, params: Optional[SearchParameters] = None):
+        x = self._check_input(x)
+        self._check_trained()
+        nprobe = self.nprobe
+        sel = params.sel if params is not None else None
+        if params is not None and getattr(params, "nprobe", 0):
+            nprobe = params.nprobe
+        nprobe = min(max(1, nprobe), self.nlist)
+        c = self.prune_factor * k
+        if sel is not None or self.ntotal == 0 or self.ntotal <= c:
+            return super().search(x, k, params=params)
+
+        from ..base import query_buckets
+        from ..ops.distances import rerank_exact
+        from ..ops.ivf_ops import ivf_flat_scan
+
+        dev = self._build_device()
+        d1 = dev["d1"]
+        xb_dev = jnp.asarray(self._codes_host)
+        nq = len(x)
+        D = np.full((nq, k), np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        for start, padded, real in query_buckets(nq):
+            xq = x[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            coarse_dis, probes = self._coarse_search(xq, nprobe)
+            aug_q = np.concatenate(
+                [xq[:, :d1], np.linalg.norm(xq[:, d1:], axis=1)[:, None]],
+                axis=1,
+            ).astype(np.float32)
+            # phase 1: lower-bound scan in d1+1 dims, keep C+1 for the
+            # exactness certificate
+            lbv, slots = ivf_flat_scan(
+                jnp.asarray(aug_q),
+                probes,
+                dev["aug"],
+                dev["slot_ids"],
+                dev["lengths"],
+                c + 1,
+                metric=self.metric_type,
+                code_norms=dev["aug_norms"],
+            )
+            # phase 2: exact re-rank of the top C
+            dd, ss = rerank_exact(
+                jnp.asarray(xq), xb_dev, slots[:, :c], k
+            )
+            dd = np.array(dd[:real])
+            ss = np.array(ss[:real])
+            thresh = np.asarray(lbv[:real, c])
+            kth = dd[:, k - 1] if dd.shape[1] >= k else dd[:, -1]
+            uncert = np.where(
+                np.isfinite(thresh) & (kth > thresh)
+            )[0]
+            if len(uncert):
+                Df, If = super().search(
+                    x[start + uncert], k, params=params
+                )
+                dd[uncert] = Df
+                # super().search returns ids, not slots: mark via ids below
+                ss[uncert] = -2  # sentinel: already id-resolved
+                ids_f = If
+            D[start : start + real] = dd[:, :k]
+            ids = np.where(
+                ss[:, :k] >= 0, self._ids_host[np.maximum(ss[:, :k], 0)], -1
+            )
+            if len(uncert):
+                ids[uncert] = ids_f
+            I[start : start + real] = ids
         return D, I

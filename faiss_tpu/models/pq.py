@@ -26,6 +26,7 @@ class IndexPQ(Index):
 
     # search_type values (IndexPQ.h:56)
     ST_PQ = 0
+    ST_SDC = 1
     ST_polysemous = 2
 
     def __init__(self, d: int, M: int, nbits: int = 8, metric=MetricType.L2):
@@ -38,6 +39,7 @@ class IndexPQ(Index):
         self.search_type = self.ST_PQ
         self._codes_host: Optional[np.ndarray] = None  # [n, M] unpacked
         self._dev_codes = None
+        self._sdc = None  # cached symmetric table [M, ksub, ksub]
 
     def train(self, x) -> None:
         x = self._check_input(x)
@@ -49,6 +51,7 @@ class IndexPQ(Index):
             pt = self.polysemous_training or PolysemousTraining()
             pt.optimize_pq_for_hamming(self.pq)
         self.is_trained = True
+        self._sdc = None
 
     def add(self, x) -> None:
         x = self._check_input(x)
@@ -91,7 +94,18 @@ class IndexPQ(Index):
             xq = x[start : start + real]
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
-            if self.metric_type == MetricType.L2:
+            if self.search_type == self.ST_SDC:
+                # symmetric distance: encode the query, row-gather the SDC
+                # table -> per-query LUTs, then the SAME fused ADC scan
+                # (reference: IndexPQ.h:78 ST_SDC, pq_knn_search_sdc)
+                if self.metric_type != MetricType.L2:
+                    raise ValueError("SDC search is defined for L2")
+                if self._sdc is None:
+                    self._sdc = self.pq.compute_sdc_table()
+                qcodes = self.pq.compute_codes_int(xq).astype(np.int64)
+                m_idx = np.arange(self.pq.M)[None, :]
+                luts = jnp.asarray(self._sdc[m_idx, qcodes])  # [nq, M, ksub]
+            elif self.metric_type == MetricType.L2:
                 luts = pq_ops.pq_distance_tables(jnp.asarray(xq), dev_cb)
             else:
                 luts = pq_ops.pq_ip_tables(jnp.asarray(xq), dev_cb)

@@ -78,17 +78,27 @@ def _rabitq_knn(qr, qn2, packed, factors, k, d, db_chunk=1 << 15):
 
 
 class IndexRaBitQ(Index):
-    """Flat RaBitQ index (reference: IndexRaBitQ.h:20)."""
+    """Flat RaBitQ index (reference: IndexRaBitQ.h:20). ``nb_bits > 1``
+    selects the multi-bit variant (IndexRaBitQ.h:40, RaBitQuantizerMultiBit):
+    scoring becomes a GEMM against the implied scaled code vectors with the
+    per-code norm term overridden by f_add — same scan shape, more bits."""
 
-    def __init__(self, d: int, metric=MetricType.L2):
+    def __init__(self, d: int, metric=MetricType.L2, nb_bits: int = 1):
         if metric != MetricType.L2:
             raise ValueError("RaBitQ supports L2 only (like the reference)")
         super().__init__(d, metric)
-        self.rabitq = RaBitQuantizer(d)
+        self.nb_bits = int(nb_bits)
+        if self.nb_bits > 1:
+            from ..codecs.rabitq import MultiBitRaBitQ
+
+            self.rabitq = MultiBitRaBitQ(d, self.nb_bits)
+        else:
+            self.rabitq = RaBitQuantizer(d)
         self.is_trained = False
         self.qb = 0  # query quantization bits; 0 = exact fp query (default)
         self._bits: Optional[np.ndarray] = None
         self._factors: Optional[np.ndarray] = None
+        self._ydev = None
 
     def train(self, x) -> None:
         self.rabitq.train(self._check_input(x))
@@ -104,6 +114,7 @@ class IndexRaBitQ(Index):
             else np.concatenate([self._factors, factors])
         )
         self.ntotal += len(x)
+        self._ydev = None
 
     def search(self, x, k: int, *, params=None):
         x = self._check_input(x)
@@ -112,6 +123,8 @@ class IndexRaBitQ(Index):
         I = np.full((nq, k), -1, np.int64)
         if self.ntotal == 0:
             return D, I
+        if self.nb_bits > 1:
+            return self._search_multibit(x, k)
         bits_d = jnp.asarray(self._bits)
         fac_d = jnp.asarray(self._factors)
         for start, padded, real in query_buckets(nq):
@@ -126,8 +139,28 @@ class IndexRaBitQ(Index):
             I[start : start + real] = np.asarray(iv)[:real, :k]
         return D, I
 
+    def _search_multibit(self, x, k):
+        from ..ops import distances as dops
+
+        if self._ydev is None:
+            y = self.rabitq.implied_vectors(self._bits, self._factors)
+            self._ydev = (
+                jnp.asarray(y),
+                jnp.asarray(self._factors[:, 0]),  # f_add = ||r||^2
+            )
+        y, f_add = self._ydev
+        D, I = dops.knn(
+            jnp.asarray(x - self.rabitq.center), y, k,
+            metric=MetricType.L2, y_norms=f_add,
+        )
+        return np.asarray(D), np.asarray(I).astype(np.int64)
+
     def reconstruct_n(self, n0: int, ni: int) -> np.ndarray:
-        nbytes = (self.d + 7) // 8
+        if self.nb_bits > 1:
+            return self.rabitq.decode(
+                self._bits[n0 : n0 + ni], self._factors[n0 : n0 + ni],
+                self.rabitq.center,
+            )
         codes = np.concatenate(
             [self._bits[n0 : n0 + ni],
              self._factors[n0 : n0 + ni].view(np.uint8)], axis=1
@@ -138,15 +171,22 @@ class IndexRaBitQ(Index):
         return self.rabitq.code_size
 
     def sa_encode(self, x) -> np.ndarray:
-        return self.rabitq.compute_codes(self._check_input(x))
+        x = self._check_input(x)
+        if self.nb_bits > 1:
+            return self.rabitq.pack(*self.rabitq.encode_parts(x))
+        return self.rabitq.compute_codes(x)
 
     def sa_decode(self, codes) -> np.ndarray:
+        if self.nb_bits > 1:
+            c, f = self.rabitq.unpack(np.asarray(codes, np.uint8))
+            return self.rabitq.decode(c, f, self.rabitq.center)
         return self.rabitq.decode(codes)
 
     def reset(self) -> None:
         self._bits = None
         self._factors = None
         self.ntotal = 0
+        self._ydev = None
 
 
 @functools.partial(jax.jit, static_argnames=("k", "d"))
@@ -200,20 +240,31 @@ def _ivf_rabitq_scan(qPo_all, qn2_bias, probes, packed, factors, slot_ids,
 class IndexIVFRaBitQ(IndexIVF):
     """IVF + RaBitQ residual codes (reference: IndexIVFRaBitQ.h:19)."""
 
-    def __init__(self, quantizer, d, nlist, metric=MetricType.L2):
+    def __init__(self, quantizer, d, nlist, metric=MetricType.L2,
+                 nb_bits: int = 1):
         if metric != MetricType.L2:
             raise ValueError("RaBitQ supports L2 only")
         super().__init__(quantizer, d, nlist, metric)
-        self.rabitq = RaBitQuantizer(d)
+        self.nb_bits = int(nb_bits)
+        if self.nb_bits > 1:
+            from ..codecs.rabitq import MultiBitRaBitQ
+
+            self.rabitq = MultiBitRaBitQ(d, self.nb_bits)
+            self.code_size = self.rabitq.code_size
+        else:
+            self.rabitq = RaBitQuantizer(d)
+            self.code_size = self.rabitq.code_size + 4  # + <Pc, o_bar>
         self.by_residual = True
         self.qb = 0
-        self.code_size = self.rabitq.code_size + 4  # + <Pc, o_bar> factor
 
     def train_encoder(self, x, assign) -> None:
         self.rabitq.center = np.zeros(self.d, np.float32)  # residual mode
 
     def encode_vectors(self, x, listnos):
         centers = self.quantizer.vectors()[listnos]
+        if self.nb_bits > 1:
+            codes, factors = self.rabitq.encode_parts(x, centers=centers)
+            return self.rabitq.pack(codes, factors)
         bits, factors = self.rabitq.encode_parts(x, centers=centers)
         # g = <P c, o_bar>
         nbytes = (self.d + 7) // 8
@@ -227,11 +278,40 @@ class IndexIVFRaBitQ(IndexIVF):
 
     def decode_vectors(self, codes, listnos):
         codes = np.ascontiguousarray(codes, np.uint8)
+        if self.nb_bits > 1:
+            c, f = self.rabitq.unpack(codes)
+            return self.rabitq.decode(
+                c, f, self.quantizer.vectors()[listnos]
+            )
         nbytes = (self.d + 7) // 8
         base = self.rabitq.decode(codes[:, : nbytes + 8])  # center=0 residual
         return base + self.quantizer.vectors()[listnos]
 
     def _stage_codes(self, slot_ids, lengths, max_len, sorted_ln, ranks, order):
+        if self.nb_bits > 1:
+            # multi-bit: implied vectors + overridden norm term reuse the
+            # standard IVF-flat scan (z = c_l + y, t = ||c_l||^2 + 2<c_l,y>
+            # + f_add) — see MultiBitRaBitQ docstring
+            pad_codes = np.zeros((self.nlist, max_len, self.d), np.float32)
+            pad_norms = np.full((self.nlist, max_len), np.inf, np.float32)
+            if self.ntotal:
+                c, f = self.rabitq.unpack(self._codes_host[order])
+                cents = self.quantizer.vectors()[self._listnos_host[order]]
+                y = self.rabitq.implied_vectors(c, f)
+                z = (cents + y).astype(np.float32)
+                t = (
+                    (cents * cents).sum(1)
+                    + 2.0 * (cents * y).sum(1)
+                    + f[:, 0]
+                ).astype(np.float32)
+                pad_codes[sorted_ln, ranks] = z
+                pad_norms[sorted_ln, ranks] = t
+            return {
+                "codes": jnp.asarray(pad_codes),
+                "slot_ids": jnp.asarray(slot_ids),
+                "lengths": jnp.asarray(lengths),
+                "code_norms": jnp.asarray(pad_norms),
+            }
         nbytes = (self.d + 7) // 8
         pad_bits = np.zeros((self.nlist, max_len, nbytes), np.uint8)
         pad_fac = np.zeros((self.nlist, max_len, 3), np.float32)
@@ -253,6 +333,10 @@ class IndexIVFRaBitQ(IndexIVF):
         }
 
     def _scan(self, xq_dev, probes, coarse_dis, k, dev, sel_mask):
+        if self.nb_bits > 1:
+            return IndexIVF._scan(
+                self, xq_dev, probes, coarse_dis, k, dev, sel_mask
+            )
         del sel_mask  # selector support via post-filter planned
         qP = xq_dev @ jnp.asarray(self.rabitq.P.T)
         return _ivf_rabitq_scan(

@@ -120,7 +120,7 @@ def build_padded_invlists(
     return jnp.where(valid, slots, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "largest"))
+@functools.partial(jax.jit, static_argnames=("k", "largest", "ht"))
 def ivf_pq_scan(
     luts: jax.Array,  # [nq, M, ksub] query-side ADC tables (term3 / full)
     probes: jax.Array,  # [nq, nprobe] int32
@@ -132,6 +132,8 @@ def ivf_pq_scan(
     largest: bool = False,
     term2: Optional[jax.Array] = None,  # [nlist, M, ksub] list-side tables
     sel_mask: Optional[jax.Array] = None,  # [ntotal] bool over slots
+    qcodes: Optional[jax.Array] = None,  # [nq, nprobe, M] query residual codes
+    ht: int = 0,  # polysemous Hamming threshold (0 = off)
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF-PQ ADC scan over probed lists.
 
@@ -178,6 +180,15 @@ def ivf_pq_scan(
         )
         if sel_mask is not None:
             valid = jnp.logical_and(valid, sel_mask[jnp.maximum(sl, 0)])
+        if ht and qcodes is not None:
+            # polysemous pre-filter on the residual codes
+            # (reference: IndexIVFPQ.h:47 polysemous_ht; the Hamming test
+            # is a vectorized XOR+popcount mask, not a branch)
+            qc = qcodes[:, p, :]  # [nq, M]
+            hamm = jnp.sum(
+                jax.lax.population_count(qc[:, None, :] ^ cl), axis=-1
+            )
+            valid = jnp.logical_and(valid, hamm < ht)
         dist = jnp.where(valid, dist, sentinel)
         sl = jnp.where(valid, sl, -1)
         vals, ids = merge_topk(vals, ids, dist, sl, k, largest=largest)

@@ -546,6 +546,94 @@ def test_panorama_exact_when_level1_uninformative():
     assert knn_intersection_measure(I, Iref) > 0.999
 
 
+def test_ivf_flat_panorama(ds):
+    """IVF Panorama == plain IVF-Flat results (pruned scan is certified
+    exact w.r.t. the probed lists), and io round-trips."""
+    from faiss_tpu.models.panorama import IndexIVFFlatPanorama
+
+    ref = ft.IndexIVFFlat(None, 32, 16)
+    ref.train(ds.get_train())
+    ref.add(ds.get_database())
+    ref.nprobe = 4
+    Dref, Iref = ref.search(ds.get_queries(), 10)
+
+    pan = ft.index_factory(32, "IVF16,FlatPanorama4")
+    assert isinstance(pan, IndexIVFFlatPanorama)
+    pan.cp.seed = ref.cp.seed
+    pan.train(ds.get_train())
+    pan.add(ds.get_database())
+    pan.nprobe = 4
+    D, I = pan.search(ds.get_queries(), 10)
+    np.testing.assert_allclose(np.sort(D, 1), np.sort(Dref, 1), rtol=1e-4,
+                               atol=1e-4)
+    assert knn_intersection_measure(I, Iref) > 0.999
+
+    r = ft.deserialize_index(ft.serialize_index(pan))
+    assert r.n_levels == 4
+    D2, I2 = r.search(ds.get_queries(), 10)
+    np.testing.assert_array_equal(I, I2)
+
+
+def test_io_mmap(tmp_path, ds):
+    """IO_FLAG_MMAP: array payloads come back as lazy np.memmap views
+    (reference: index_io.h:67 IO_FLAG_MMAP, impl/mapped_io.h:35)."""
+    index = ft.IndexIVFPQ(None, 32, 16, 4, 8)
+    index.train(ds.get_train())
+    index.add(ds.get_database())
+    index.nprobe = 4
+    fname = str(tmp_path / "idx.npz")
+    ft.write_index(index, fname)
+    r = ft.read_index(fname, ft.IO_FLAG_MMAP)
+    assert isinstance(r._codes_host, np.memmap)
+    assert isinstance(r._ids_host, np.memmap)
+    D1, I1 = index.search(ds.get_queries(), 5)
+    D2, I2 = r.search(ds.get_queries(), 5)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-5)
+    # flat xb too
+    flat = ft.IndexFlatL2(32)
+    flat.add(ds.get_database())
+    ft.write_index(flat, fname)
+    r = ft.read_index(fname, ft.IO_FLAG_MMAP)
+    np.testing.assert_array_equal(
+        flat.search(ds.get_queries(), 5)[1], r.search(ds.get_queries(), 5)[1]
+    )
+
+
+def test_merge_ondisk_streaming(tmp_path, ds):
+    """Streamed on-disk merge == in-RAM merge; merged arrays are memmaps
+    (reference: contrib/ondisk.py merge_ondisk + OnDiskInvertedLists)."""
+    from faiss_tpu.contrib.ondisk import merge_ondisk
+
+    xt = ds.get_train()
+    xb = ds.get_database()
+    trained = ft.index_factory(32, "IVF16,PQ4")
+    trained.train(xt)
+    shards = []
+    for s in range(3):
+        shard = ft.clone_index(trained)
+        part = xb[s * 1000 : (s + 1) * 1000]
+        shard.add_with_ids(
+            part, np.arange(s * 1000, s * 1000 + len(part), dtype=np.int64)
+        )
+        fname = str(tmp_path / f"shard{s}.npz")
+        ft.write_index(shard, fname)
+        shards.append(fname)
+
+    ram = ft.clone_index(trained)
+    merge_ondisk(ram, shards)
+
+    disk = ft.clone_index(trained)
+    merge_ondisk(disk, shards, str(tmp_path / "merged.ivfdata.npz"),
+                 chunk_rows=256)
+    assert isinstance(disk._codes_host, np.memmap)
+    assert disk.ntotal == ram.ntotal == 3000
+    ram.nprobe = disk.nprobe = 4
+    D1, I1 = ram.search(ds.get_queries(), 5)
+    D2, I2 = disk.search(ds.get_queries(), 5)
+    np.testing.assert_array_equal(I1, I2)
+
+
 def test_io_panorama_and_imi(ds):
     from faiss_tpu.models.imi import MultiIndexQuantizer
     from faiss_tpu.models.panorama import IndexFlatPanorama

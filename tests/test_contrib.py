@@ -172,3 +172,33 @@ def test_reverse_index_factory(ds):
         # round-trip must parse to the same class
         again = ft.index_factory(16, rev)
         assert type(again) is type(index), (desc, rev)
+
+
+def test_torch_monkey_patch(ds):
+    """Importing contrib.torch_utils patches Index methods for torch
+    tensors (reference: contrib/torch_utils.py handle_torch_Index)."""
+    torch = pytest.importorskip("torch")
+    import faiss_tpu.contrib.torch_utils as tu
+
+    xb = torch.from_numpy(ds.get_database().copy())
+    xq = torch.from_numpy(ds.get_queries().copy())
+    d = xb.shape[1]
+    index = ft.IndexFlatL2(d)
+    index.add(xb)
+    D, I = index.search(xq, 5)
+    assert torch.is_tensor(D) and torch.is_tensor(I)
+    # numpy inputs keep numpy outputs
+    Dn, In = index.search(ds.get_queries(), 5)
+    assert isinstance(Dn, np.ndarray)
+    np.testing.assert_array_equal(In, I.numpy())
+    # IVF subclass override is patched too
+    ivf = ft.index_factory(d, "IVF8,PQ4")
+    ivf.train(xb)
+    ivf.add(xb)
+    ivf.nprobe = 8
+    D2, _ = ivf.search(xq, 5)
+    assert torch.is_tensor(D2)
+    D3, I3 = tu.torch_knn(xq, xb, 5)
+    np.testing.assert_array_equal(I3.numpy(), I.numpy())
+    c, a = tu.torch_kmeans(xb, 8, niter=4)
+    assert torch.is_tensor(c) and tuple(c.shape) == (8, d)
