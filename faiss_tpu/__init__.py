@@ -202,6 +202,16 @@ from .codecs.lattice import (  # noqa: F401
     ZnSphereSearch,
 )
 from .codecs.rabitq import MultiBitRaBitQ  # noqa: F401
+from .invlists import (  # noqa: F401
+    ArrayInvertedLists,
+    HStackInvertedLists,
+    InvertedLists,
+    InvertedListsIOHook,
+    SliceInvertedLists,
+    VStackInvertedLists,
+    replace_invlists,
+)
+from .ivflib import SlidingIndexWindow  # noqa: F401
 from .callbacks import (  # noqa: F401
     InterruptCallback,
     InterruptedException,

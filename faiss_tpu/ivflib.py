@@ -102,3 +102,76 @@ def clone_index(index):
     from .io import deserialize_index, serialize_index
 
     return deserialize_index(serialize_index(index))
+
+
+class SlidingIndexWindow:
+    """Sliding window over an IVF index: at each ``step`` the oldest slice
+    of entries is dropped and a new sub-index's entries are appended
+    (reference: IVFlib.h:86 SlidingIndexWindow).
+
+    The window owns the target index's flat entry store; slices are kept as
+    (ids, listnos, codes) blocks and re-concatenated on step — the padded
+    device layout rebuilds lazily on next search.
+    """
+
+    def __init__(self, index):
+        self.index = index
+        self.ivf = extract_index_ivf(index)
+        self.nlist = self.ivf.nlist
+        self.n_slice = 0
+        self._slices = []
+        if self.ivf.ntotal:
+            self._slices.append(
+                (
+                    self.ivf._ids_host.copy(),
+                    self.ivf._listnos_host.copy(),
+                    None
+                    if self.ivf._codes_host is None
+                    else self.ivf._codes_host.copy(),
+                )
+            )
+            self.n_slice = 1
+
+    def step(self, sub_index, remove_oldest: bool) -> None:
+        """Append ``sub_index``'s entries (may be None) and/or drop the
+        oldest slice (IVFlib.cpp SlidingIndexWindow::step semantics)."""
+        if remove_oldest and self._slices:
+            self._slices.pop(0)
+        if sub_index is not None:
+            ivf = extract_index_ivf(sub_index)
+            if ivf.nlist != self.nlist:
+                raise ValueError("sub-index nlist mismatch")
+            if ivf.ntotal:
+                self._slices.append(
+                    (
+                        ivf._ids_host.copy(),
+                        ivf._listnos_host.copy(),
+                        None
+                        if ivf._codes_host is None
+                        else ivf._codes_host.copy(),
+                    )
+                )
+        self.n_slice = len(self._slices)
+        import numpy as np
+
+        if self._slices:
+            self.ivf._ids_host = np.concatenate(
+                [s[0] for s in self._slices]
+            )
+            self.ivf._listnos_host = np.concatenate(
+                [s[1] for s in self._slices]
+            )
+            if self._slices[0][2] is not None:
+                self.ivf._codes_host = np.concatenate(
+                    [s[2] for s in self._slices]
+                )
+        else:
+            self.ivf._ids_host = np.empty(0, np.int64)
+            self.ivf._listnos_host = np.empty(0, np.int32)
+            if self.ivf._codes_host is not None:
+                self.ivf._codes_host = self.ivf._codes_host[:0]
+        self.ivf.ntotal = len(self.ivf._ids_host)
+        self.ivf._device = None
+        if hasattr(self.ivf, "_brute"):
+            self.ivf._brute = None
+        self.index.ntotal = self.ivf.ntotal

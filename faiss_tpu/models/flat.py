@@ -219,7 +219,7 @@ class IndexFlat(Index):
 
         return (
             jax.default_backend() not in ("cpu",)
-            and k <= 128
+            and k <= 2048  # BlockSelect range: chained 128-lane rank buffers
             and self.metric_type in (MetricType.L2, MetricType.INNER_PRODUCT)
             and self.ntotal >= self.PALLAS_MIN_NB
             and self.d <= 2048
@@ -244,6 +244,7 @@ class IndexFlat(Index):
         nq = len(x)
         metric_l2 = self.metric_type == MetricType.L2
         xbT = self._xbT_dev()
+        k_lanes = max(128, -(-k // 128) * 128)
         for start, padded, real in query_buckets(nq):
             xq = x[start : start + real]
             if padded != real:
@@ -255,14 +256,19 @@ class IndexFlat(Index):
                 self.ntotal,
                 metric_l2=metric_l2,
                 qt=qt,
+                k_lanes=k_lanes,
             )
-            v = np.asarray(v)[:real]
-            i = np.asarray(i)[:real]
-            ev = np.asarray(ev)[:real]
+            # reduce/slice ON DEVICE: the tunnel moves ~45 MB/s, so the
+            # full [nq, k_lanes] v/i/ev transfer would dominate the search
+            kk = min(k, k_lanes)
             if metric_l2:
-                lossy = ev.min(1) < v[:, min(k, 127)]
+                lossy_dev = jnp.min(ev, -1) < v[:, kk - 1]
             else:
-                lossy = ev.max(1) > v[:, min(k, 127)]
+                lossy_dev = jnp.max(ev, -1) > v[:, kk - 1]
+            v_dev, i_dev = v[:, :kk], i[:, :kk]
+            v = np.array(v_dev[:real])  # writable: lossy rows repaired below
+            i = np.array(i_dev[:real])
+            lossy = np.asarray(lossy_dev)[:real]
             if lossy.any():
                 # exact repair through the XLA path for the affected rows
                 rows = np.nonzero(lossy)[0]

@@ -38,7 +38,7 @@ class IndexNeuralNetCodec(Index):
         raise RuntimeError(
             "neural codecs are trained externally; call set_net() with a "
             "trained model (reference IndexNeuralNetCodec has the same "
-            "contract)"
+            "contract), or use IndexQINCo.train() for the native jax loop"
         )
 
     def sa_code_size(self) -> int:
@@ -100,4 +100,19 @@ class IndexQINCo(IndexNeuralNetCodec):
 
     def load_state(self, state) -> None:
         self.qinco.load_state(state)
+        self.is_trained = True
+
+    def train(self, x, epochs: int = 30, batch: int = 1024,
+              lr: float = 1e-3, verbose: bool = False) -> None:
+        """Native jax/optax QINCo training (utils/neuralnet.train_qinco);
+        the reference ships inference only and trains in torch externally."""
+        from ..utils.neuralnet import train_qinco
+
+        x = self._check_input(x)
+        self.qinco = train_qinco(
+            x, K=1 << self.nbits, M=self.M, L=self.qinco.L,
+            h=self.qinco.h, epochs=epochs, batch=batch, lr=lr,
+            verbose=verbose,
+        )
+        self.net = self.qinco
         self.is_trained = True

@@ -99,18 +99,73 @@ def _merge_desc_into_ref(rv_ref, ri_ref, wv, wi, lane):
     ri_ref[:] = wi[:]
 
 
-def _make_kernel(qt, ct, d, metric_l2, precision):
+def _cascade_desc_into_buffers(rv_ref, ri_ref, wv, wi, lane, nbuf):
+    """Merge descending (wv, wi) through ``nbuf`` ascending 128-wide rank
+    buffers stored side by side in rv_ref/ri_ref [qt, nbuf*128] — the k>128
+    select (the BlockSelect k<=2048 analogue, gpu/utils/BlockSelectKernel.cuh,
+    as a chain of bitonic merge/halving networks). Invariant: buffer r holds
+    global ranks [r*128, (r+1)*128) ascending; the merge's rejected (larger)
+    half cascades into the next buffer.
+    """
+    for r in range(nbuf):
+        sl = slice(r * LANES, (r + 1) * LANES)
+        rv = rv_ref[:, sl]
+        ri = ri_ref[:, sl]
+        mv = wv[:]
+        mi = wi[:]
+        keep_r = rv <= mv
+        # rejected (max) half — becomes the next buffer's input
+        wv[:] = jnp.where(keep_r, mv, rv)
+        wi[:] = jnp.where(keep_r, mi, ri)
+        # kept (min) half, bitonic -> 7 ascending stages
+        kv = jnp.where(keep_r, rv, mv)
+        ki = jnp.where(keep_r, ri, mi)
+        rv_ref[:, sl] = kv
+        ri_ref[:, sl] = ki
+        for s_exp in reversed(range(7)):
+            same = ((lane >> s_exp) & 1) == 0
+            _cmpex_slice(rv_ref, ri_ref, sl, lane, 1 << s_exp, same)
+        if r + 1 < nbuf:
+            # rejected half is bitonic; restore DESCENDING order for the
+            # next merge (7 stages, descending comparators)
+            for s_exp in reversed(range(7)):
+                same = ((lane >> s_exp) & 1) == 1
+                _cmpex_ref(wv, wi, lane, 1 << s_exp, same)
+
+
+def _cmpex_slice(rv_ref, ri_ref, sl, lane, s, same):
+    """Compare-exchange on a 128-lane column slice of a wider ref."""
+    v = rv_ref[:, sl]
+    i = ri_ref[:, sl]
+    pv_u = pltpu.roll(v, LANES - s, 1)
+    pi_u = pltpu.roll(i, LANES - s, 1)
+    pv_d = pltpu.roll(v, s, 1)
+    pi_d = pltpu.roll(i, s, 1)
+    is_low = (lane & s) == 0
+    pv = jnp.where(is_low, pv_u, pv_d)
+    pi = jnp.where(is_low, pi_u, pi_d)
+    le = v <= pv
+    ge = v >= pv
+    keep = jnp.logical_or(
+        jnp.logical_and(same, le), jnp.logical_and(jnp.logical_not(same), ge)
+    )
+    rv_ref[:, sl] = jnp.where(keep, v, pv)
+    ri_ref[:, sl] = jnp.where(keep, i, pi)
+
+
+def _make_kernel(qt, ct, d, metric_l2, precision, k_lanes=LANES):
     n_sub = ct // LANES
+    nbuf = k_lanes // LANES  # rank buffers (k>128: BlockSelect-style chain)
     prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
 
     def flush_queues(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane):
-        """Spill all lane queues into the sorted top-K buffer (warp merge)."""
+        """Spill all lane queues into the sorted top-K buffers (warp merge)."""
         for t in range(QDEPTH):
             wv[:] = -qv_ref[t]  # negate: ascending sort of -v == v descending
             wi[:] = qi_ref[t]
             _sort_asc_ref(wv, wi, lane)
             wv[:] = -wv[:]
-            _merge_desc_into_ref(rv_ref, ri_ref, wv, wi, lane)
+            _cascade_desc_into_buffers(rv_ref, ri_ref, wv, wi, lane, nbuf)
         qv_ref[:] = jnp.full((QDEPTH, qt, LANES), jnp.inf, jnp.float32)
         qi_ref[:] = jnp.full((QDEPTH, qt, LANES), -1, jnp.int32)
 
@@ -122,8 +177,8 @@ def _make_kernel(qt, ct, d, metric_l2, precision):
 
         @pl.when(j == 0)
         def _init():
-            rv_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
-            ri_ref[:] = jnp.full((qt, LANES), -1, jnp.int32)
+            rv_ref[:] = jnp.full((qt, k_lanes), jnp.inf, jnp.float32)
+            ri_ref[:] = jnp.full((qt, k_lanes), -1, jnp.int32)
             qv_ref[:] = jnp.full((QDEPTH, qt, LANES), jnp.inf, jnp.float32)
             qi_ref[:] = jnp.full((QDEPTH, qt, LANES), -1, jnp.int32)
             ev_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
@@ -156,7 +211,7 @@ def _make_kernel(qt, ct, d, metric_l2, precision):
         base = j * ct
 
         # theta only changes at flushes, so hoist it out of the subtile loop
-        theta = rv_ref[:, LANES - 1 : LANES]  # current kth best per query
+        theta = rv_ref[:, k_lanes - 1 : k_lanes]  # current kth best per query
         for t in range(n_sub):
             col = base + t * LANES + lane  # [qt, LANES]
             sv = s_ref[:, t * LANES : (t + 1) * LANES]
@@ -199,7 +254,9 @@ def _make_kernel(qt, ct, d, metric_l2, precision):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric_l2", "precision", "qt", "ct", "interpret"),
+    static_argnames=(
+        "metric_l2", "precision", "qt", "ct", "k_lanes", "interpret"
+    ),
 )
 def knn_fused_pallas(
     x: jax.Array,  # [nq, d] f32, nq % qt == 0
@@ -209,20 +266,24 @@ def knn_fused_pallas(
     precision: str = "highest",
     qt: int = 512,
     ct: int = 1024,
+    k_lanes: int = LANES,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Top-128 nearest neighbors, best-first, plus per-lane eviction floor.
+    """Top-k_lanes nearest neighbors, best-first, plus eviction floor.
 
-    Returns (values [nq, 128], indices [nq, 128] int32, evicted [nq, 128]).
-    A query row's result is guaranteed exact iff ``evicted.min(-1)`` does not
-    beat its 128th value (callers redo the rare offending rows — see
-    ``knn_exact_tpu``). Missing entries (nb < 128) have index -1.
+    ``k_lanes`` must be a multiple of 128 (up to 2048 — the BlockSelect
+    range, gpu/utils/BlockSelectKernel.cuh): ranks live in k_lanes/128
+    chained sorted buffers. Returns (values [nq, k_lanes], indices int32,
+    evicted [nq, 128]). A query row's result is guaranteed exact iff
+    ``evicted.min(-1)`` does not beat its k_lanes-th value (callers redo the
+    rare offending rows). Missing entries (nb < k_lanes) have index -1.
     """
     nq, d = x.shape
     nbp = yT.shape[1]
     assert nq % qt == 0 and nbp % ct == 0
+    assert k_lanes % LANES == 0 and 0 < k_lanes <= 2048
     grid = (nq // qt, nbp // ct)
-    kernel = _make_kernel(qt, ct, d, metric_l2, precision)
+    kernel = _make_kernel(qt, ct, d, metric_l2, precision, k_lanes)
     out_v, out_i, out_ev = pl.pallas_call(
         kernel,
         grid=grid,
@@ -232,18 +293,18 @@ def knn_fused_pallas(
             pl.BlockSpec((d, ct), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((qt, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qt, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k_lanes), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k_lanes), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((qt, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nq, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((nq, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nq, k_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((nq, k_lanes), jnp.int32),
             jax.ShapeDtypeStruct((nq, LANES), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((qt, LANES), jnp.float32),  # top-K values
-            pltpu.VMEM((qt, LANES), jnp.int32),  # top-K ids
+            pltpu.VMEM((qt, k_lanes), jnp.float32),  # top-K values
+            pltpu.VMEM((qt, k_lanes), jnp.int32),  # top-K ids
             pltpu.VMEM((QDEPTH, qt, LANES), jnp.float32),  # lane queues
             pltpu.VMEM((QDEPTH, qt, LANES), jnp.int32),
             pltpu.VMEM((qt, LANES), jnp.float32),  # sort workspace

@@ -681,3 +681,29 @@ def test_idselector_array_empty(ds):
         ds.get_queries()[:4], 5, params=SearchParameters(sel=sel)
     )
     assert (I == -1).all()
+
+
+def test_qinco_training():
+    """QINCo trained with the jax/optax loop must beat its own untrained
+    init and round-trip encode/decode consistently (reference ships only
+    inference — utils/NeuralNet.h:23-129)."""
+    from faiss_tpu.utils.neuralnet import QINCo, train_qinco
+
+    rs = np.random.RandomState(0)
+    n, d = 3000, 16
+    x = rs.randn(n, d).astype(np.float32)
+    model = train_qinco(x, K=16, M=3, L=1, h=32, epochs=50, batch=512,
+                        lr=3e-3)
+    codes = model.encode(x[:512])
+    rec = model.decode(codes)
+    err = np.linalg.norm(rec - x[:512], axis=1).mean()
+    base = np.linalg.norm(x[:512], axis=1).mean()
+    assert err < 0.75 * base  # 3 steps of 4 bits must compress something
+    # decode(encode(.)) is deterministic and matches step-wise decode
+    codes2 = model.encode(x[:512])
+    np.testing.assert_array_equal(codes, codes2)
+    # better than a single k-means level (codebook0 alone)
+    cb0 = model.codebook0.weight
+    d2 = ((x[:512, None, :] - cb0[None]) ** 2).sum(-1)
+    err0 = np.sqrt(d2.min(1)).mean()
+    assert err < err0

@@ -199,3 +199,42 @@ def test_flat1d():
     D, I = index.search(np.array([[0.5]], np.float32), 3)
     ref = np.argsort((xb[:, 0] - 0.5) ** 2)[:3]
     assert set(I[0]) == set(ref)
+
+
+def test_fused_knn_kernel_k_lanes_interpret():
+    """k>128 select: the chained rank buffers must reproduce the exact
+    top-k (interpret mode; reference range: BlockSelect k<=2048)."""
+    import jax.numpy as jnp
+
+    from faiss_tpu.ops.pallas_knn import knn_fused_pallas
+
+    rs = np.random.RandomState(5)
+    d, nb, nq = 16, 4096, 128
+    xb = rs.rand(nb, d).astype(np.float32)
+    xq = rs.rand(nq, d).astype(np.float32)
+    yT = np.ascontiguousarray(xb.T)
+    dist = (
+        (xq**2).sum(1)[:, None] + (xb**2).sum(1)[None, :] - 2 * xq @ xb.T
+    )
+    for k_lanes in (256, 512):
+        v, i, ev = knn_fused_pallas(
+            jnp.asarray(xq), jnp.asarray(yT), np.int32(nb),
+            qt=128, ct=512, k_lanes=k_lanes, interpret=True,
+        )
+        v, i, ev = np.asarray(v), np.asarray(i), np.asarray(ev)
+        ref = np.sort(dist, 1)[:, :k_lanes]
+        clean = ev.min(1) >= v[:, k_lanes - 1]
+        # k/nb selectivity here (up to 12.5%) is far above real workloads,
+        # so queue pressure flags many rows; the CONTRACT under test is
+        # that unflagged rows are exact
+        assert clean.mean() > 0.5
+        np.testing.assert_allclose(
+            v[clean], np.maximum(ref[clean], 0), rtol=1e-4, atol=1e-4
+        )
+        # ids are consistent with values
+        picked = np.take_along_axis(
+            dist[clean], np.maximum(i[clean], 0), axis=1
+        )
+        np.testing.assert_allclose(
+            np.maximum(picked, 0), v[clean], rtol=1e-4, atol=1e-4
+        )

@@ -182,3 +182,71 @@ def test_matrix_stats():
     assert ms.n_collapsed == 1
     assert ms.n_dup >= 1
     assert "WARN" in ms.comments
+
+
+def test_invlists_views(ds):
+    """InvertedLists combinators: slice/hstack/vstack views over index
+    entry stores (reference: invlists/InvertedLists.h:354-440)."""
+    xt, xb = ds.get_train(), ds.get_database()
+    a = ft.index_factory(32, "IVF8,PQ4")
+    a.train(xt)
+    b = ft.clone_index(a)
+    a.add_with_ids(xb[:1500], np.arange(1500, dtype=np.int64))
+    b.add_with_ids(xb[1500:], np.arange(1500, len(xb), dtype=np.int64))
+
+    ila = ft.ArrayInvertedLists.from_index(a)
+    ilb = ft.ArrayInvertedLists.from_index(b)
+    assert ila.compute_ntotal == 1500
+
+    hs = ft.HStackInvertedLists([ila, ilb])
+    assert hs.compute_ntotal == len(xb)
+    l0 = hs.get_ids(0)
+    assert len(l0) == ila.list_size(0) + ilb.list_size(0)
+
+    sl = ft.SliceInvertedLists(ila, 2, 6)
+    assert sl.nlist == 4
+    np.testing.assert_array_equal(sl.get_ids(0), ila.get_ids(2))
+
+    vs = ft.VStackInvertedLists([ila, ilb])
+    assert vs.nlist == 16
+    np.testing.assert_array_equal(vs.get_ids(9), ilb.get_ids(1))
+
+    # attaching the hstack view == merging the two indexes
+    merged = ft.clone_index(a)
+    ft.replace_invlists(merged, hs)
+    assert merged.ntotal == len(xb)
+    merged.nprobe = 8
+    ref = ft.clone_index(a)
+    ref.merge_from(ft.clone_index(b))
+    ref.nprobe = 8
+    D1, I1 = merged.search(ds.get_queries(), 5)
+    D2, I2 = ref.search(ds.get_queries(), 5)
+    np.testing.assert_array_equal(np.sort(I1, 1), np.sort(I2, 1))
+
+
+def test_sliding_index_window(ds):
+    """SlidingIndexWindow: step() appends new slices and drops the oldest
+    (reference: IVFlib.h:86)."""
+    xt, xb = ds.get_train(), ds.get_database()
+    trained = ft.index_factory(32, "IVF8,PQ4")
+    trained.train(xt)
+    base = ft.clone_index(trained)
+    win = ft.SlidingIndexWindow(base)
+
+    def make_slice(lo, hi):
+        s = ft.clone_index(trained)
+        s.add_with_ids(xb[lo:hi], np.arange(lo, hi, dtype=np.int64))
+        return s
+
+    win.step(make_slice(0, 1000), False)
+    assert base.ntotal == 1000 and win.n_slice == 1
+    win.step(make_slice(1000, 2000), False)
+    assert base.ntotal == 2000 and win.n_slice == 2
+    win.step(make_slice(2000, 3000), True)  # drop slice [0, 1000)
+    assert base.ntotal == 2000 and win.n_slice == 2
+    base.nprobe = 8
+    _, I = base.search(ds.get_queries(), 5)
+    assert (I[I >= 0] >= 1000).all()  # oldest slice really gone
+    win.step(None, True)
+    win.step(None, True)
+    assert base.ntotal == 0 and win.n_slice == 0
