@@ -197,10 +197,13 @@ class IndexIVFPQ(IndexIVF):
         # 0 = auto (enable when it fits), 1 = yes, -1 = disable
         self.use_precomputed_table = 0
         self._term2 = None  # [nlist, M, ksub] device
-        # big-batch implem (IndexIVFFastScan.h:252 dispatch analogue):
-        # queries >= this threshold score ALL codes by one-hot GEMM instead
-        # of per-query list gathers. 0 disables.
-        self.big_batch_threshold = 2048
+        # fused-implem dispatch (IndexIVFFastScan.h:252 analogue): queries
+        # >= this threshold go to the fused ADC kernel, which scans the
+        # group-packed codes for a whole 256-query tile at once — on the MXU
+        # that is CHEAPER than list-major gathering even for a single query
+        # tile (the TPU answer to implem_12's sort-by-list), so the
+        # threshold defaults to one bucket. 0 disables.
+        self.big_batch_threshold = 128
         self._brute = None  # flat device arrays for the big-batch implem
         self.is_trained = False
 
@@ -521,6 +524,9 @@ class IndexIVFPQ(IndexIVF):
 
     def search(self, x, k: int, *, params=None):
         x = self._check_input(x)
+        max_codes = self.max_codes
+        if params is not None and getattr(params, "max_codes", 0):
+            max_codes = params.max_codes
         use_big = (
             self.big_batch_threshold
             and len(x) >= self.big_batch_threshold
@@ -528,6 +534,7 @@ class IndexIVFPQ(IndexIVF):
             and self.metric_type == MetricType.L2
             and (params is None or params.sel is None)
             and not self.polysemous_ht  # ht filter runs in the probe scan
+            and not max_codes  # scan budget only exists in the probe scan
             and self.ntotal > 0
         )
         if use_big:
