@@ -707,3 +707,64 @@ def test_qinco_training():
     d2 = ((x[:512, None, :] - cb0[None]) ** 2).sum(-1)
     err0 = np.sqrt(d2.min(1)).mean()
     assert err < err0
+
+
+def test_adsampling_and_pdx():
+    """ADSampling threshold math + PDX layout (reference:
+    impl/AdSampling.h, impl/PdxLayout.h)."""
+    from faiss_tpu.ops.adsampling import (
+        assign_adsampling,
+        chi2_quantile_wh,
+        compute_partial_norms,
+        de_pdxify,
+        normal_quantile,
+        pdxify,
+        precompute_ad_thresholds,
+    )
+
+    # normal quantile: exact round-trip through the CDF
+    from statistics import NormalDist
+
+    for p in (0.01, 0.5, 0.975):
+        np.testing.assert_allclose(
+            NormalDist().cdf(normal_quantile(p)), p, atol=1e-9
+        )
+    # chi2 quantile vs simulation (2% tolerance for p >= 16, like the
+    # reference's documented accuracy window)
+    rs = np.random.RandomState(0)
+    for p in (16, 64):
+        samples = (rs.randn(200_000, p) ** 2).sum(1)
+        emp = np.quantile(samples, 0.999)
+        approx = chi2_quantile_wh(p, 0.999)
+        assert abs(approx - emp) / emp < 0.02
+    coeff = precompute_ad_thresholds(64, 1e-3)
+    assert coeff[0] == 0 and (np.diff(coeff[16:]) > 0).all()
+
+    # PDX round-trip is bit-identical
+    Y = rs.rand(13, 37).astype(np.float32)
+    for bs in (8, 16, 37):
+        np.testing.assert_array_equal(
+            de_pdxify(pdxify(Y, bs), 13, 37, bs), Y
+        )
+    np.testing.assert_allclose(
+        compute_partial_norms(Y, 5), (Y[:, :5] ** 2).sum(1), rtol=1e-5
+    )
+
+    # progressive assignment == exact argmin on mixture data (the
+    # realistic k-means case; pure isotropic noise concentrates distances
+    # and needs a larger keep)
+    c = rs.randn(256, 64).astype(np.float32)
+    x = (c[rs.randint(256, size=2000)]
+         + 0.4 * rs.randn(2000, 64)).astype(np.float32)
+    dist, assign = assign_adsampling(x, c, d_prime=32, epsilon=1e-3)
+    full = (
+        (x**2).sum(1)[:, None] + (c**2).sum(1)[None, :] - 2 * x @ c.T
+    )
+    exact = full.argmin(1)
+    agree = (assign == exact).mean()
+    assert agree > 0.97, agree
+    np.testing.assert_allclose(
+        dist[assign == exact],
+        np.maximum(full.min(1)[assign == exact], 0),
+        rtol=1e-3, atol=1e-3,
+    )
