@@ -191,7 +191,12 @@ from .models.extra_indexes import (  # noqa: F401
 from .factory_tools import reverse_index_factory  # noqa: F401
 from .stats import MatrixStats  # noqa: F401
 
-from .models.rabitq import IndexIVFRaBitQ, IndexRaBitQ  # noqa: F401
+from .models.rabitq import (  # noqa: F401
+    IndexIVFRaBitQ,
+    IndexIVFRaBitQFastScan,
+    IndexRaBitQ,
+    IndexRaBitQFastScan,
+)
 from .codecs.rabitq import RaBitQuantizer  # noqa: F401
 from .models.eden import IndexEDEN, IndexIVFEDEN  # noqa: F401
 from .codecs.eden import EDENQuantizer, EDENScaleType  # noqa: F401

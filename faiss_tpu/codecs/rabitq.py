@@ -86,6 +86,30 @@ class RaBitQuantizer:
         return qr.astype(np.float32), (qr**2).sum(1).astype(np.float32)
 
 
+def quantize_query_sq(qr: np.ndarray, qb: int, centered: bool = False):
+    """qb-bit scalar quantize-dequantize of rotated queries.
+
+    The TPU analogue of RaBitQDistanceComputerQ (impl/RaBitQuantizer.cpp:439):
+    the reference accumulates the 1-bit dot product in the integer domain of a
+    qb-bit uniform scalar quantizer of q_r; that integer estimate is EXACTLY
+    the float dot product against the dequantized query, so the MXU scan
+    reuses the same GEMM with this query instead of an integer kernel.
+    ``centered`` selects the zero-symmetric range (RaBitQuantizer.cpp:465),
+    otherwise the per-query [min, max] range is used.
+    """
+    if qb <= 0:
+        return qr
+    levels = float((1 << int(qb)) - 1)
+    qr = np.ascontiguousarray(qr, np.float32)
+    if centered:
+        amax = np.maximum(np.abs(qr).max(1, keepdims=True), 1e-20)
+        u = np.round((qr + amax) / (2.0 * amax) * levels)
+        return (u * (2.0 * amax / levels) - amax).astype(np.float32)
+    lo = qr.min(1, keepdims=True)
+    step = np.maximum(qr.max(1, keepdims=True) - lo, 1e-20) / levels
+    return (np.round((qr - lo) / step) * step + lo).astype(np.float32)
+
+
 class MultiBitRaBitQ:
     """Multi-bit RaBitQ (reference: impl/RaBitQuantizerMultiBit.{h,cpp};
     Gao et al., "Practical and asymptotically optimal quantization...",

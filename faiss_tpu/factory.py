@@ -127,6 +127,15 @@ def _parse_ivf_encoding(tok: str, quantizer, d: int, nlist: int, metric):
         )
     if m := re.fullmatch(r"PQ(\d+)", tok):
         return IndexIVFPQ(quantizer, d, nlist, int(m.group(1)), 8, metric)
+    if m := re.fullmatch(r"RaBitQfs([1-9])?(?:_(\d+))?", tok):
+        # reference grammar: RaBitQfs{nb_bits}_{bbs} (index_factory.cpp:535)
+        from .models.rabitq import IndexIVFRaBitQFastScan
+
+        return IndexIVFRaBitQFastScan(
+            quantizer, d, nlist, metric,
+            int(m.group(2)) if m.group(2) else 32,
+            int(m.group(1)) if m.group(1) else 1,
+        )
     if m := re.fullmatch(r"RaBitQ([1-9])?", tok):
         from .models.rabitq import IndexIVFRaBitQ
 
@@ -177,6 +186,14 @@ def _parse_flat_encoding(tok: str, d: int, metric):
         from .models.panorama import IndexFlatPanorama
 
         return IndexFlatPanorama(d, int(m.group(1)) if m.group(1) else 4, metric)
+    if m := re.fullmatch(r"RaBitQfs([1-9])?(?:_(\d+))?", tok):
+        from .models.rabitq import IndexRaBitQFastScan
+
+        return IndexRaBitQFastScan(
+            d, metric,
+            int(m.group(2)) if m.group(2) else 32,
+            int(m.group(1)) if m.group(1) else 1,
+        )
     if m := re.fullmatch(r"RaBitQ([1-9])?", tok):
         from .models.rabitq import IndexRaBitQ
 

@@ -169,6 +169,11 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
             meta["scale_type"] = int(index.eden.scale_type)
         if isinstance(index, IndexIVFRaBitQ):
             meta["nb_bits"] = index.nb_bits
+            meta["qb"] = index.qb
+            from .models.rabitq import IndexIVFRaBitQFastScan
+
+            if isinstance(index, IndexIVFRaBitQFastScan):
+                meta["bbs"] = index.bbs
         from .models.panorama import IndexIVFFlatPanorama
 
         if isinstance(index, IndexIVFFlatPanorama):
@@ -278,8 +283,13 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
 
     if isinstance(index, IndexRaBitQ):
         meta.update(
-            d=index.d, is_trained=index.is_trained, nb_bits=index.nb_bits
+            d=index.d, is_trained=index.is_trained, nb_bits=index.nb_bits,
+            qb=index.qb,
         )
+        from .models.rabitq import IndexRaBitQFastScan
+
+        if isinstance(index, IndexRaBitQFastScan):
+            meta["bbs"] = index.bbs
         arrays[f"{path}/P"] = index.rabitq.P
         if index.rabitq.center is not None:
             arrays[f"{path}/center"] = index.rabitq.center
@@ -445,6 +455,7 @@ def _load(meta, arrays, path: str):
         "IndexIVFScalarQuantizer",
         "IndexIVFEDEN",
         "IndexIVFRaBitQ",
+        "IndexIVFRaBitQFastScan",
         "IndexIVFFlatPanorama",
     ):
         quantizer = _load(meta["quantizer"], arrays, f"{path}/quantizer")
@@ -458,12 +469,19 @@ def _load(meta, arrays, path: str):
                 quantizer, d, nlist, meta["n_levels"], metric
             )
             index.prune_factor = meta["prune_factor"]
-        elif cls == "IndexIVFRaBitQ":
-            from .models.rabitq import IndexIVFRaBitQ
+        elif cls in ("IndexIVFRaBitQ", "IndexIVFRaBitQFastScan"):
+            from .models.rabitq import IndexIVFRaBitQ, IndexIVFRaBitQFastScan
 
-            index = IndexIVFRaBitQ(
-                quantizer, d, nlist, metric, meta.get("nb_bits", 1)
-            )
+            if cls == "IndexIVFRaBitQFastScan":
+                index = IndexIVFRaBitQFastScan(
+                    quantizer, d, nlist, metric, meta.get("bbs", 32),
+                    meta.get("nb_bits", 1),
+                )
+            else:
+                index = IndexIVFRaBitQ(
+                    quantizer, d, nlist, metric, meta.get("nb_bits", 1)
+                )
+            index.qb = meta.get("qb", index.qb)
             index.rabitq.center = np.zeros(d, np.float32)
         elif cls == "IndexIVFEDEN":
             from .codecs.eden import EDENScaleType
@@ -634,10 +652,17 @@ def _load(meta, arrays, path: str):
             index.ntotal = len(index._codes)
         return index
 
-    if cls == "IndexRaBitQ":
-        from .models.rabitq import IndexRaBitQ
+    if cls in ("IndexRaBitQ", "IndexRaBitQFastScan"):
+        from .models.rabitq import IndexRaBitQ, IndexRaBitQFastScan
 
-        index = IndexRaBitQ(meta["d"], nb_bits=meta.get("nb_bits", 1))
+        if cls == "IndexRaBitQFastScan":
+            index = IndexRaBitQFastScan(
+                meta["d"], bbs=meta.get("bbs", 32),
+                nb_bits=meta.get("nb_bits", 1),
+            )
+        else:
+            index = IndexRaBitQ(meta["d"], nb_bits=meta.get("nb_bits", 1))
+        index.qb = meta.get("qb", index.qb)
         index.rabitq.P = arrays[f"{path}/P"]
         if f"{path}/center" in arrays:
             index.rabitq.center = arrays[f"{path}/center"]

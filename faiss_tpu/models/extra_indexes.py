@@ -166,9 +166,14 @@ class IndexRowwiseMinMax(Index):
         self.ntotal = self.index.ntotal
 
     def search(self, x, k: int, *, params=None):
-        # queries pass through unnormalized (reference semantics: the wrapper
-        # is a storage codec; query-side normalization would change ranking)
-        return self.index.search(self._check_input(x), k, params=params)
+        # the reference wrapper is a PURE storage codec and refuses to
+        # search (IndexRowwiseMinMax.cpp:362: "search not implemented for
+        # this type of index") — per-row normalization is not invertible on
+        # the query side, so any ranking it produced would be misleading
+        raise NotImplementedError(
+            "search not implemented for IndexRowwiseMinMax (codec-only "
+            "wrapper, like the reference); use sa_encode/sa_decode"
+        )
 
     def reconstruct(self, key: int) -> np.ndarray:
         scale, bias = self._scale_bias[key]

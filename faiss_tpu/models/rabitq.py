@@ -96,6 +96,7 @@ class IndexRaBitQ(Index):
             self.rabitq = RaBitQuantizer(d)
         self.is_trained = False
         self.qb = 0  # query quantization bits; 0 = exact fp query (default)
+        self.centered = False  # zero-symmetric query SQ range (reference flag)
         self._bits: Optional[np.ndarray] = None
         self._factors: Optional[np.ndarray] = None
         self._ydev = None
@@ -132,6 +133,12 @@ class IndexRaBitQ(Index):
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
             qr, qn2 = self.rabitq.rotate_queries(xq)
+            if self.qb:
+                from ..codecs.rabitq import quantize_query_sq
+
+                # qn2 stays exact (query_fac.qr_to_c_L2sqr is computed from
+                # the unquantized query in the reference too)
+                qr = quantize_query_sq(qr, self.qb, self.centered)
             dv, iv = _rabitq_knn(
                 jnp.asarray(qr), jnp.asarray(qn2), bits_d, fac_d, k, self.d
             )
@@ -237,6 +244,35 @@ def _ivf_rabitq_scan(qPo_all, qn2_bias, probes, packed, factors, slot_ids,
     return vals, ids
 
 
+class IndexRaBitQFastScan(IndexRaBitQ):
+    """FastScan configuration of IndexRaBitQ (reference:
+    IndexRaBitQFastScan.h:39). The reference repacks codes into 32-vector
+    SIMD blocks and accumulates the 1-bit dot product in a qb-bit integer
+    domain; on TPU the scan is already one device-wide GEMM, so the class
+    reduces to the quantized-query operating point: queries are SQ-quantized
+    to ``qb`` bits (default 8, like the reference) before the MXU scan.
+    ``bbs`` is kept for API parity (block size has no TPU meaning)."""
+
+    def __init__(self, d: int, metric=MetricType.L2, bbs: int = 32,
+                 nb_bits: int = 1):
+        super().__init__(d, metric, nb_bits)
+        self.bbs = int(bbs)
+        self.qb = 8
+        self.centered = False
+
+    @classmethod
+    def from_rabitq(cls, orig: "IndexRaBitQ", bbs: int = 32):
+        """Build from an existing IndexRaBitQ (reference constructor
+        IndexRaBitQFastScan.cpp: IndexRaBitQFastScan(const IndexRaBitQ&))."""
+        out = cls(orig.d, orig.metric_type, bbs, orig.nb_bits)
+        out.rabitq = orig.rabitq
+        out.is_trained = orig.is_trained
+        out._bits = None if orig._bits is None else orig._bits.copy()
+        out._factors = None if orig._factors is None else orig._factors.copy()
+        out.ntotal = orig.ntotal
+        return out
+
+
 class IndexIVFRaBitQ(IndexIVF):
     """IVF + RaBitQ residual codes (reference: IndexIVFRaBitQ.h:19)."""
 
@@ -256,6 +292,7 @@ class IndexIVFRaBitQ(IndexIVF):
             self.code_size = self.rabitq.code_size + 4  # + <Pc, o_bar>
         self.by_residual = True
         self.qb = 0
+        self.centered = False
 
     def train_encoder(self, x, assign) -> None:
         self.rabitq.center = np.zeros(self.d, np.float32)  # residual mode
@@ -339,6 +376,26 @@ class IndexIVFRaBitQ(IndexIVF):
             )
         del sel_mask  # selector support via post-filter planned
         qP = xq_dev @ jnp.asarray(self.rabitq.P.T)
+        if self.qb:
+            # device-side qb-bit SQ of the rotated query (codecs.rabitq.
+            # quantize_query_sq math). Divergence from the reference
+            # (documented): quantization is applied once to P q rather than
+            # per-probe to P (q - c_l) — the per-probe shift is carried
+            # exactly through the g factor, so only the SQ grid differs.
+            levels = float((1 << int(self.qb)) - 1)
+            if self.centered:
+                amax = jnp.maximum(
+                    jnp.max(jnp.abs(qP), 1, keepdims=True), 1e-20
+                )
+                u = jnp.round((qP + amax) / (2.0 * amax) * levels)
+                qP = u * (2.0 * amax / levels) - amax
+            else:
+                lo = jnp.min(qP, 1, keepdims=True)
+                step = (
+                    jnp.maximum(jnp.max(qP, 1, keepdims=True) - lo, 1e-20)
+                    / levels
+                )
+                qP = jnp.round((qP - lo) / step) * step + lo
         return _ivf_rabitq_scan(
             qP,
             coarse_dis,
@@ -350,3 +407,34 @@ class IndexIVFRaBitQ(IndexIVF):
             k,
             self.d,
         )
+
+
+class IndexIVFRaBitQFastScan(IndexIVFRaBitQ):
+    """FastScan configuration of IndexIVFRaBitQ (reference:
+    IndexIVFRaBitQFastScan.h:49). Like IndexRaBitQFastScan: the 32-vector
+    SIMD block layout has no TPU meaning (the list scan is a batched GEMM),
+    so this is the qb-quantized-query operating point with ``bbs`` kept for
+    API parity. qb defaults to 8 as in the reference."""
+
+    def __init__(self, quantizer, d, nlist, metric=MetricType.L2,
+                 bbs: int = 32, nb_bits: int = 1):
+        super().__init__(quantizer, d, nlist, metric, nb_bits)
+        self.bbs = int(bbs)
+        self.qb = 8
+
+    @classmethod
+    def from_ivf_rabitq(cls, orig: "IndexIVFRaBitQ", bbs: int = 32):
+        """Build from an existing IndexIVFRaBitQ (reference constructor
+        IndexIVFRaBitQFastScan(const IndexIVFRaBitQ&, int bbs))."""
+        out = cls(
+            orig.quantizer, orig.d, orig.nlist, orig.metric_type, bbs,
+            orig.nb_bits,
+        )
+        out.rabitq = orig.rabitq
+        out.is_trained = orig.is_trained
+        out.nprobe = orig.nprobe
+        for f in ("_codes_host", "_listnos_host", "_ids_host"):
+            v = getattr(orig, f)
+            setattr(out, f, None if v is None else v.copy())
+        out.ntotal = orig.ntotal
+        return out

@@ -453,6 +453,211 @@ def _make_adc_kernel(qt, ct, M, ksub):
     return kernel
 
 
+def _make_adc_kernel_v3(qt, ct, K, int8, qdepth):
+    """v3 ADC kernel: the one-hot expansion is PRECOMPUTED in HBM.
+
+    v2 rebuilds the [K, ct] one-hot on the VPU every grid step (measured at
+    roughly a third of the step time at qt=256/ct=1024). v3 streams a
+    precomputed [K+128, ct] one-hot block per chunk instead — rows 0..K-1
+    are the PQ code one-hot, rows K..K+127 the local-list one-hot (the
+    coarse-bias selector). DMA cost is ~1.3 MB/step bf16 (0.65 int8),
+    overlapped by the Mosaic pipeline; the VPU build disappears.
+
+    ``int8`` mode additionally runs the PQ term as an int8 MXU contraction
+    against uint8-quantized LUTs (reference utils/quantize_lut.h semantics:
+    per-query scale ``a``, per-(q,m) bias folded into a per-query constant
+    ``c``; dequant is skey = a*acc + c + ...) — 2x MXU rate and half the
+    one-hot DMA.
+    """
+    n_sub = ct // LANES
+
+    def kernel(luts_ref, meta_ref, bias_ref, oh_ref, n2_ref,
+               out_v_ref, out_i_ref, out_ev_ref,
+               rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref):
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (qt, LANES), 1)
+
+        @pl.when(j == 0)
+        def _init():
+            rv_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
+            ri_ref[:] = jnp.full((qt, LANES), -1, jnp.int32)
+            qv_ref[:] = jnp.full((qdepth, qt, LANES), jnp.inf, jnp.float32)
+            qi_ref[:] = jnp.full((qdepth, qt, LANES), -1, jnp.int32)
+            ev_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
+
+        interval = jnp.clip(j // 4, 1, 16)
+        do_flush = jnp.logical_and(j > 0, j % interval == 0)
+
+        @pl.when(do_flush)
+        def _scheduled():
+            flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane)
+
+        oh_pq = oh_ref[0:K, :]  # [K, ct]
+        oh_list = oh_ref[K : K + LANES, :]  # [128, ct]
+        if int8:
+            acc = jax.lax.dot_general(
+                luts_ref[:], oh_pq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [qt, ct] int32: sum of quantized LUT entries
+            a = meta_ref[:, 0:LANES]  # [qt, 128] per-query scale (bcast)
+            c = meta_ref[:, LANES : 2 * LANES]  # per-query dequant constant
+            ipf = None
+        else:
+            ipf = jax.lax.dot_general(
+                luts_ref[:], oh_pq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [qt, ct] f32: -2 q.pq(code)
+            oh_lb = oh_list
+        if int8:
+            oh_lb = oh_list.astype(jnp.bfloat16)
+        b32 = bias_ref[:]
+        b_hi = b32.astype(jnp.bfloat16)
+        b_lo = (b32 - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        bias = jax.lax.dot_general(
+            b_hi, oh_lb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            b_lo, oh_lb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [qt, ct] exact -2 q.c_list(slot)
+        rest = bias + n2_ref[:]  # [qt, ct]
+
+        base = j * ct
+        theta = rv_ref[:, LANES - 1 : LANES]
+        assert n_sub % 2 == 0
+        half = n_sub // 2
+        for t in range(half):
+            c0 = base + t * LANES + lane
+            c1 = c0 + half * LANES
+            if int8:
+                s0 = (
+                    a * acc[:, t * LANES : (t + 1) * LANES].astype(jnp.float32)
+                    + c + rest[:, t * LANES : (t + 1) * LANES]
+                )
+                s1 = (
+                    a * acc[:, (t + half) * LANES : (t + half + 1) * LANES].astype(jnp.float32)
+                    + c + rest[:, (t + half) * LANES : (t + half + 1) * LANES]
+                )
+            else:
+                skey = ipf + rest
+                s0 = skey[:, t * LANES : (t + 1) * LANES]
+                s1 = skey[:, (t + half) * LANES : (t + half + 1) * LANES]
+            sel = s0 <= s1
+            sv = jnp.where(sel, s0, s1)
+            col = jnp.where(sel, c0, c1)
+            dropped = jnp.where(sel, s1, s0)
+            ev_ref[:] = jnp.minimum(
+                ev_ref[:], jnp.where(dropped < theta, dropped, jnp.inf)
+            )
+            sv = jnp.where(sv < theta, sv, jnp.inf)
+            cv = sv
+            ci = col
+            for lev in range(qdepth):
+                lv = qv_ref[lev]
+                li = qi_ref[lev]
+                lt = cv < lv
+                qv_ref[lev] = jnp.where(lt, cv, lv)
+                qi_ref[lev] = jnp.where(lt, ci, li)
+                cv = jnp.where(lt, lv, cv)
+                ci = jnp.where(lt, li, ci)
+            ev_ref[:] = jnp.minimum(ev_ref[:], cv)
+
+        @pl.when(j == nj - 1)
+        def _finish():
+            flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane)
+            out_v_ref[:] = rv_ref[:]
+            out_i_ref[:] = ri_ref[:]
+            out_ev_ref[:] = ev_ref[:]
+
+    def flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane):
+        for t in range(qdepth):
+            wv[:] = -qv_ref[t]
+            wi[:] = qi_ref[t]
+            _sort_asc_ref(wv, wi, lane)
+            wv[:] = -wv[:]
+            _merge_desc_into_ref(rv_ref, ri_ref, wv, wi, lane)
+        qv_ref[:] = jnp.full(qv_ref.shape, jnp.inf, jnp.float32)
+        qi_ref[:] = jnp.full(qi_ref.shape, -1, jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("qt", "ct", "qdepth", "interpret")
+)
+def ivfpq_fused_pallas_v3(
+    biasg: jax.Array,  # [nq, ngroups*128] f32: -2 q.c per GROUPED list column
+    luts: jax.Array,  # [nq, K] bf16 exact LUTs, or int8 quantized (see meta)
+    meta: jax.Array,  # [nq, 256] f32: cols 0:128 scale a, 128:256 constant c
+    ohT: jax.Array,  # [K+128, S] one-hot: PQ rows then local-list rows
+    n2: jax.Array,  # [1, S] f32 ||y||^2 per slot (+inf on pads)
+    qt: int = 256,
+    ct: int = 1024,
+    qdepth: int = QDEPTH,
+    interpret: bool = False,
+):
+    """Fused IVF-PQ ADC + top-128 select over a PRECOMPUTED one-hot layout.
+
+    Same contract as ivfpq_fused_pallas (group-packed lists, returns keys
+    missing ||q||^2 + slots + eviction floor); the one-hot expansion of the
+    codes is staged once in HBM (`expand_onehot`) instead of rebuilt on the
+    VPU each step. ``luts.dtype == int8`` selects the uint8-quantized-LUT
+    mode (reference utils/quantize_lut.h): skey = meta_a*acc + meta_c + ...
+    """
+    nq = luts.shape[0]
+    K = luts.shape[1]
+    S = ohT.shape[1]
+    assert ohT.shape[0] == K + LANES
+    nchunks = S // ct
+    assert biasg.shape[1] % 128 == 0
+    ngroups = biasg.shape[1] // 128
+    assert nchunks % ngroups == 0, (nchunks, ngroups)
+    cpg = nchunks // ngroups
+    int8 = luts.dtype == jnp.int8
+    grid = (nq // qt, nchunks)
+    kernel = _make_adc_kernel_v3(qt, ct, K, int8, qdepth)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, K), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, 256), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, 128), lambda i, j: (i, j // cpg),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K + LANES, ct), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((qt, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nq, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nq, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qt, LANES), jnp.float32),
+            pltpu.VMEM((qt, LANES), jnp.int32),
+            pltpu.VMEM((qdepth, qt, LANES), jnp.float32),
+            pltpu.VMEM((qdepth, qt, LANES), jnp.int32),
+            pltpu.VMEM((qt, LANES), jnp.float32),
+            pltpu.VMEM((qt, LANES), jnp.int32),
+            pltpu.VMEM((qt, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(luts, meta, biasg, ohT, n2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("qt", "ct", "interpret")
 )

@@ -159,3 +159,63 @@ def test_multibit_ivf_and_io(ds, tmp_path):
     np.testing.assert_array_equal(
         flat.search(xq, 5)[1], r.search(xq, 5)[1]
     )
+
+
+def test_fastscan_flat(ds, tmp_path):
+    """IndexRaBitQFastScan = qb-quantized-query operating point
+    (reference IndexRaBitQFastScan.h:39): recall stays close to the exact
+    -query IndexRaBitQ and IO round-trips with qb/bbs preserved."""
+    from faiss_tpu.models.rabitq import IndexRaBitQFastScan
+
+    xb, xq, xt = ds.get_database(), ds.get_queries(), ds.get_train()
+    gt = ds.get_groundtruth(10)
+    exact = IndexRaBitQ(64)
+    exact.train(xt)
+    exact.add(xb)
+    fs = ft.index_factory(64, "RaBitQfs")
+    assert isinstance(fs, IndexRaBitQFastScan)
+    assert fs.qb == 8 and fs.bbs == 32
+    fs.train(xt)
+    fs.add(xb)
+    r_exact = recall_at_k(exact.search(xq, 10)[1], gt, 10)
+    r_fs = recall_at_k(fs.search(xq, 10)[1], gt, 10)
+    assert r_fs > r_exact - 0.02  # 8-bit query SQ costs ~nothing
+    # conversion constructor
+    conv = IndexRaBitQFastScan.from_rabitq(exact)
+    assert conv.ntotal == exact.ntotal
+    np.testing.assert_array_equal(
+        conv.search(xq[:8], 5)[1], fs.search(xq[:8], 5)[1]
+    )
+    # io round-trip keeps the class and the operating point
+    r = ft.deserialize_index(ft.serialize_index(fs))
+    assert isinstance(r, IndexRaBitQFastScan) and r.qb == 8
+    np.testing.assert_array_equal(fs.search(xq, 5)[1], r.search(xq, 5)[1])
+
+
+def test_fastscan_ivf(ds):
+    from faiss_tpu.models.rabitq import IndexIVFRaBitQFastScan
+
+    xb, xq, xt = ds.get_database(), ds.get_queries(), ds.get_train()
+    gt = ds.get_groundtruth(10)
+    fs = ft.index_factory(64, "IVF16,RaBitQfs4_64")
+    assert isinstance(fs, IndexIVFRaBitQFastScan)
+    assert fs.nb_bits == 4 and fs.bbs == 64 and fs.qb == 8
+    fs.train(xt)
+    fs.add(xb)
+    fs.nprobe = 16
+    assert recall_at_k(fs.search(xq, 10)[1], gt, 10) > 0.85
+    r = ft.deserialize_index(ft.serialize_index(fs))
+    assert isinstance(r, IndexIVFRaBitQFastScan) and r.bbs == 64
+    np.testing.assert_array_equal(fs.search(xq, 5)[1], r.search(xq, 5)[1])
+    # 1-bit IVF fastscan exercises the device-side query SQ path
+    fs1 = ft.index_factory(64, "IVF16,RaBitQfs")
+    fs1.train(xt)
+    fs1.add(xb)
+    fs1.nprobe = 16
+    base = ft.index_factory(64, "IVF16,RaBitQ")
+    base.train(xt)
+    base.add(xb)
+    base.nprobe = 16
+    r_fs = recall_at_k(fs1.search(xq, 10)[1], gt, 10)
+    r_b = recall_at_k(base.search(xq, 10)[1], gt, 10)
+    assert r_fs > r_b - 0.02
