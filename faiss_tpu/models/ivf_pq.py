@@ -27,7 +27,83 @@ from ..ops.ivf_ops import ivf_pq_scan
 from .ivf import IndexIVF
 
 
-def pack_invlists_grouped(listnos, nlist, ct, seed=0xFA155):
+def _proximity_group_lists(centroids, lengths, ngroups, lam=0.25, iters=8):
+    """Assign lists to ngroups groups of <=128, spatially coherent and
+    roughly slot-balanced: k-means over the coarse centroids, then greedy
+    capacity-constrained assignment (longest lists first, nearest cluster
+    with room, slot load as a tie-break penalty). Spatial coherence is what
+    makes per-tile probed-chunk unions small in the dynamic-chunk scan."""
+    nlist, d = centroids.shape
+    rs = np.random.RandomState(7)
+    means = centroids[rs.choice(nlist, ngroups, replace=False)].copy()
+    c2 = (centroids**2).sum(1)
+
+    def dists(means):  # |c - m|^2 via the GEMM identity (broadcasting a
+        # [nlist, G, d] temp is ~50x slower at this size)
+        return (
+            c2[:, None] + (means**2).sum(1)[None] - 2.0 * centroids @ means.T
+        )
+
+    for _ in range(iters):
+        lab = dists(means).argmin(1)
+        for g in range(ngroups):
+            sel = lab == g
+            if sel.any():
+                means[g] = centroids[sel].mean(0)
+    d2 = dists(means)  # [nlist, G]
+    scale = np.median(d2) + 1e-9
+    cap = np.full(ngroups, 128, np.int64)
+    load = np.zeros(ngroups, np.float64)
+    budget = max(1.0, lengths.sum() / ngroups)
+    group_lists = [[] for _ in range(ngroups)]
+    assign = np.zeros(nlist, np.int64)
+    for li in np.argsort(-lengths, kind="stable"):
+        cost = d2[li] / scale + lam * (load / budget)
+        cost[cap <= 0] = np.inf
+        g = int(cost.argmin())
+        group_lists[g].append(int(li))
+        assign[li] = g
+        cap[g] -= 1
+        load[g] += lengths[li]
+    # balance repair: the exhaustive kernel pads every group to the MAX
+    # group's chunk count, so overload directly inflates the scan. Move
+    # lists (shortest first, to the spatially-nearest group with room)
+    # until the max load is within 2% of the mean.
+    for _ in range(8 * ngroups):
+        g_hi = int(load.argmax())
+        over = load[g_hi] - budget
+        if over <= budget * 0.02:
+            break
+        # move the list whose length best matches the overload
+        movable = sorted(
+            group_lists[g_hi], key=lambda li: abs(lengths[li] - over)
+        )
+        moved = False
+        for li in movable:
+            if lengths[li] == 0 or load[g_hi] - lengths[li] < budget * 0.98:
+                continue
+            cand = np.argsort(d2[li])
+            for g_to in cand:
+                if g_to == g_hi or cap[g_to] <= 0:
+                    continue
+                if load[g_to] + lengths[li] > budget * 1.02:
+                    continue
+                group_lists[g_hi].remove(li)
+                group_lists[g_to].append(li)
+                cap[g_hi] += 1
+                cap[g_to] -= 1
+                load[g_hi] -= lengths[li]
+                load[g_to] += lengths[li]
+                moved = True
+                break
+            if moved:
+                break
+        if not moved:
+            break
+    return group_lists
+
+
+def pack_invlists_grouped(listnos, nlist, ct, seed=0xFA155, centroids=None):
     """Group-packed layout for the fused ADC kernel (pallas_knn docstring).
 
     Lists are bin-packed into groups of <=128 lists balanced by slot count
@@ -39,12 +115,19 @@ def pack_invlists_grouped(listnos, nlist, ct, seed=0xFA155):
     ct/2 apart, so same-list top-k candidates essentially never collide in
     the pair-reduction.
 
+    With ``centroids`` given, groups are additionally SPATIALLY COHERENT
+    (_proximity_group_lists): a query's nprobe-nearest lists then fall in
+    few groups/chunks, which is what the dynamic-chunk kernel
+    (ivfpq_fused_dyn_pallas) exploits to skip unprobed chunks.
+
     Returns a dict with:
       pos       [n]    packed position of every input slot
       order     [n]    input slot per packed rank (pos[i] places order-th)
       slot_map  [S]    input slot per packed position (-1 = pad)
       lid       [S]    local list id (0..127) within the group (<- 0 on pads)
       list_perm [ngroups*128] original list id per grouped column (-1 unused)
+      col_start [ngroups*128] packed start position of each grouped column
+      col_len   [ngroups*128] packed slot count of each grouped column
       ngroups, cpg, S
     """
     import heapq
@@ -52,16 +135,21 @@ def pack_invlists_grouped(listnos, nlist, ct, seed=0xFA155):
     n = len(listnos)
     lengths = np.bincount(listnos, minlength=nlist).astype(np.int64)
     ngroups = max(1, -(-nlist // 128))
-    # greedy balance: longest lists first into the lightest group
-    heap = [(0, 0, g) for g in range(ngroups)]
-    heapq.heapify(heap)
-    group_lists = [[] for _ in range(ngroups)]
-    for li in np.argsort(-lengths, kind="stable"):
-        slots, cnt, g = heapq.heappop(heap)
-        group_lists[g].append(int(li))
-        cnt += 1
-        if cnt < 128:
-            heapq.heappush(heap, (slots + int(lengths[li]), cnt, g))
+    if centroids is not None:
+        group_lists = _proximity_group_lists(
+            np.asarray(centroids, np.float32), lengths, ngroups
+        )
+    else:
+        # greedy balance: longest lists first into the lightest group
+        heap = [(0, 0, g) for g in range(ngroups)]
+        heapq.heapify(heap)
+        group_lists = [[] for _ in range(ngroups)]
+        for li in np.argsort(-lengths, kind="stable"):
+            slots, cnt, g = heapq.heappop(heap)
+            group_lists[g].append(int(li))
+            cnt += 1
+            if cnt < 128:
+                heapq.heappush(heap, (slots + int(lengths[li]), cnt, g))
     cpg = max(
         1,
         max(
@@ -94,12 +182,25 @@ def pack_invlists_grouped(listnos, nlist, ct, seed=0xFA155):
     slot_map[pos] = order
     lid = np.zeros(S, np.int32)
     lid[pos] = local_of[listnos[order]]
+    # packed span of each grouped column (lists are contiguous within a
+    # group, appearing in ascending list-id order — matches the lexsort)
+    col_start = np.zeros(ngroups * 128, np.int64)
+    col_len = np.zeros(ngroups * 128, np.int64)
+    for g, gl in enumerate(group_lists):
+        off = g * cpg * ct
+        for li in sorted(gl):
+            col = g * 128 + local_of[li]
+            col_start[col] = off
+            col_len[col] = lengths[li]
+            off += lengths[li]
     return {
         "pos": pos,
         "order": order,
         "slot_map": slot_map,
         "lid": lid,
         "list_perm": list_perm,
+        "col_start": col_start,
+        "col_len": col_len,
         "ngroups": ngroups,
         "cpg": cpg,
         "S": S,
@@ -120,11 +221,11 @@ def _stage_queries(xq: np.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "kc", "qt", "ct", "nprobe")
+    jax.jit, static_argnames=("k", "kc", "qt", "ct", "nprobe", "interpret")
 )
 def _fused_search_rerank(
     xq, centroids_g, cn2g, cbt, codesT, n2s, lid, slot_map, xb,
-    k, kc, qt, ct, nprobe,
+    k, kc, qt, ct, nprobe, interpret=False,
 ):
     """One-dispatch big-batch IVFPQ search + exact re-rank.
 
@@ -151,6 +252,7 @@ def _fused_search_rerank(
         lid,
         qt=qt,
         ct=ct,
+        interpret=interpret,
     )
     slots = jnp.where(
         slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
@@ -180,6 +282,113 @@ def _masked_coarse_bias(xq, centroids_g, cn2g, nprobe):
         )
         cm2 = jnp.where(probed, cm2, 1e9)
     return cm2
+
+def _dyn_probe_bitmap(
+    xq, centroids_g, cn2g, chunk_first, chunk_last, nprobe, qt, max_span,
+    nchunks,
+):
+    """Shared probe/sort/bitmap stages of the dynamic-chunk search.
+
+    Returns (perm, pcols_sorted, cm2, bitmap [T, nchunks+1]) for home-group-
+    sorted queries; the trailing bitmap column is the PAD chunk (cleared)."""
+    nq = xq.shape[0]
+    T = nq // qt
+    cm2 = -2.0 * jax.lax.dot_general(
+        xq, centroids_g, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    key = cn2g[None, :] + cm2
+    _, pcols = jax.lax.top_k(-key, nprobe)
+    perm = jnp.argsort(pcols[:, 0] // 128, stable=True)
+    pcols_s = pcols[perm]
+    tile_of = jnp.repeat(jnp.arange(T, dtype=jnp.int32), qt)[:, None]
+    tile_of = jnp.broadcast_to(tile_of, pcols_s.shape)
+    cf = chunk_first[pcols_s]
+    clast = chunk_last[pcols_s]
+    bitmap = jnp.zeros((T, nchunks + 1), jnp.bool_)
+    for s in range(max_span):
+        bitmap = bitmap.at[tile_of, jnp.minimum(cf + s, clast)].set(True)
+    bitmap = bitmap.at[:, nchunks].set(False)
+    return perm, pcols_s, cm2, bitmap
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "qt", "max_span", "nchunks")
+)
+def _dyn_probe_counts(
+    xq, centroids_g, cn2g, chunk_first, chunk_last, nprobe, qt, max_span,
+    nchunks,
+):
+    """Per-tile probed-chunk union sizes (sizes the dynamic worklist; the
+    caller syncs the [T] counts once per index/nprobe to pick a bucket)."""
+    _, _, _, bitmap = _dyn_probe_bitmap(
+        xq.astype(jnp.float32), centroids_g, cn2g, chunk_first, chunk_last,
+        nprobe, qt, max_span, nchunks,
+    )
+    return jnp.sum(bitmap, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "kc", "qt", "ct", "nprobe", "msteps", "max_span", "interpret"
+    ),
+)
+def _fused_search_rerank_dyn(
+    xq, centroids_g, cn2g, cbt, codesT, n2s, lid, slot_map, xb,
+    chunk_first, chunk_last, cgroup,
+    k, kc, qt, ct, nprobe, msteps, max_span, interpret=False,
+):
+    """nprobe-sparse big-batch IVFPQ search + exact re-rank (one dispatch).
+
+    The TPU implem_12 (IndexIVFFastScan.cpp:1166): queries are sorted by
+    home GROUP (so a 256-query tile's probed lists share chunks), each
+    tile's probed-chunk union becomes a scalar-prefetch worklist, and the
+    dynamic-chunk Pallas kernel scans only those chunks. All of it — coarse
+    top-k, query permutation, worklist construction, kernel, re-rank,
+    un-permutation — runs in one jitted program on device.
+    Returns (D, I(slots), lossy, ndropped) for the original query order;
+    ndropped counts probed chunks that overflowed the msteps worklist cap
+    (those queries effectively probe fewer lists).
+    """
+    from ..ops.distances import rerank_exact
+    from ..ops.pallas_knn import ivfpq_fused_dyn_pallas
+
+    xq = xq.astype(jnp.float32)
+    nq = xq.shape[0]
+    nchunks = cgroup.shape[0] - 1  # trailing PAD chunk
+    perm, pcols_s, cm2, bitmap = _dyn_probe_bitmap(
+        xq, centroids_g, cn2g, chunk_first, chunk_last, nprobe, qt,
+        max_span, nchunks,
+    )
+    xq_s = xq[perm]
+    rows = jnp.arange(nq, dtype=jnp.int32)[:, None]
+    probed = jnp.zeros(cm2.shape, jnp.bool_).at[rows, pcols_s].set(True)
+    cm2_s = jnp.where(probed, cm2[perm], 1e9)
+    luts = -2.0 * jax.lax.dot_general(
+        xq_s, cbt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # per-tile worklist: probed chunk ids ascending, PAD id past the count
+    cnt = jnp.sum(bitmap, axis=1)
+    order = jnp.argsort(~bitmap, axis=1, stable=True)
+    cmap = order[:, :msteps].astype(jnp.int32)
+    step_i = jnp.arange(msteps, dtype=jnp.int32)[None, :]
+    cmap = jnp.where(step_i < cnt[:, None], cmap, nchunks)
+    ndropped = jnp.sum(jnp.maximum(cnt - msteps, 0))
+    v, slots_raw, ev = ivfpq_fused_dyn_pallas(
+        cm2_s, luts.astype(jnp.bfloat16), codesT, n2s, lid, cmap, cgroup,
+        qt=qt, ct=ct, interpret=interpret,
+    )
+    slots = jnp.where(
+        slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
+    )[:, :kc]
+    D, I = rerank_exact(xq_s, xb, slots, k)
+    lossy = jnp.min(ev, -1) < v[:, kc - 1]
+    inv = jnp.argsort(perm, stable=True)
+    return D[inv], I[inv], lossy[inv], ndropped
+
 
 # cap on the term-2 precomputed table size
 # (reference: precomputed_table_max_bytes, IndexIVFPQ.cpp:375 — 2 GiB)
@@ -320,6 +529,7 @@ class IndexIVFPQ(IndexIVF):
     def _build_brute(self):
         if self._brute is not None:
             return self._brute
+        self._dyn_bucket = None  # worklist size is layout-dependent
         pq = self.pq
         centroids = self._centroids_host()
         codes = self._codes_host.astype(np.uint8)
@@ -344,36 +554,82 @@ class IndexIVFPQ(IndexIVF):
             "centroids": jnp.asarray(centroids),
         }
         # fused-kernel staging: group-packed layout (lists bin-packed into
-        # 128-list groups; within-list order shuffled so pair-reduction sees
-        # decorrelated candidates — see pack_invlists_grouped)
-        g = pack_invlists_grouped(listnos, self.nlist, self.FUSED_CT)
+        # SPATIALLY COHERENT 128-list groups; within-list order shuffled so
+        # pair-reduction sees decorrelated candidates — pack_invlists_grouped)
+        g = pack_invlists_grouped(
+            listnos, self.nlist, self.FUSED_CT, centroids=centroids
+        )
         pos, order, S = g["pos"], g["order"], g["S"]
-        codesT = np.zeros((pq.M, S), np.uint8)
+        ct = self.FUSED_CT
+        nchunks = S // ct
+        # one trailing all-+inf PAD chunk: the dynamic-chunk kernel points
+        # sentinel worklist entries here (never selected; slot_map -1)
+        codesT = np.zeros((pq.M, S + ct), np.uint8)
         codesT[:, pos] = codes[order].T
-        n2s = np.full((1, S), np.inf, np.float32)
+        n2s = np.full((1, S + ct), np.inf, np.float32)
         n2s[0, pos] = n2[order]
+        lid_full = np.zeros(S + ct, np.int32)
+        lid_full[:S] = g["lid"]
+        slot_map = np.concatenate([g["slot_map"], np.full(ct, -1, np.int64)])
         lp = g["list_perm"]
         cent_g = np.zeros((len(lp), centroids.shape[1]), np.float32)
         cent_g[lp >= 0] = centroids[lp[lp >= 0]]
         cn2g = np.full(len(lp), np.inf, np.float32)
         cn2g[lp >= 0] = (cent_g[lp >= 0] ** 2).sum(1)
+        # dynamic-chunk metadata: chunk span of each grouped column (+ the
+        # chunk -> group map; sentinel/empty columns point at the PAD chunk)
+        cs, cl = g["col_start"], g["col_len"]
+        chunk_first = np.where(cl > 0, cs // ct, nchunks).astype(np.int32)
+        chunk_last = np.where(
+            cl > 0, (cs + np.maximum(cl, 1) - 1) // ct, nchunks
+        ).astype(np.int32)
+        cgroup = np.concatenate(
+            [np.repeat(np.arange(g["ngroups"], dtype=np.int32), g["cpg"]),
+             np.zeros(1, np.int32)]
+        )
         self._brute.update(
             codesT=jnp.asarray(codesT),
             n2s=jnp.asarray(n2s),
-            lid=jnp.asarray(g["lid"][None, :]),
+            lid=jnp.asarray(lid_full[None, :]),
             centroids_g=jnp.asarray(cent_g),
             cn2g=jnp.asarray(cn2g),
             cbt=jnp.asarray(pq_ops.pq_blockdiag_codebook(pq.centroids)),
-            slot_map=g["slot_map"],
-            slot_map_dev=jnp.asarray(g["slot_map"].astype(np.int32)),
+            slot_map=slot_map,
+            slot_map_dev=jnp.asarray(slot_map.astype(np.int32)),
+            chunk_first=jnp.asarray(chunk_first),
+            chunk_last=jnp.asarray(chunk_last),
+            cgroup=jnp.asarray(cgroup),
+            nchunks=nchunks,
+            max_span=int((chunk_last - chunk_first).max()) + 1,
+            cpg=g["cpg"],
         )
         return self._brute
+
+    # dynamic-chunk worklist cap (0 = adapt: first batch measures the max
+    # per-tile probed-chunk union and rounds it up to a 64 bucket; later
+    # batches reuse the bucket and bump it if any chunks were dropped)
+    dyn_msteps = 0
+    _dyn_bucket = None
+
+    def _dyn_bucket_for(self, xq_dev, br, nprobe, qt):
+        if self.dyn_msteps:
+            return min(self.dyn_msteps, br["nchunks"])
+        if self._dyn_bucket is None:
+            cnt = _dyn_probe_counts(
+                xq_dev, br["centroids_g"], br["cn2g"], br["chunk_first"],
+                br["chunk_last"], nprobe, qt, br["max_span"],
+                br["nchunks"],
+            )
+            m = int(np.asarray(jnp.max(cnt)))  # one host sync, first batch only
+            self._dyn_bucket = min(br["nchunks"], -(-m // 64) * 64)
+        return self._dyn_bucket
 
     def _search_big_batch_refined(self, x, k, kc, refine_xb, nprobe=0):
         """Big-batch search + exact re-rank in one device program
         (used by IndexRefineFlat when wrapping this index).
-        ``nprobe == 0`` scans everything; otherwise unprobed lists are
-        masked in the coarse bias (faithful nprobe semantics)."""
+        ``nprobe == 0`` scans everything; a selective nprobe additionally
+        routes through the dynamic-chunk kernel, which scans only the
+        probed chunks (implem_12 semantics, IndexIVFFastScan.cpp:1166)."""
         from ..base import query_buckets
 
         nq = len(x)
@@ -387,22 +643,61 @@ class IndexIVFPQ(IndexIVF):
             xq = x[start : start + real]
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
-            d, slots, lossy = _fused_search_rerank(
-                _stage_queries(xq),
-                br["centroids_g"],
-                br["cn2g"],
-                br["cbt"],
-                br["codesT"],
-                br["n2s"],
-                br["lid"],
-                br["slot_map_dev"],
-                refine_xb,
-                k,
-                kc,
-                min(padded, 256),
-                self.FUSED_CT,
-                nprobe,
-            )
+            qt = min(padded, 256)
+            xq_dev = _stage_queries(xq)
+            use_dyn = bool(nprobe) and padded >= 128
+            if use_dyn:
+                msteps = self._dyn_bucket_for(xq_dev, br, nprobe, qt)
+                # the dyn program adds ~top_k/permute/worklist overhead: only
+                # worth it when it skips a solid fraction of the chunks
+                use_dyn = msteps <= int(0.6 * br["nchunks"])
+            if use_dyn:
+                d, slots, lossy, ndropped = _fused_search_rerank_dyn(
+                    xq_dev,
+                    br["centroids_g"],
+                    br["cn2g"],
+                    br["cbt"],
+                    br["codesT"],
+                    br["n2s"],
+                    br["lid"],
+                    br["slot_map_dev"],
+                    refine_xb,
+                    br["chunk_first"],
+                    br["chunk_last"],
+                    br["cgroup"],
+                    k,
+                    kc,
+                    qt,
+                    self.FUSED_CT,
+                    nprobe,
+                    msteps,
+                    br["max_span"],
+                )
+                # post-hoc monitor: a worklist overflow means some probed
+                # chunks were skipped this batch — widen the bucket for the
+                # next one (recall impact is bounded to this batch)
+                nd = int(np.asarray(ndropped))
+                if nd > 0 and not self.dyn_msteps:
+                    self._dyn_bucket = min(
+                        br["nchunks"], self._dyn_bucket + 64
+                    )
+            else:
+                d, slots, lossy = _fused_search_rerank(
+                    xq_dev,
+                    br["centroids_g"],
+                    br["cn2g"],
+                    br["cbt"],
+                    br["codesT"],
+                    br["n2s"],
+                    br["lid"],
+                    br["slot_map_dev"],
+                    refine_xb,
+                    k,
+                    kc,
+                    qt,
+                    self.FUSED_CT,
+                    nprobe,
+                )
             slots = np.asarray(slots)[:real, :k]
             D[start : start + real] = np.asarray(d)[:real, :k]
             I[start : start + real] = np.where(

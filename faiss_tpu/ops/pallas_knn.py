@@ -453,6 +453,192 @@ def _make_adc_kernel(qt, ct, M, ksub):
     return kernel
 
 
+def _make_adc_kernel_dyn(qt, ct, M, ksub):
+    """Dynamic-chunk ADC kernel: same math as _make_adc_kernel, but grid
+    step j visits chunk ``cmap[i, j]`` instead of chunk j — the TPU analogue
+    of IndexIVFFastScan's implem_12 (sort (query, probe) pairs by list and
+    scan each list once, IndexIVFFastScan.cpp:1166). Queries are pre-sorted
+    by home group so each tile's probed lists concentrate in few chunks;
+    the per-tile chunk worklist (padded with a sentinel all-inf chunk) is a
+    scalar-prefetch input that drives the DMA index maps."""
+    n_sub = ct // LANES
+    K = M * ksub
+
+    def kernel(cmap_ref, cgroup_ref, luts_ref, bias_ref, codes_ref, n2_ref,
+               lid_ref, out_v_ref, out_i_ref, out_ev_ref,
+               rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref):
+        del cgroup_ref  # used by the index maps only
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (qt, LANES), 1)
+
+        @pl.when(j == 0)
+        def _init():
+            rv_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
+            ri_ref[:] = jnp.full((qt, LANES), -1, jnp.int32)
+            qv_ref[:] = jnp.full((QDEPTH, qt, LANES), jnp.inf, jnp.float32)
+            qi_ref[:] = jnp.full((QDEPTH, qt, LANES), -1, jnp.int32)
+            ev_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
+
+        interval = jnp.clip(j // 4, 1, 16)
+        do_flush = jnp.logical_and(j > 0, j % interval == 0)
+
+        @pl.when(do_flush)
+        def _scheduled():
+            flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane)
+
+        codes = codes_ref[:].astype(jnp.int32)  # [M, ct]
+        rep = jnp.repeat(codes, ksub, axis=0)  # [K, ct]
+        rbit = jax.lax.broadcasted_iota(jnp.int32, (K, ct), 0) % ksub
+        oh = jnp.where(rep == rbit, 1.0, 0.0).astype(jnp.bfloat16)
+        ip = jax.lax.dot_general(
+            luts_ref[:], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        lid = lid_ref[:].astype(jnp.int32)
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (LANES, ct), 0)
+        listoh = jnp.where(lrow == lid, 1.0, 0.0).astype(jnp.bfloat16)
+        b32 = bias_ref[:]
+        b_hi = b32.astype(jnp.bfloat16)
+        b_lo = (b32 - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        bias = jax.lax.dot_general(
+            b_hi, listoh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            b_lo, listoh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        skey = ip + n2_ref[:] + bias
+
+        # slot ids are positions in the packed layout: chunk * ct + offset
+        base = cmap_ref[i, j] * ct
+        theta = rv_ref[:, LANES - 1 : LANES]
+        assert n_sub % 2 == 0
+        half = n_sub // 2
+        for t in range(half):
+            c0 = base + t * LANES + lane
+            c1 = c0 + half * LANES
+            s0 = skey[:, t * LANES : (t + 1) * LANES]
+            s1 = skey[:, (t + half) * LANES : (t + half + 1) * LANES]
+            sel = s0 <= s1
+            sv = jnp.where(sel, s0, s1)
+            col = jnp.where(sel, c0, c1)
+            dropped = jnp.where(sel, s1, s0)
+            ev_ref[:] = jnp.minimum(
+                ev_ref[:], jnp.where(dropped < theta, dropped, jnp.inf)
+            )
+            sv = jnp.where(sv < theta, sv, jnp.inf)
+            cv = sv
+            ci = col
+            for lev in range(QDEPTH):
+                lv = qv_ref[lev]
+                li = qi_ref[lev]
+                lt = cv < lv
+                qv_ref[lev] = jnp.where(lt, cv, lv)
+                qi_ref[lev] = jnp.where(lt, ci, li)
+                cv = jnp.where(lt, lv, cv)
+                ci = jnp.where(lt, li, ci)
+            ev_ref[:] = jnp.minimum(ev_ref[:], cv)
+
+        @pl.when(j == nj - 1)
+        def _finish():
+            flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane)
+            out_v_ref[:] = rv_ref[:]
+            out_i_ref[:] = ri_ref[:]
+            out_ev_ref[:] = ev_ref[:]
+
+    def flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane):
+        for t in range(QDEPTH):
+            wv[:] = -qv_ref[t]
+            wi[:] = qi_ref[t]
+            _sort_asc_ref(wv, wi, lane)
+            wv[:] = -wv[:]
+            _merge_desc_into_ref(rv_ref, ri_ref, wv, wi, lane)
+        qv_ref[:] = jnp.full(qv_ref.shape, jnp.inf, jnp.float32)
+        qi_ref[:] = jnp.full(qi_ref.shape, -1, jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("qt", "ct", "interpret")
+)
+def ivfpq_fused_dyn_pallas(
+    biasg: jax.Array,  # [nq, ngroups*128] f32 (pre-sorted queries, masked)
+    luts: jax.Array,  # [nq, M*ksub] bf16 flattened ADC tables
+    codesT: jax.Array,  # [M, (nchunks+1)*ct] group-packed codes + PAD chunk
+    n2: jax.Array,  # [1, (nchunks+1)*ct] f32 (+inf on pads & PAD chunk)
+    lid: jax.Array,  # [1, (nchunks+1)*ct] int32 local list ids
+    cmap: jax.Array,  # [nq//qt, msteps] int32 chunk worklist per query tile
+    cgroup: jax.Array,  # [nchunks+1] int32 group of each chunk
+    qt: int = 256,
+    ct: int = 1024,
+    interpret: bool = False,
+):
+    """nprobe-sparse fused IVF-PQ ADC + top-128 select.
+
+    Identical math/contract to ivfpq_fused_pallas, but each query tile only
+    visits its cmap worklist of chunks (unioned probed chunks; sentinel
+    entries point at the trailing all-+inf PAD chunk). At nprobe << nlist
+    with proximity-packed groups this skips most of the grid — the scan cost
+    scales with probed data like the reference's list-major batch implems
+    (IndexIVFFastScan.h:273) instead of with ntotal."""
+    nq = luts.shape[0]
+    M = codesT.shape[0]
+    ksub = luts.shape[1] // M
+    msteps = cmap.shape[1]
+    assert cmap.shape[0] == nq // qt
+    grid = (nq // qt, msteps)
+    kernel = _make_adc_kernel_dyn(qt, ct, M, ksub)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, M * ksub), lambda i, j, cm, cg: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, 128), lambda i, j, cm, cg: (i, cg[cm[i, j]]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, ct), lambda i, j, cm, cg: (0, cm[i, j]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), lambda i, j, cm, cg: (0, cm[i, j]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), lambda i, j, cm, cg: (0, cm[i, j]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((qt, LANES), lambda i, j, cm, cg: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, LANES), lambda i, j, cm, cg: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, LANES), lambda i, j, cm, cg: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qt, LANES), jnp.float32),
+            pltpu.VMEM((qt, LANES), jnp.int32),
+            pltpu.VMEM((QDEPTH, qt, LANES), jnp.float32),
+            pltpu.VMEM((QDEPTH, qt, LANES), jnp.int32),
+            pltpu.VMEM((qt, LANES), jnp.float32),
+            pltpu.VMEM((qt, LANES), jnp.int32),
+            pltpu.VMEM((qt, LANES), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nq, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nq, LANES), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(cmap, cgroup, luts, biasg, codesT, n2, lid)
+
+
 def _make_adc_kernel_v3(qt, ct, K, int8, qdepth):
     """v3 ADC kernel: the one-hot expansion is PRECOMPUTED in HBM.
 
@@ -687,8 +873,11 @@ def ivfpq_fused_pallas(
     nchunks = codesT.shape[1] // ct
     assert biasg.shape[1] % 128 == 0
     ngroups = biasg.shape[1] // 128
-    assert nchunks % ngroups == 0, (nchunks, ngroups)
-    cpg = nchunks // ngroups  # chunks per group
+    # trailing all-+inf PAD chunk(s) (the dynamic-chunk layout appends one)
+    # fall outside the group grid: clamp their bias block to the last group
+    # — inert, since their n2 is +inf
+    cpg = max(1, nchunks // ngroups)  # chunks per group
+    assert nchunks - cpg * ngroups in (0, 1), (nchunks, ngroups)
     grid = (nq // qt, nchunks)
     kernel = _make_adc_kernel(qt, ct, M, ksub)
     return pl.pallas_call(
@@ -697,8 +886,11 @@ def ivfpq_fused_pallas(
         in_specs=[
             pl.BlockSpec((qt, M * ksub), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((qt, 128), lambda i, j: (i, j // cpg),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (qt, 128),
+                lambda i, j: (i, jnp.minimum(j // cpg, ngroups - 1)),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((M, ct), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ct), lambda i, j: (0, j),

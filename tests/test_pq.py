@@ -367,3 +367,61 @@ def test_fused_adc_kernel_interpret(ds):
         covers.append((near < 2e-2).mean())
     cover = np.mean(covers)
     assert cover > 0.9, cover
+
+
+def test_dyn_fused_search_interpret():
+    """The dynamic-chunk fused program (_fused_search_rerank_dyn — TPU
+    implem_12, IndexIVFFastScan.cpp:1166) must reproduce the masked
+    exhaustive fused program at the same nprobe: scanning only the probed
+    chunks is semantically a no-op."""
+    import jax.numpy as jnp
+
+    import faiss_tpu as ft
+    from faiss_tpu.models.ivf_pq import (
+        _fused_search_rerank,
+        _fused_search_rerank_dyn,
+    )
+
+    rs = np.random.RandomState(3)
+    d, nlist, nb, nq, nprobe = 16, 256, 3000, 128, 16
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    index = ft.IndexIVFPQFastScan(None, d, nlist, 4, 4)
+    index.FUSED_CT = 256
+    index.cp.niter = 4
+    index.cp.min_points_per_centroid = 1
+    index.train(xb)
+    index.add(xb)
+    br = index._build_brute()
+    assert br["nchunks"] >= 4 and br["max_span"] >= 1
+    refine_xb = jnp.asarray(xb)
+    args = (
+        jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["cbt"],
+        br["codesT"], br["n2s"], br["lid"], br["slot_map_dev"], refine_xb,
+    )
+    k, kc, qt = 10, 40, 128
+    D0, I0, _ = _fused_search_rerank(
+        *args, k, kc, qt, index.FUSED_CT, nprobe, interpret=True
+    )
+    D1, I1, _, nd = _fused_search_rerank_dyn(
+        *args, br["chunk_first"], br["chunk_last"], br["cgroup"],
+        k, kc, qt, index.FUSED_CT, nprobe, br["nchunks"], br["max_span"],
+        interpret=True,
+    )
+    assert int(nd) == 0  # full-size worklist drops nothing
+    D0, I0, D1, I1 = map(np.asarray, (D0, I0, D1, I1))
+    # both rerank the kernel's top-kc exactly; candidate sets agree modulo
+    # rare queue-eviction ordering differences
+    agree = (I0 == I1).mean()
+    assert agree > 0.97, agree
+    same = I0 == I1
+    np.testing.assert_allclose(D0[same], D1[same], rtol=1e-4, atol=1e-4)
+
+    # a SMALL worklist must report drops (and still return valid results)
+    D2, I2, _, nd2 = _fused_search_rerank_dyn(
+        *args, br["chunk_first"], br["chunk_last"], br["cgroup"],
+        k, kc, qt, index.FUSED_CT, nprobe, 2, br["max_span"],
+        interpret=True,
+    )
+    assert int(nd2) > 0
+    assert (np.asarray(I2) >= -1).all()
