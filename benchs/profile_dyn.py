@@ -36,6 +36,7 @@ def main():
         _dyn_probe_counts,
         _fused_search_rerank,
         _fused_search_rerank_dyn,
+        _unpack_results,
     )
 
     cache = "/root/repo/.profile_index.npz"
@@ -111,22 +112,23 @@ def main():
         ))
         msteps = min(br["nchunks"], -(-int(cnt.max()) // 64) * 64)
         t0 = time.time()
-        D, I, lossy, nd = _fused_search_rerank_dyn(
+        packed = _fused_search_rerank_dyn(
             *args, br["chunk_first"], br["chunk_last"], br["cgroup"],
             k, kc, qt, base.FUSED_CT, np_, msteps, br["max_span"],
         )
-        sync(D[0, :1])
+        sync(packed[0, :1])
         log(f"nprobe={np_} msteps={msteps}: compile+run {time.time()-t0:.1f}s")
         t0 = time.time()
         nrep = 3
         for _ in range(nrep):
-            D, I, lossy, nd = _fused_search_rerank_dyn(
+            packed = _fused_search_rerank_dyn(
                 *args, br["chunk_first"], br["chunk_last"], br["cgroup"],
                 k, kc, qt, base.FUSED_CT, np_, msteps, br["max_span"],
             )
-        sync(D[0, :1])
+        sync(packed[0, :1])
         ms = (time.time() - t0) / nrep * 1000
-        slots = np.asarray(I)
+        D, I, lossy, nd = _unpack_results(packed, k)
+        slots = I
         ids = np.where(slots >= 0, base._ids_host[np.maximum(slots, 0)], -1)
         msg = (f"nprobe={np_} msteps={msteps}: warm {ms:.1f} ms -> "
                f"{nq/ms*1000:.0f} QPS program-only, dropped={int(nd)}")

@@ -79,7 +79,7 @@ def main():
     log(f"staged in {time.time()-t0:.1f}s; "
         f"S={br['codesT'].shape[1]} chunks={br['codesT'].shape[1]//base.FUSED_CT}")
 
-    from faiss_tpu.models.ivf_pq import _fused_search_rerank
+    from faiss_tpu.models.ivf_pq import _fused_search_rerank, _unpack_results
     from faiss_tpu.ops import pq_ops
     from faiss_tpu.ops.pallas_knn import ivfpq_fused_pallas
 
@@ -128,21 +128,22 @@ def main():
 
     # --- stage 3: full fused program
     t0 = time.time()
-    D, I, lz = _fused_search_rerank(
+    packed = _fused_search_rerank(
         xq_dev, br["centroids_g"], br["cn2g"], br["cbt"], br["codesT"],
         br["n2s"], br["lid"], br["slot_map_dev"], refine_xb, 10, 120, 256,
         base.FUSED_CT, 0,
     )
-    sync(D[0, :1])
+    sync(packed[0, :1])
     log(f"fused program compile+run: {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(nrep):
-        D, I, lz = _fused_search_rerank(
+        packed = _fused_search_rerank(
             xq_dev, br["centroids_g"], br["cn2g"], br["cbt"], br["codesT"],
             br["n2s"], br["lid"], br["slot_map_dev"], refine_xb, 10, 120,
             256, base.FUSED_CT, 0,
         )
-    sync(D[0, :1])
+    sync(packed[0, :1])
+    D, I, lz, _ = _unpack_results(packed, 10)
     log(f"fused program warm: {(time.time()-t0)/nrep*1000:.1f} ms")
     log(f"fused lossy flags: {int(np.asarray(lz).sum())}")
 

@@ -129,9 +129,11 @@ def main():
             )
         elif var.startswith("bf16"):
             ct = 2048 if var.endswith("2048") else base.FUSED_CT
+            qd = 2 if "q2" in var else 3
             oh = get_oh(False)
-            fn = lambda ct=ct, oh=oh: ivfpq_fused_pallas_v3(
+            fn = lambda ct=ct, qd=qd, oh=oh: ivfpq_fused_pallas_v3(
                 cm2, luts_bf16, zero_meta, oh, br["n2s"], qt=256, ct=ct,
+                qdepth=qd,
             )
         elif var.startswith("int8"):
             ct = 2048 if var.endswith("2048") else base.FUSED_CT

@@ -190,6 +190,12 @@ from .models.extra_indexes import (  # noqa: F401
 )
 from .factory_tools import reverse_index_factory  # noqa: F401
 from .stats import MatrixStats  # noqa: F401
+from .bench_fw import (  # noqa: F401
+    Benchmark,
+    DatasetDescriptor,
+    IndexDescriptor,
+    run_benchmark,
+)
 
 from .models.rabitq import (  # noqa: F401
     IndexIVFRaBitQ,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import io as _io
 import json
+import os
 from typing import Dict
 
 import numpy as np
@@ -720,7 +721,13 @@ def write_index(index: Index, fname_or_file) -> None:
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
-    np.savez(fname_or_file, **arrays)
+    if isinstance(fname_or_file, (str, bytes, os.PathLike)):
+        # np.savez appends ".npz" to bare filenames; honor the exact name
+        # the caller gave (reference write_index semantics, index_io.h:49)
+        with open(fname_or_file, "wb") as f:
+            np.savez(f, **arrays)
+    else:
+        np.savez(fname_or_file, **arrays)
 
 
 def _mmap_npz(fname: str) -> Dict[str, np.ndarray]:

@@ -66,40 +66,29 @@ def _proximity_group_lists(centroids, lengths, ngroups, lam=0.25, iters=8):
         cap[g] -= 1
         load[g] += lengths[li]
     # balance repair: the exhaustive kernel pads every group to the MAX
-    # group's chunk count, so overload directly inflates the scan. Move
-    # lists (shortest first, to the spatially-nearest group with room)
-    # until the max load is within 2% of the mean.
+    # group's chunk count, so overload directly inflates the scan. When
+    # nlist == 128*ngroups every group is at its list-count cap, so balance
+    # by SWAPPING a longer list from the heaviest group with a shorter one
+    # from the lightest (the pair whose length delta best halves the gap).
     for _ in range(8 * ngroups):
         g_hi = int(load.argmax())
-        over = load[g_hi] - budget
-        if over <= budget * 0.02:
+        g_lo = int(load.argmin())
+        if load[g_hi] - budget <= budget * 0.02:
             break
-        # move the list whose length best matches the overload
-        movable = sorted(
-            group_lists[g_hi], key=lambda li: abs(lengths[li] - over)
+        A = np.asarray(group_lists[g_hi])
+        B = np.asarray(group_lists[g_lo])
+        delta = lengths[A][:, None] - lengths[B][None, :]
+        target = (load[g_hi] - load[g_lo]) / 2.0
+        i, j = np.unravel_index(
+            np.abs(delta - target).argmin(), delta.shape
         )
-        moved = False
-        for li in movable:
-            if lengths[li] == 0 or load[g_hi] - lengths[li] < budget * 0.98:
-                continue
-            cand = np.argsort(d2[li])
-            for g_to in cand:
-                if g_to == g_hi or cap[g_to] <= 0:
-                    continue
-                if load[g_to] + lengths[li] > budget * 1.02:
-                    continue
-                group_lists[g_hi].remove(li)
-                group_lists[g_to].append(li)
-                cap[g_hi] += 1
-                cap[g_to] -= 1
-                load[g_hi] -= lengths[li]
-                load[g_to] += lengths[li]
-                moved = True
-                break
-            if moved:
-                break
-        if not moved:
+        if delta[i, j] <= 0:
             break
+        a, b = int(A[i]), int(B[j])
+        group_lists[g_hi][group_lists[g_hi].index(a)] = b
+        group_lists[g_lo][group_lists[g_lo].index(b)] = a
+        load[g_hi] -= delta[i, j]
+        load[g_lo] += delta[i, j]
     return group_lists
 
 
@@ -237,6 +226,11 @@ def _fused_search_rerank(
     from ..ops.distances import rerank_exact
     from ..ops.pallas_knn import ivfpq_fused_pallas
 
+    if slot_map.shape[0] >= (1 << 24):
+        raise NotImplementedError(
+            "packed result transfer stores slot ids as exact f32 values; "
+            "layouts beyond 2^24 slots need a split-id packing"
+        )
     xq = xq.astype(jnp.float32)
     luts = -2.0 * jax.lax.dot_general(
         xq, cbt, (((1,), (0,)), ((), ())),
@@ -261,7 +255,38 @@ def _fused_search_rerank(
     # kernel contract (pallas_knn docstring): a row is lossy iff the best
     # evicted key beats its kc-th kept key — caller must repair those rows
     lossy = jnp.min(ev, -1) < v[:, kc - 1]
-    return D, I, lossy
+    return _pack_results(D, I, lossy, jnp.zeros((), jnp.int32))
+
+
+def _pack_results(D, I, lossy, extra):
+    """Pack (D f32 [nq,k], I int32 [nq,k], lossy bool [nq], extra scalar)
+    into ONE f32 buffer [nq, 2k+2]. Every separate device->host read costs a
+    ~35 ms tunnel round-trip; one packed read amortizes them all.
+
+    Ids are packed as f32 VALUES (exact below 2^24 — slot ids index the
+    packed layout, well under that), NOT bitcast: small int32 bit patterns
+    are f32 denormals, which the TPU pipeline flushes to zero.
+    """
+    nq, k = D.shape
+    return jnp.concatenate(
+        [
+            D,
+            I.astype(jnp.float32),
+            lossy.astype(jnp.float32)[:, None],
+            jnp.broadcast_to(extra.astype(jnp.float32), (nq, 1)),
+        ],
+        axis=1,
+    )
+
+
+def _unpack_results(packed: np.ndarray, k: int):
+    """Host-side inverse of _pack_results: (D, I(slots), lossy, extra)."""
+    packed = np.asarray(packed)
+    D = packed[:, :k]
+    I = np.rint(packed[:, k : 2 * k]).astype(np.int32)
+    lossy = packed[:, 2 * k] != 0.0
+    extra = int(round(float(packed[0, 2 * k + 1])))
+    return D, I, lossy, extra
 
 
 def _masked_coarse_bias(xq, centroids_g, cn2g, nprobe):
@@ -354,6 +379,11 @@ def _fused_search_rerank_dyn(
     from ..ops.distances import rerank_exact
     from ..ops.pallas_knn import ivfpq_fused_dyn_pallas
 
+    if slot_map.shape[0] >= (1 << 24):
+        raise NotImplementedError(
+            "packed result transfer stores slot ids as exact f32 values; "
+            "layouts beyond 2^24 slots need a split-id packing"
+        )
     xq = xq.astype(jnp.float32)
     nq = xq.shape[0]
     nchunks = cgroup.shape[0] - 1  # trailing PAD chunk
@@ -387,7 +417,7 @@ def _fused_search_rerank_dyn(
     D, I = rerank_exact(xq_s, xb, slots, k)
     lossy = jnp.min(ev, -1) < v[:, kc - 1]
     inv = jnp.argsort(perm, stable=True)
-    return D[inv], I[inv], lossy[inv], ndropped
+    return _pack_results(D[inv], I[inv], lossy[inv], ndropped)
 
 
 # cap on the term-2 precomputed table size
@@ -652,7 +682,7 @@ class IndexIVFPQ(IndexIVF):
                 # worth it when it skips a solid fraction of the chunks
                 use_dyn = msteps <= int(0.6 * br["nchunks"])
             if use_dyn:
-                d, slots, lossy, ndropped = _fused_search_rerank_dyn(
+                packed = _fused_search_rerank_dyn(
                     xq_dev,
                     br["centroids_g"],
                     br["cn2g"],
@@ -673,16 +703,16 @@ class IndexIVFPQ(IndexIVF):
                     msteps,
                     br["max_span"],
                 )
+                d, slots, lossy, nd = _unpack_results(packed, k)
                 # post-hoc monitor: a worklist overflow means some probed
                 # chunks were skipped this batch — widen the bucket for the
                 # next one (recall impact is bounded to this batch)
-                nd = int(np.asarray(ndropped))
                 if nd > 0 and not self.dyn_msteps:
                     self._dyn_bucket = min(
                         br["nchunks"], self._dyn_bucket + 64
                     )
             else:
-                d, slots, lossy = _fused_search_rerank(
+                packed = _fused_search_rerank(
                     xq_dev,
                     br["centroids_g"],
                     br["cn2g"],
@@ -698,8 +728,9 @@ class IndexIVFPQ(IndexIVF):
                     self.FUSED_CT,
                     nprobe,
                 )
-            slots = np.asarray(slots)[:real, :k]
-            D[start : start + real] = np.asarray(d)[:real, :k]
+                d, slots, lossy, _ = _unpack_results(packed, k)
+            slots = slots[:real, :k]
+            D[start : start + real] = d[:real, :k]
             I[start : start + real] = np.where(
                 slots >= 0, self._ids_host[np.maximum(slots, 0)], -1
             )

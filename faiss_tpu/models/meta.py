@@ -20,10 +20,21 @@ from ..metric import is_similarity_metric
 
 def _merge_result_tables(D_list, I_list, k, largest):
     """Heap-merge of per-shard result tables
-    (reference: IndexShards.h:84 merge_tables / extra_wrappers.merge_knn_results)."""
+    (reference: IndexShards.h:84 merge_tables / extra_wrappers.merge_knn_results).
+
+    argpartition to the k survivors first, then sort only those — O(n + k
+    log k) per row instead of a full O(n log n) argsort over all shards'
+    results."""
     D = np.concatenate(D_list, axis=1)
     I = np.concatenate(I_list, axis=1)
-    order = np.argsort(-D if largest else D, axis=1, kind="stable")[:, :k]
+    key = -D if largest else D
+    n = key.shape[1]
+    if k < n:
+        part = np.argpartition(key, k - 1, axis=1)[:, :k]
+        key = np.take_along_axis(key, part, axis=1)
+        D = np.take_along_axis(D, part, axis=1)
+        I = np.take_along_axis(I, part, axis=1)
+    order = np.argsort(key, axis=1, kind="stable")[:, :k]
     return np.take_along_axis(D, order, axis=1), np.take_along_axis(I, order, axis=1)
 
 
@@ -401,15 +412,26 @@ class IndexShards(Index):
     def search(self, x, k, *, params=None):
         x = self._check_input(x)
         largest = is_similarity_metric(self.metric_type)
-        Ds, Is = [], []
-        offset = 0
-        for s in self.shards:
+        offsets = np.cumsum([0] + [s.ntotal for s in self.shards])[:-1]
+
+        def one(i_s):
+            i, s = i_s
             D, I = s.search(x, k, params=params)
             if self.successive_ids:
-                I = np.where(I >= 0, I + offset, -1)
-            Ds.append(D)
-            Is.append(I)
-            offset += s.ntotal
+                I = np.where(I >= 0, I + offsets[i], -1)
+            return D, I
+
+        if self.threaded and len(self.shards) > 1:
+            # fan out like the reference's threaded mode (IndexShards.h:29):
+            # shard searches release the GIL in their device dispatches
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(len(self.shards)) as ex:
+                results = list(ex.map(one, enumerate(self.shards)))
+        else:
+            results = [one(p) for p in enumerate(self.shards)]
+        Ds = [r[0] for r in results]
+        Is = [r[1] for r in results]
         return _merge_result_tables(Ds, Is, k, largest)
 
     def reset(self) -> None:

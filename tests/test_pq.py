@@ -380,6 +380,7 @@ def test_dyn_fused_search_interpret():
     from faiss_tpu.models.ivf_pq import (
         _fused_search_rerank,
         _fused_search_rerank_dyn,
+        _unpack_results,
     )
 
     rs = np.random.RandomState(3)
@@ -400,14 +401,14 @@ def test_dyn_fused_search_interpret():
         br["codesT"], br["n2s"], br["lid"], br["slot_map_dev"], refine_xb,
     )
     k, kc, qt = 10, 40, 128
-    D0, I0, _ = _fused_search_rerank(
+    D0, I0, _, _ = _unpack_results(_fused_search_rerank(
         *args, k, kc, qt, index.FUSED_CT, nprobe, interpret=True
-    )
-    D1, I1, _, nd = _fused_search_rerank_dyn(
+    ), k)
+    D1, I1, _, nd = _unpack_results(_fused_search_rerank_dyn(
         *args, br["chunk_first"], br["chunk_last"], br["cgroup"],
         k, kc, qt, index.FUSED_CT, nprobe, br["nchunks"], br["max_span"],
         interpret=True,
-    )
+    ), k)
     assert int(nd) == 0  # full-size worklist drops nothing
     D0, I0, D1, I1 = map(np.asarray, (D0, I0, D1, I1))
     # both rerank the kernel's top-kc exactly; candidate sets agree modulo
@@ -418,10 +419,10 @@ def test_dyn_fused_search_interpret():
     np.testing.assert_allclose(D0[same], D1[same], rtol=1e-4, atol=1e-4)
 
     # a SMALL worklist must report drops (and still return valid results)
-    D2, I2, _, nd2 = _fused_search_rerank_dyn(
+    D2, I2, _, nd2 = _unpack_results(_fused_search_rerank_dyn(
         *args, br["chunk_first"], br["chunk_last"], br["cgroup"],
         k, kc, qt, index.FUSED_CT, nprobe, 2, br["max_span"],
         interpret=True,
-    )
+    ), k)
     assert int(nd2) > 0
     assert (np.asarray(I2) >= -1).all()
