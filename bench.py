@@ -99,7 +99,9 @@ def main():
     # big-batch now honors nprobe (round-2); the fused kernel streams all
     # codes either way, so the best operating point is full probing
     base.nprobe = 4096
-    index = ft.IndexRefineFlat(base)
+    # fp16 refine store (GpuIndexFlat useFloat16 analogue): halves the
+    # one-time xb upload over the tunnel and the rerank gather traffic
+    index = ft.IndexRefineFlat(base, store_float16=True)
     index.k_factor = 12  # re-rank top-120 exact (the RFlat suffix operating
     # point; reference bench_all_ivf uses the same pattern for 4-bit codes)
     index.train(xt)

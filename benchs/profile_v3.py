@@ -122,10 +122,11 @@ def main():
     for var in variants:
         log(f"=== variant {var} ===")
         t0 = time.time()
-        if var == "v2":
-            fn = lambda: ivfpq_fused_pallas(
+        if var.startswith("v2"):
+            qd = 2 if "q2" in var else 3
+            fn = lambda qd=qd: ivfpq_fused_pallas(
                 cm2, luts_bf16, br["codesT"], br["n2s"], br["lid"],
-                qt=256, ct=base.FUSED_CT,
+                qt=256, ct=base.FUSED_CT, qdepth=qd,
             )
         elif var.startswith("bf16"):
             ct = 2048 if var.endswith("2048") else base.FUSED_CT

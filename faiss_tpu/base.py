@@ -51,10 +51,15 @@ def staged_device(x):
 
 class device_staging:
     """Context manager: stage ``x`` on device for the duration of an add
-    flow; nested uses reuse the same copy, the outermost one releases it."""
+    flow; nested uses reuse the same copy, the outermost one releases it.
 
-    def __init__(self, x):
+    ``dtype`` compresses the upload (e.g. np.float16 halves the tunnel
+    bytes — the GpuIndexFlatConfig.useFloat16 analogue); consumers upcast
+    on device."""
+
+    def __init__(self, x, dtype=None):
         self.x = x
+        self.dtype = dtype
 
     def __enter__(self):
         import jax.numpy as jnp
@@ -63,7 +68,8 @@ class device_staging:
         dev = _stage_cache.get(key)
         self._owner = dev is None
         if dev is None:
-            dev = _stage_cache[key] = jnp.asarray(self.x)
+            h = self.x if self.dtype is None else self.x.astype(self.dtype)
+            dev = _stage_cache[key] = jnp.asarray(h)
         return dev
 
     def __exit__(self, *exc):

@@ -215,6 +215,7 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
             d=index.d,
             metric=int(index.metric_type),
             metric_arg=index.metric_arg,
+            storage_dtype=np.dtype(index.storage_dtype).name,
         )
         if isinstance(index, IndexFlat1D):
             meta["continuous_update"] = index.continuous_update
@@ -413,6 +414,9 @@ def _load(meta, arrays, path: str):
         index = IndexRefine(base, refine)
         if cls == "IndexRefineFlat":
             index.__class__ = IndexRefineFlat
+            index.store_float16 = (
+                getattr(refine, "storage_dtype", np.float32) == np.float16
+            )
         index.k_factor = meta["k_factor"]
         index.ntotal = base.ntotal
         return index
@@ -576,6 +580,9 @@ def _load(meta, arrays, path: str):
             index.prune_factor = meta["prune_factor"]
         else:
             index = IndexFlat(meta["d"], metric, meta.get("metric_arg", 0.0))
+        index.storage_dtype = np.dtype(
+            meta.get("storage_dtype", "float32")
+        ).type
         xb = arrays[f"{path}/xb"]
         if len(xb):
             index.add(xb)

@@ -31,6 +31,9 @@ class IndexFlat(Index):
         self._xb = None  # consolidated device array [ntotal, d]
         self._norms = None  # cached device L2 norms
         self._xbT = None  # transposed padded device copy for the fused kernel
+        # device storage dtype: np.float16 halves HBM + upload time at
+        # ~2^-11 rounding (GpuIndexFlatConfig.useFloat16, gpu/GpuIndexFlat.h)
+        self.storage_dtype = np.float32
 
     # -- population -------------------------------------------------------
     def add(self, x) -> None:
@@ -45,6 +48,7 @@ class IndexFlat(Index):
             # copy directly instead of re-uploading at consolidation
             import jax.numpy as jnp
 
+            dev = dev.astype(jnp.dtype(self.storage_dtype))
             self._xb = (
                 dev if self._xb is None else jnp.concatenate([self._xb, dev])
             )
@@ -88,14 +92,14 @@ class IndexFlat(Index):
                 parts.append(np.asarray(self._xb))
             parts.extend(self._pending)
             host = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-            self._xb = jnp.asarray(host)
+            self._xb = jnp.asarray(host.astype(self.storage_dtype, copy=False))
             self._pending = []
             self._norms = None
             self._xbT = None
         if self._xb is not None and self._norms is None and (
             self.metric_type == MetricType.L2
         ):
-            self._norms = dops.l2_norms(self._xb)
+            self._norms = dops.l2_norms(self._xb.astype(jnp.float32))
         return self._xb
 
     def vectors(self) -> np.ndarray:
@@ -103,7 +107,7 @@ class IndexFlat(Index):
         xb = self._consolidate()
         if xb is None:
             return np.empty((0, self.d), dtype=np.float32)
-        return np.asarray(xb)
+        return np.asarray(xb, dtype=np.float32)
 
     # -- queries ------------------------------------------------------------
     def search(
@@ -136,7 +140,7 @@ class IndexFlat(Index):
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
             d, i = dops.knn(
                 jnp.asarray(xq),
-                xb,
+                xb.astype(jnp.float32),
                 k,
                 metric=self.metric_type,
                 metric_arg=self.metric_arg,

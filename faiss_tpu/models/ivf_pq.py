@@ -56,13 +56,11 @@ def _proximity_group_lists(centroids, lengths, ngroups, lam=0.25, iters=8):
     load = np.zeros(ngroups, np.float64)
     budget = max(1.0, lengths.sum() / ngroups)
     group_lists = [[] for _ in range(ngroups)]
-    assign = np.zeros(nlist, np.int64)
     for li in np.argsort(-lengths, kind="stable"):
         cost = d2[li] / scale + lam * (load / budget)
         cost[cap <= 0] = np.inf
         g = int(cost.argmin())
         group_lists[g].append(int(li))
-        assign[li] = g
         cap[g] -= 1
         load[g] += lengths[li]
     # balance repair: the exhaustive kernel pads every group to the MAX
@@ -196,25 +194,52 @@ def pack_invlists_grouped(listnos, nlist, ct, seed=0xFA155, centroids=None):
     }
 
 
-# queries cross the host->device tunnel in fp16 (half the bytes of f32 at
-# ~2^-11 relative rounding — immaterial after the exact re-rank; measured
-# recall delta < 1e-3). The tunnel moves ~45 MB/s, so at nq=8192, d=128 this
-# saves ~45 ms per batch. Set to None to upload exact f32.
-QUERY_H2D_DTYPE = np.float16
+# queries cross the host->device tunnel compressed: the tunnel moves
+# ~20-30 MB/s with a ~35 ms fixed round trip, so at nq=8192, d=128 the f32
+# upload alone costs ~190 ms. "float16" halves it (2^-11 rounding,
+# immaterial after the exact re-rank; measured recall delta < 1e-3);
+# "int8" quarters it with a per-row scalar quantizer (range/255 rounding,
+# the GpuIndex fp16/int8 query option analogue). None = exact f32.
+QUERY_H2D_DTYPE = "int8"
 
 
 def _stage_queries(xq: np.ndarray) -> jnp.ndarray:
+    if QUERY_H2D_DTYPE == "int8":
+        # per-row SQ; (lo, step) ride along bitcast into the same uint8
+        # buffer so the upload stays ONE transfer (one tunnel round trip)
+        lo = xq.min(1, keepdims=True)
+        step = np.maximum(xq.max(1, keepdims=True) - lo, 1e-20) / 255.0
+        u8 = np.round((xq - lo) / step).astype(np.uint8)
+        meta = np.concatenate([lo, step], 1).astype(np.float32)
+        return jnp.asarray(
+            np.concatenate([u8, meta.view(np.uint8)], axis=1)
+        )
     if QUERY_H2D_DTYPE is not None:
         xq = xq.astype(QUERY_H2D_DTYPE)
     return jnp.asarray(xq)
 
 
+def _dequantize_queries(xq):
+    """Inverse of _stage_queries on device (f32 result)."""
+    if xq.dtype == jnp.uint8:
+        d = xq.shape[1] - 8
+        u8 = xq[:, :d].astype(jnp.float32)
+        meta = jax.lax.bitcast_convert_type(
+            xq[:, d:].reshape(-1, 2, 4), jnp.float32
+        )  # [nq, 2]
+        lo = meta[:, 0:1]
+        step = meta[:, 1:2]
+        return u8 * step + lo
+    return xq.astype(jnp.float32)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "kc", "qt", "ct", "nprobe", "interpret")
+    jax.jit,
+    static_argnames=("k", "kc", "qt", "ct", "nprobe", "qdepth", "interpret"),
 )
 def _fused_search_rerank(
     xq, centroids_g, cn2g, cbt, codesT, n2s, lid, slot_map, xb,
-    k, kc, qt, ct, nprobe, interpret=False,
+    k, kc, qt, ct, nprobe, qdepth=3, interpret=False,
 ):
     """One-dispatch big-batch IVFPQ search + exact re-rank.
 
@@ -231,7 +256,7 @@ def _fused_search_rerank(
             "packed result transfer stores slot ids as exact f32 values; "
             "layouts beyond 2^24 slots need a split-id packing"
         )
-    xq = xq.astype(jnp.float32)
+    xq = _dequantize_queries(xq)
     luts = -2.0 * jax.lax.dot_general(
         xq, cbt, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -246,6 +271,7 @@ def _fused_search_rerank(
         lid,
         qt=qt,
         ct=ct,
+        qdepth=qdepth,
         interpret=interpret,
     )
     slots = jnp.where(
@@ -384,7 +410,7 @@ def _fused_search_rerank_dyn(
             "packed result transfer stores slot ids as exact f32 values; "
             "layouts beyond 2^24 slots need a split-id packing"
         )
-    xq = xq.astype(jnp.float32)
+    xq = _dequantize_queries(xq)
     nq = xq.shape[0]
     nchunks = cgroup.shape[0] - 1  # trailing PAD chunk
     perm, pcols_s, cm2, bitmap = _dyn_probe_bitmap(
@@ -489,7 +515,9 @@ class IndexIVFPQ(IndexIVF):
             and self.pq.nbits <= 8
         ):
             # residual + PQ assignment fully on device from the staged copy
+            # (which may be an fp16 upload — upcast before the arithmetic)
             cent = self.quantizer._consolidate()
+            x_dev = x_dev.astype(jnp.float32)
             resid = (
                 x_dev - cent[jnp.asarray(listnos, jnp.int32)]
                 if self.by_residual
@@ -640,6 +668,11 @@ class IndexIVFPQ(IndexIVF):
     # batches reuse the bucket and bump it if any chunks were dropped)
     dyn_msteps = 0
     _dyn_bucket = None
+    # per-lane insertion-queue depth for the REFINED fused path: 2 trades a
+    # few more queue evictions (absorbed by the exact re-rank; measured
+    # candidate recall -0.005) for a 15% faster kernel. The unrefined path,
+    # whose candidates ARE the results, stays at the default depth 3.
+    refined_qdepth = 2
 
     def _dyn_bucket_for(self, xq_dev, br, nprobe, qt):
         if self.dyn_msteps:
@@ -727,6 +760,7 @@ class IndexIVFPQ(IndexIVF):
                     qt,
                     self.FUSED_CT,
                     nprobe,
+                    qdepth=self.refined_qdepth,
                 )
                 d, slots, lossy, _ = _unpack_results(packed, k)
             slots = slots[:real, :k]

@@ -244,8 +244,13 @@ class IndexRefine(Index):
 
         x = self._check_input(x)
         if len(x) >= 4096 and jax.default_backend() not in ("cpu",):
-            # one H2D upload shared by the base add AND the refine storage
-            with device_staging(x):
+            # one H2D upload shared by the base add AND the refine storage;
+            # with store_float16 the upload itself is fp16 (half the tunnel
+            # bytes — encode-side effect is a 2^-11 rounding of the inputs)
+            dt = (
+                np.float16 if getattr(self, "store_float16", False) else None
+            )
+            with device_staging(x, dtype=dt):
                 self.base_index.add(x)
                 self.refine_index.add(x)
         else:
@@ -341,16 +346,24 @@ class IndexRefine(Index):
 
 
 class IndexRefineFlat(IndexRefine):
-    """Refine against exact vectors (IndexRefine.h:82)."""
+    """Refine against exact vectors (IndexRefine.h:82).
 
-    def __init__(self, base_index: Index, xb=None):
+    ``store_float16`` keeps the refine store (and its one-time upload) in
+    fp16 — the GpuIndexFlatConfig.useFloat16 analogue (gpu/GpuIndexFlat.h):
+    half the HBM and half the tunnel bytes at ~2^-11 rounding, immaterial
+    for re-ranking a candidate set."""
+
+    def __init__(self, base_index: Index, xb=None, store_float16: bool = False):
         from .flat import IndexFlat
 
         refine = IndexFlat(base_index.d, base_index.metric_type)
+        if store_float16:
+            refine.storage_dtype = np.float16
         if xb is not None:
             refine.add(xb)
         super().__init__(base_index, refine)
         self.k_factor = 1.0
+        self.store_float16 = bool(store_float16)
 
 
 class IndexShards(Index):

@@ -274,6 +274,7 @@ def assign_flat(
     chunked over queries under one jit (the bulk-add / k-means assign path;
     the reference pages CPU inputs through the GPU the same way,
     gpu/GpuIndex.cu:554). Returns (dist [n] f32, assign [n] int32)."""
+    x = x.astype(jnp.float32)  # staged copies may be fp16 (device_staging)
     n = x.shape[0]
     c_norms = l2_norms(centroids)
     nchunks = max(1, -(-n // chunk))
@@ -324,7 +325,7 @@ def rerank_exact(
     largest = metric == MetricType.INNER_PRODUCT
     sentinel = -jnp.inf if largest else jnp.inf
     safe = jnp.maximum(cand, 0)
-    cv = xb[safe]  # [nq, kc, d]
+    cv = xb[safe].astype(jnp.float32)  # [nq, kc, d] (xb may be fp16 store)
     ip = jax.lax.dot_general(
         xq[:, None, :], cv, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,

@@ -325,7 +325,7 @@ def knn_fused_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_adc_kernel(qt, ct, M, ksub):
+def _make_adc_kernel(qt, ct, M, ksub, qdepth=QDEPTH):
     """ADC score producer + the same queue/flush select as the flat kernel.
 
     Chunks hold ``ct`` slots of a 128-list GROUP (lists packed back to back,
@@ -355,8 +355,8 @@ def _make_adc_kernel(qt, ct, M, ksub):
         def _init():
             rv_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
             ri_ref[:] = jnp.full((qt, LANES), -1, jnp.int32)
-            qv_ref[:] = jnp.full((QDEPTH, qt, LANES), jnp.inf, jnp.float32)
-            qi_ref[:] = jnp.full((QDEPTH, qt, LANES), -1, jnp.int32)
+            qv_ref[:] = jnp.full((qdepth, qt, LANES), jnp.inf, jnp.float32)
+            qi_ref[:] = jnp.full((qdepth, qt, LANES), -1, jnp.int32)
             ev_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
 
         interval = jnp.clip(j // 4, 1, 16)
@@ -423,7 +423,7 @@ def _make_adc_kernel(qt, ct, M, ksub):
             sv = jnp.where(sv < theta, sv, jnp.inf)
             cv = sv
             ci = col
-            for lev in range(QDEPTH):
+            for lev in range(qdepth):
                 lv = qv_ref[lev]
                 li = qi_ref[lev]
                 lt = cv < lv
@@ -441,7 +441,7 @@ def _make_adc_kernel(qt, ct, M, ksub):
             out_ev_ref[:] = ev_ref[:]
 
     def flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane):
-        for t in range(QDEPTH):
+        for t in range(qdepth):
             wv[:] = -qv_ref[t]
             wi[:] = qi_ref[t]
             _sort_asc_ref(wv, wi, lane)
@@ -845,7 +845,7 @@ def ivfpq_fused_pallas_v3(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("qt", "ct", "interpret")
+    jax.jit, static_argnames=("qt", "ct", "qdepth", "interpret")
 )
 def ivfpq_fused_pallas(
     biasg: jax.Array,  # [nq, ngroups*128] f32: -2 q.c per GROUPED list column
@@ -855,6 +855,7 @@ def ivfpq_fused_pallas(
     lid: jax.Array,  # [1, nchunks*ct] int32: local list id within group
     qt: int = 256,
     ct: int = 1024,
+    qdepth: int = QDEPTH,
     interpret: bool = False,
 ):
     """Fused exhaustive IVF-PQ ADC + top-128 select (group-packed layout).
@@ -879,7 +880,7 @@ def ivfpq_fused_pallas(
     cpg = max(1, nchunks // ngroups)  # chunks per group
     assert nchunks - cpg * ngroups in (0, 1), (nchunks, ngroups)
     grid = (nq // qt, nchunks)
-    kernel = _make_adc_kernel(qt, ct, M, ksub)
+    kernel = _make_adc_kernel(qt, ct, M, ksub, qdepth)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -911,8 +912,8 @@ def ivfpq_fused_pallas(
         scratch_shapes=[
             pltpu.VMEM((qt, LANES), jnp.float32),
             pltpu.VMEM((qt, LANES), jnp.int32),
-            pltpu.VMEM((QDEPTH, qt, LANES), jnp.float32),
-            pltpu.VMEM((QDEPTH, qt, LANES), jnp.int32),
+            pltpu.VMEM((qdepth, qt, LANES), jnp.float32),
+            pltpu.VMEM((qdepth, qt, LANES), jnp.int32),
             pltpu.VMEM((qt, LANES), jnp.float32),
             pltpu.VMEM((qt, LANES), jnp.int32),
             pltpu.VMEM((qt, LANES), jnp.float32),

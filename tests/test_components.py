@@ -768,3 +768,38 @@ def test_adsampling_and_pdx():
         np.maximum(full.min(1)[assign == exact], 0),
         rtol=1e-3, atol=1e-3,
     )
+
+
+def test_refine_flat_store_float16():
+    """store_float16 keeps the refine store in fp16 (GpuIndexFlatConfig
+    .useFloat16 analogue): results stay near-identical to the f32 store and
+    the dtype survives serialization."""
+    import faiss_tpu as ft
+
+    rs = np.random.RandomState(5)
+    d, nb, nq = 24, 3000, 64
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+
+    def build(fp16):
+        base = ft.IndexIVFPQ(None, d, 16, 4, 8)
+        idx = ft.IndexRefineFlat(base, store_float16=fp16)
+        idx.k_factor = 8
+        base.nprobe = 16
+        idx.train(xb)
+        idx.add(xb)
+        return idx
+
+    a = build(False)
+    b = build(True)
+    assert b.refine_index.storage_dtype == np.float16
+    Da, Ia = a.search(xq, 10)
+    Db, Ib = b.search(xq, 10)
+    # fp16 rounding may swap near-ties; overwhelming agreement required
+    assert (Ia == Ib).mean() > 0.97
+    np.testing.assert_allclose(Da, Db, rtol=2e-3, atol=2e-3)
+    r = ft.deserialize_index(ft.serialize_index(b))
+    assert r.refine_index.storage_dtype == np.float16
+    assert r.store_float16
+    _, Ir = r.search(xq, 10)
+    assert (Ir == Ib).mean() > 0.97
