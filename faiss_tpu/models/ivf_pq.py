@@ -446,6 +446,40 @@ def _fused_search_rerank_dyn(
     return _pack_results(D[inv], I[inv], lossy[inv], ndropped)
 
 
+@functools.partial(jax.jit, static_argnames=("S_pad",))
+def _stage_brute_device(
+    codes, listnos, term2, cn2, order, pos, local_of, S_pad
+):
+    """Device-side group-packed staging for the fused kernels.
+
+    From the already-staged codes/listnos, computes in one program:
+      n2     [n]        ||y||^2 = ||c_l||^2 + sum_m term2[l, m, code_m]
+      codesT [M, S_pad] transposed scatter into the packed layout
+      n2s    [1, S_pad] per-slot norms (+inf on pads / the PAD chunk)
+      lid    [1, S_pad] local list id within the 128-list group
+    The equivalent host loop (32 fancy-indexed gathers + transpose scatter)
+    costs ~7 s at 1M x 32 scale; this runs in milliseconds on device
+    (gpu/GpuIndexIVFPQ.cu precomputed-term staging analogue)."""
+    n, M = codes.shape
+    c32 = codes.astype(jnp.int32)
+    ln = listnos.astype(jnp.int32)
+    t2sum = jnp.sum(
+        term2[ln[:, None], jnp.arange(M, dtype=jnp.int32)[None, :], c32],
+        axis=1,
+    )
+    n2 = cn2[ln] + t2sum  # [n] f32
+    codesT = jnp.zeros((M, S_pad), jnp.uint8).at[:, pos].set(codes[order].T)
+    n2s = (
+        jnp.full((S_pad,), jnp.inf, jnp.float32).at[pos].set(n2[order])[None]
+    )
+    lid = (
+        jnp.zeros((S_pad,), jnp.int32)
+        .at[pos]
+        .set(local_of[ln[order]])[None]
+    )
+    return n2, codesT, n2s, lid
+
+
 # cap on the term-2 precomputed table size
 # (reference: precomputed_table_max_bytes, IndexIVFPQ.cpp:375 — 2 GiB)
 precomputed_table_max_bytes = 2 << 30
@@ -592,25 +626,14 @@ class IndexIVFPQ(IndexIVF):
         centroids = self._centroids_host()
         codes = self._codes_host.astype(np.uint8)
         listnos = self._listnos_host
-        # ||y||^2 = ||c_l||^2 + sum_m term2[l, m, code_m]
+        # term2[l, m, k] = ||y_mk||^2 + 2 c_lm . y_mk (IndexIVFPQ.cpp:407)
         cb = pq.centroids
         y_norms = np.sum(cb**2, axis=-1)  # [M, ksub]
         cmk = centroids.reshape(self.nlist, pq.M, pq.dsub)
         cdoty = 2.0 * np.einsum("cmd,mkd->cmk", cmk, cb)
         term2 = (y_norms[None] + cdoty).astype(np.float32)
-        # per-m gathers avoid materializing term2[listnos] ([n, M, ksub],
-        # gigabytes at 1M scale on the host)
-        t2sum = np.zeros(len(codes), np.float32)
-        ln64 = listnos.astype(np.int64)
-        for m in range(pq.M):
-            t2sum += term2[:, m, :][ln64, codes[:, m].astype(np.int64)]
-        n2 = ((centroids**2).sum(1)[listnos] + t2sum).astype(np.float32)
-        self._brute = {
-            "codes": jnp.asarray(codes),
-            "listnos": jnp.asarray(listnos.astype(np.int32)),
-            "n2": jnp.asarray(n2),
-            "centroids": jnp.asarray(centroids),
-        }
+        codes_dev = jnp.asarray(codes)
+        listnos_dev = jnp.asarray(listnos.astype(np.int32))
         # fused-kernel staging: group-packed layout (lists bin-packed into
         # SPATIALLY COHERENT 128-list groups; within-list order shuffled so
         # pair-reduction sees decorrelated candidates — pack_invlists_grouped)
@@ -620,14 +643,30 @@ class IndexIVFPQ(IndexIVF):
         pos, order, S = g["pos"], g["order"], g["S"]
         ct = self.FUSED_CT
         nchunks = S // ct
-        # one trailing all-+inf PAD chunk: the dynamic-chunk kernel points
-        # sentinel worklist entries here (never selected; slot_map -1)
-        codesT = np.zeros((pq.M, S + ct), np.uint8)
-        codesT[:, pos] = codes[order].T
-        n2s = np.full((1, S + ct), np.inf, np.float32)
-        n2s[0, pos] = n2[order]
-        lid_full = np.zeros(S + ct, np.int32)
-        lid_full[:S] = g["lid"]
+        local_of = np.zeros(self.nlist, np.int32)
+        lp = g["list_perm"]
+        local_of[lp[lp >= 0]] = np.arange(len(lp), dtype=np.int32)[lp >= 0] % 128
+        # per-slot norms + transposed scatter run ON DEVICE (the host loop
+        # of 32 fancy-indexed gathers plus a 32 MB transpose-scatter costs
+        # ~7 s at 1M scale; the device does it in milliseconds from the
+        # already-staged codes). One trailing all-+inf PAD chunk backs the
+        # dynamic-chunk kernel's sentinel worklist entries (slot_map -1).
+        n2_dev, codesT_dev, n2s_dev, lid_dev = _stage_brute_device(
+            codes_dev,
+            listnos_dev,
+            jnp.asarray(term2),
+            jnp.asarray((centroids**2).sum(1).astype(np.float32)),
+            jnp.asarray(order.astype(np.int32)),
+            jnp.asarray(pos.astype(np.int32)),
+            jnp.asarray(local_of),
+            S + ct,
+        )
+        self._brute = {
+            "codes": codes_dev,
+            "listnos": listnos_dev,
+            "n2": n2_dev,
+            "centroids": jnp.asarray(centroids),
+        }
         slot_map = np.concatenate([g["slot_map"], np.full(ct, -1, np.int64)])
         lp = g["list_perm"]
         cent_g = np.zeros((len(lp), centroids.shape[1]), np.float32)
@@ -646,9 +685,9 @@ class IndexIVFPQ(IndexIVF):
              np.zeros(1, np.int32)]
         )
         self._brute.update(
-            codesT=jnp.asarray(codesT),
-            n2s=jnp.asarray(n2s),
-            lid=jnp.asarray(lid_full[None, :]),
+            codesT=codesT_dev,
+            n2s=n2s_dev,
+            lid=lid_dev,
             centroids_g=jnp.asarray(cent_g),
             cn2g=jnp.asarray(cn2g),
             cbt=jnp.asarray(pq_ops.pq_blockdiag_codebook(pq.centroids)),
