@@ -54,6 +54,19 @@ int faiss_tpu_init(const char* repo_path) {
         PyList_Insert(sys_path, 0, p);
         Py_DECREF(p);
     }
+    /* honor JAX_PLATFORMS before the first jax import: site hooks may
+     * force-register an accelerator backend regardless of the env var
+     * (e.g. a remote-TPU hook), and an embedded caller that asked for
+     * "cpu" must not silently end up paying remote compiles */
+    const char* plat = getenv("JAX_PLATFORMS");
+    if (plat && plat[0]) {
+        char buf[320];
+        snprintf(buf, sizeof(buf),
+                 "import jax\n"
+                 "jax.config.update('jax_platforms', '%.64s')\n",
+                 plat);
+        PyRun_SimpleString(buf);
+    }
     g_np = PyImport_ImportModule("numpy");
     g_mod = PyImport_ImportModule("faiss_tpu");
     int rc = 0;

@@ -15,8 +15,10 @@ parallelism is the batch dimension on the MXU.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -427,12 +429,189 @@ class IndexIVF(Index, Level1Quantizer):
         return self._ids_host[self._listnos_host == list_no]
 
 
+@functools.partial(jax.jit, static_argnames=("d_pad",))
+def _stage_flat_brute(xb, slot_map, listnos, local_of, d_pad):
+    """Group-packed staging for the fused IVF-Flat scan: bf16 transposed
+    vector store + exact per-slot norms + local list ids, all via slot_map
+    GATHERS (packed position -> input slot; -1 = pad — scatters of 1M
+    indices OOM the TPU memory-space assignment)."""
+    n2 = jnp.sum(jnp.square(xb.astype(jnp.float32)), axis=1)
+    valid = slot_map >= 0
+    sm = jnp.maximum(slot_map, 0)
+    y = jnp.where(valid[:, None], xb[sm], 0.0).astype(jnp.bfloat16)
+    yT = y.T
+    if d_pad > yT.shape[0]:
+        yT = jnp.pad(yT, ((0, d_pad - yT.shape[0]), (0, 0)))
+    n2s = jnp.where(valid, n2[sm], jnp.inf)[None]
+    lid = jnp.where(
+        valid, local_of[listnos.astype(jnp.int32)[sm]], 0
+    )[None]
+    return yT, n2s, lid
+
+
 class IndexIVFFlat(IndexIVF):
-    """IVF with raw float vectors in lists (reference: IndexIVFFlat.h:22)."""
+    """IVF with raw float vectors in lists (reference: IndexIVFFlat.h:22).
+
+    Big L2 batches on TPU dispatch to the fused recon-GEMM kernel
+    (ops/pallas_knn.ivf_recon_fused_pallas): one [qt, d] x [d, ct] MXU scan
+    over the group-packed bf16 vector store with in-kernel top-k select,
+    probe-masked per query, then an EXACT f32 re-rank of the top-kc
+    candidates in the same device program. The reference counterpart is the
+    GPU IVFFlat interleaved-layout scan (gpu/impl/IVFFlatScan.cu); candidate
+    selection is bf16 (exact re-rank restores f32 distances), rows whose
+    eviction floor reaches rank k are repaired through the per-probe path.
+    """
+
+    # fused big-batch knobs (shared semantics with IndexIVFPQ)
+    FUSED_CT = 1024
+    big_batch_threshold = 128
+    recon_scan_max_bytes = 4 << 30
+    refined_qdepth = 3  # candidates are near-results: keep the deep queue
+    _brute = None
 
     def __init__(self, quantizer, d, nlist, metric=MetricType.L2):
         super().__init__(quantizer, d, nlist, metric)
         self.code_size = d * 4
+
+    def add_core(self, x, ids, listnos) -> None:
+        super().add_core(x, ids, listnos)
+        self._brute = None
+
+    def reset(self) -> None:
+        super().reset()
+        self._brute = None
+
+    def _build_brute(self):
+        if self._brute is not None:
+            return self._brute
+        from .ivf_pq import pack_invlists_grouped
+
+        centroids = self.quantizer.vectors()
+        listnos = self._listnos_host
+        xb = np.ascontiguousarray(self._codes_host, np.float32)
+        g = pack_invlists_grouped(
+            listnos, self.nlist, self.FUSED_CT, centroids=centroids
+        )
+        ct = self.FUSED_CT
+        slot_map = np.concatenate(
+            [g["slot_map"], np.full(ct, -1, np.int64)]
+        )
+        lp = g["list_perm"]
+        local_of = np.zeros(self.nlist, np.int32)
+        local_of[lp[lp >= 0]] = (
+            np.arange(len(lp), dtype=np.int32)[lp >= 0] % 128
+        )
+        d_pad = -(-self.d // 128) * 128
+        xb_dev = jnp.asarray(xb)
+        slot_map_dev = jnp.asarray(slot_map.astype(np.int32))
+        yT, n2s, lid = _stage_flat_brute(
+            xb_dev, slot_map_dev, jnp.asarray(listnos.astype(np.int32)),
+            jnp.asarray(local_of), d_pad
+        )
+        cent_g = np.zeros((len(lp), centroids.shape[1]), np.float32)
+        cent_g[lp >= 0] = centroids[lp[lp >= 0]]
+        cn2g = np.full(len(lp), np.inf, np.float32)
+        cn2g[lp >= 0] = (cent_g[lp >= 0] ** 2).sum(1)
+        self._brute = {
+            "xb": xb_dev,
+            "yT": yT,
+            "n2s": n2s,
+            "lid": lid,
+            "slot_map": slot_map,
+            "slot_map_dev": slot_map_dev,
+            "centroids_g": jnp.asarray(cent_g),
+            "cn2g": jnp.asarray(cn2g),
+        }
+        return self._brute
+
+    def search(self, x, k: int, *, params=None):
+        x = self._check_input(x)
+        nprobe = self.nprobe
+        max_codes = self.max_codes
+        if params is not None:
+            if getattr(params, "nprobe", 0):
+                nprobe = params.nprobe
+            if getattr(params, "max_codes", 0):
+                max_codes = params.max_codes
+        d_pad = -(-self.d // 128) * 128
+        use_big = (
+            self.big_batch_threshold
+            and len(x) >= self.big_batch_threshold
+            and self.metric_type == MetricType.L2
+            and (params is None or params.sel is None)
+            and not max_codes
+            and k <= 64
+            and self.ntotal > 0
+            and (self.ntotal + 2 * self.FUSED_CT) * 2 * d_pad * 2
+            <= self.recon_scan_max_bytes
+        )
+        if use_big:
+            import jax as _jax
+
+            if _jax.default_backend() not in ("cpu",):
+                self._check_trained()
+                return self._search_big_batch_flat(
+                    x, k, min(max(1, nprobe), self.nlist), params
+                )
+        return super().search(x, k, params=params)
+
+    def _search_big_batch_flat(self, x, k, nprobe, params):
+        from ..base import query_buckets
+        from .ivf_pq import (
+            _fused_search_rerank_recon,
+            _stage_queries,
+            _unpack_results,
+        )
+
+        nq = len(x)
+        br = self._build_brute()
+        # candidate margin over k absorbs bf16 ranking noise before the
+        # exact re-rank; eviction-floor flags at rank k trigger repair
+        kc = min(128, max(2 * k, k + 32))
+        D = np.full((nq, k), np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        if nprobe >= self.nlist:
+            nprobe = 0
+        for start, padded, real in query_buckets(nq):
+            xq = x[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            qt = min(padded, 256)
+            packed = _fused_search_rerank_recon(
+                _stage_queries(xq),
+                br["centroids_g"],
+                br["cn2g"],
+                br["yT"],
+                br["n2s"],
+                br["lid"],
+                br["slot_map_dev"],
+                br["xb"],
+                k,
+                kc,
+                qt,
+                self.FUSED_CT,
+                nprobe,
+                qdepth=self.refined_qdepth,
+                lossy_rank=min(k, kc - 1),
+            )
+            d, slots, lossy, _ = _unpack_results(packed, k)
+            slots = slots[:real, :k]
+            d = d[:real, :k]
+            lossy = lossy[:real]
+            D[start : start + real] = d
+            I[start : start + real] = np.where(
+                slots >= 0, self._ids_host[np.maximum(slots, 0)], -1
+            )
+            if lossy.any():
+                # a queue eviction reached rank k: replay those rows
+                # through the exact per-probe scan
+                bad = np.where(lossy)[0]
+                Db, Ib = super(IndexIVFFlat, self).search(
+                    x[start + bad], k, params=params
+                )
+                D[start + bad] = Db
+                I[start + bad] = Ib
+        return D, I
 
     def encode_vectors(self, x, listnos):
         del listnos

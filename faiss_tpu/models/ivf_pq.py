@@ -446,20 +446,125 @@ def _fused_search_rerank_dyn(
     return _pack_results(D[inv], I[inv], lossy[inv], ndropped)
 
 
-@functools.partial(jax.jit, static_argnames=("S_pad",))
-def _stage_brute_device(
-    codes, listnos, term2, cn2, order, pos, local_of, S_pad
+@functools.partial(
+    jax.jit, static_argnames=("k", "kc", "qt", "ct", "nprobe", "qdepth",
+                              "lossy_rank", "interpret")
+)
+def _fused_search_rerank_recon(
+    xq, centroids_g, cn2g, yT, n2s, lid, slot_map, xb,
+    k, kc, qt, ct, nprobe, qdepth=3, lossy_rank=None, interpret=False,
 ):
+    """One-dispatch big-batch IVF search + exact re-rank, scoring against
+    the DECODED reconstruction store (ivf_recon_fused_pallas) instead of
+    one-hot ADC — same candidate ranking, ~2.5x less MXU work. Used whenever
+    the bf16 decoded store fits ``recon_scan_max_bytes``. Also serves
+    IndexIVFFlat with yT holding the raw vectors. ``lossy_rank`` sets the
+    rank against which the eviction floor flags a row (default kc-1:
+    "any top-kc candidate lost"; IVF-Flat uses ~k: "a lost candidate could
+    displace the k-th result")."""
+    from ..ops.distances import rerank_exact
+    from ..ops.pallas_knn import ivf_recon_fused_pallas
+
+    if slot_map.shape[0] >= (1 << 24):
+        raise NotImplementedError(
+            "packed result transfer stores slot ids as exact f32 values; "
+            "layouts beyond 2^24 slots need a split-id packing"
+        )
+    xq = _dequantize_queries(xq)
+    mask = (
+        _probe_penalty(xq, centroids_g, cn2g, nprobe) if nprobe else None
+    )
+    d_pad = yT.shape[0]
+    if xq.shape[1] < d_pad:
+        xq = jnp.pad(xq, ((0, 0), (0, d_pad - xq.shape[1])))
+    v, slots_raw, ev = ivf_recon_fused_pallas(
+        xq, yT, n2s, lid, mask,
+        qt=qt, ct=ct, qdepth=qdepth, interpret=interpret,
+    )
+    slots = jnp.where(
+        slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
+    )[:, :kc]
+    D, I = rerank_exact(xq[:, : xb.shape[1]], xb, slots, k)
+    lossy = jnp.min(ev, -1) < v[:, kc - 1 if lossy_rank is None else lossy_rank]
+    return _pack_results(D, I, lossy, jnp.zeros((), jnp.int32))
+
+
+def _probe_penalty(xq, centroids_g, cn2g, nprobe):
+    """{0, 1e9} additive penalty per grouped list column: 0 on each query's
+    nprobe nearest lists, 1e9 elsewhere (search_preassigned semantics)."""
+    cm2 = -2.0 * jax.lax.dot_general(
+        xq, centroids_g, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    key = cn2g[None, :] + cm2
+    _, cols = jax.lax.top_k(-key, nprobe)
+    rows = jnp.arange(xq.shape[0], dtype=jnp.int32)[:, None]
+    probed = jnp.zeros(cm2.shape, jnp.bool_).at[rows, cols].set(True)
+    return jnp.where(probed, 0.0, 1e9)
+
+
+@functools.partial(jax.jit, static_argnames=("d_pad", "by_residual"))
+def _stage_recon_device(codes, listnos, cent, cbt, slot_map, d_pad, by_residual):
+    """Decoded-reconstruction store for the recon-GEMM kernel:
+    y = c_list + pq_decode(code), bf16, TRANSPOSED [d_pad, S_pad], dims
+    zero-padded to a lane multiple, laid out by GATHERING through
+    slot_map (packed position -> input slot; -1 = pad).
+
+    Two TPU-tiling traps shape this function: (a) scatters of 1M indices
+    blow up memory-space assignment — everything is a gather; (b) a
+    row-gather of [n*M, dsub] codebook entries pads dsub=4 rows to 128
+    lanes (32x, ~15 GB) — the decode is instead the one-hot contraction
+    ``onehot(codes) @ cbt.T`` against the block-diagonal codebook (hi/lo
+    bf16 passes, f32-faithful to ~16 bits), chunked to bound the one-hot
+    temp."""
+    n, M = codes.shape
+    Kf = cbt.shape[1]
+    ksub = Kf // M
+    cbtT_hi = cbt.T.astype(jnp.bfloat16)  # [M*ksub, d]
+    cbtT_lo = (cbt.T - cbtT_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ln = listnos.astype(jnp.int32)
+    rbit = jnp.arange(ksub, dtype=jnp.int32)
+    chunks = []
+    CH = 1 << 18
+    for s in range(0, n, CH):
+        cseg = codes[s : s + CH].astype(jnp.int32)  # [ch, M]
+        oh = (cseg[:, :, None] == rbit).reshape(len(cseg), Kf).astype(
+            jnp.bfloat16
+        )
+        dec = jax.lax.dot_general(
+            oh, cbtT_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            oh, cbtT_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [ch, d]
+        if by_residual:
+            dec = dec + cent[ln[s : s + CH]]
+        chunks.append(dec)
+    recon = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+    valid = slot_map >= 0
+    sm = jnp.maximum(slot_map, 0)
+    y = jnp.where(valid[:, None], recon[sm], 0.0).astype(jnp.bfloat16)
+    yT = y.T  # [d, S_pad]
+    if d_pad > yT.shape[0]:
+        yT = jnp.pad(yT, ((0, d_pad - yT.shape[0]), (0, 0)))
+    return yT
+
+
+@jax.jit
+def _stage_brute_device(codes, listnos, term2, cn2, slot_map, local_of):
     """Device-side group-packed staging for the fused kernels.
 
     From the already-staged codes/listnos, computes in one program:
       n2     [n]        ||y||^2 = ||c_l||^2 + sum_m term2[l, m, code_m]
-      codesT [M, S_pad] transposed scatter into the packed layout
+      codesT [M, S_pad] codes gathered into the packed layout (transposed)
       n2s    [1, S_pad] per-slot norms (+inf on pads / the PAD chunk)
       lid    [1, S_pad] local list id within the 128-list group
-    The equivalent host loop (32 fancy-indexed gathers + transpose scatter)
-    costs ~7 s at 1M x 32 scale; this runs in milliseconds on device
-    (gpu/GpuIndexIVFPQ.cu precomputed-term staging analogue)."""
+    All layout moves are GATHERS through slot_map (packed position ->
+    input slot, -1 = pad): scatters of 1M indices OOM the TPU compiler's
+    memory-space assignment, gathers are clean. The equivalent host loop
+    (32 fancy-indexed gathers + transpose scatter) costs ~7 s at 1M x 32
+    scale (gpu/GpuIndexIVFPQ.cu precomputed-term staging analogue)."""
     n, M = codes.shape
     c32 = codes.astype(jnp.int32)
     ln = listnos.astype(jnp.int32)
@@ -468,15 +573,11 @@ def _stage_brute_device(
         axis=1,
     )
     n2 = cn2[ln] + t2sum  # [n] f32
-    codesT = jnp.zeros((M, S_pad), jnp.uint8).at[:, pos].set(codes[order].T)
-    n2s = (
-        jnp.full((S_pad,), jnp.inf, jnp.float32).at[pos].set(n2[order])[None]
-    )
-    lid = (
-        jnp.zeros((S_pad,), jnp.int32)
-        .at[pos]
-        .set(local_of[ln[order]])[None]
-    )
+    valid = slot_map >= 0
+    sm = jnp.maximum(slot_map, 0)
+    codesT = jnp.where(valid[:, None], codes[sm], 0).T  # [M, S_pad]
+    n2s = jnp.where(valid, n2[sm], jnp.inf)[None]
+    lid = jnp.where(valid, local_of[ln[sm]], 0)[None]
     return n2, codesT, n2s, lid
 
 
@@ -617,6 +718,12 @@ class IndexIVFPQ(IndexIVF):
 
     # -- big-batch exhaustive-ADC implem ------------------------------------------
     FUSED_CT = 1024  # slots per kernel chunk (group-packed, multi-list)
+    # HBM budget for the bf16 decoded-reconstruction store backing the
+    # recon-GEMM kernel (2*d bytes/slot; _make_recon_kernel). Within budget
+    # the scan is a dense [qt, d] x [d, ct] GEMM — the MXU-native FastScan;
+    # beyond it the code-streaming one-hot ADC kernel (M/2 bytes/slot) is
+    # used instead.
+    recon_scan_max_bytes = 4 << 30
 
     def _build_brute(self):
         if self._brute is not None:
@@ -646,20 +753,21 @@ class IndexIVFPQ(IndexIVF):
         local_of = np.zeros(self.nlist, np.int32)
         lp = g["list_perm"]
         local_of[lp[lp >= 0]] = np.arange(len(lp), dtype=np.int32)[lp >= 0] % 128
-        # per-slot norms + transposed scatter run ON DEVICE (the host loop
-        # of 32 fancy-indexed gathers plus a 32 MB transpose-scatter costs
-        # ~7 s at 1M scale; the device does it in milliseconds from the
-        # already-staged codes). One trailing all-+inf PAD chunk backs the
-        # dynamic-chunk kernel's sentinel worklist entries (slot_map -1).
+        # per-slot norms + packed layout run ON DEVICE via slot_map gathers
+        # (the host loop of 32 fancy-indexed gathers plus a 32 MB transpose
+        # scatter costs ~7 s at 1M scale; the device does it in
+        # milliseconds from the already-staged codes). One trailing
+        # all-+inf PAD chunk backs the dynamic-chunk kernel's sentinel
+        # worklist entries (slot_map -1).
+        slot_map = np.concatenate([g["slot_map"], np.full(ct, -1, np.int64)])
+        slot_map_dev = jnp.asarray(slot_map.astype(np.int32))
         n2_dev, codesT_dev, n2s_dev, lid_dev = _stage_brute_device(
             codes_dev,
             listnos_dev,
             jnp.asarray(term2),
             jnp.asarray((centroids**2).sum(1).astype(np.float32)),
-            jnp.asarray(order.astype(np.int32)),
-            jnp.asarray(pos.astype(np.int32)),
+            slot_map_dev,
             jnp.asarray(local_of),
-            S + ct,
         )
         self._brute = {
             "codes": codes_dev,
@@ -667,7 +775,6 @@ class IndexIVFPQ(IndexIVF):
             "n2": n2_dev,
             "centroids": jnp.asarray(centroids),
         }
-        slot_map = np.concatenate([g["slot_map"], np.full(ct, -1, np.int64)])
         lp = g["list_perm"]
         cent_g = np.zeros((len(lp), centroids.shape[1]), np.float32)
         cent_g[lp >= 0] = centroids[lp[lp >= 0]]
@@ -684,15 +791,31 @@ class IndexIVFPQ(IndexIVF):
             [np.repeat(np.arange(g["ngroups"], dtype=np.int32), g["cpg"]),
              np.zeros(1, np.int32)]
         )
+        # decoded-reconstruction store for the recon-GEMM kernel (the fast
+        # path whenever HBM has room: dense GEMM beats one-hot ADC 2.5x)
+        d_pad = -(-self.d // 128) * 128
+        cbt_dev = jnp.asarray(pq_ops.pq_blockdiag_codebook(pq.centroids))
+        yT_dev = None
+        if (S + ct) * d_pad * 2 <= self.recon_scan_max_bytes:
+            yT_dev = _stage_recon_device(
+                codes_dev,
+                listnos_dev,
+                self._brute["centroids"],
+                cbt_dev,
+                slot_map_dev,
+                d_pad,
+                self.by_residual,
+            )
         self._brute.update(
+            yT=yT_dev,
             codesT=codesT_dev,
             n2s=n2s_dev,
             lid=lid_dev,
             centroids_g=jnp.asarray(cent_g),
             cn2g=jnp.asarray(cn2g),
-            cbt=jnp.asarray(pq_ops.pq_blockdiag_codebook(pq.centroids)),
+            cbt=cbt_dev,
             slot_map=slot_map,
-            slot_map_dev=jnp.asarray(slot_map.astype(np.int32)),
+            slot_map_dev=slot_map_dev,
             chunk_first=jnp.asarray(chunk_first),
             chunk_last=jnp.asarray(chunk_last),
             cgroup=jnp.asarray(cgroup),
@@ -736,6 +859,19 @@ class IndexIVFPQ(IndexIVF):
 
         nq = len(x)
         br = self._build_brute()
+        if br.get("yT") is None and self.pq.ksub > 16:
+            # no decoded store (HBM cap) and the one-hot kernel is
+            # infeasible at this ksub: candidates from the XLA ADC path,
+            # exact re-rank on device
+            from ..ops.distances import rerank_exact
+
+            kc = min(kc, 128)
+            _, S = self._big_batch_xla(x, kc, nprobe)
+            D, I = rerank_exact(
+                jnp.asarray(x), refine_xb,
+                jnp.asarray(S.astype(np.int32)), k,
+            )
+            return np.asarray(D), np.asarray(I).astype(np.int64)
         D = np.full((nq, k), np.inf, np.float32)
         I = np.full((nq, k), -1, np.int64)
         kc = min(kc, 128)
@@ -745,6 +881,9 @@ class IndexIVFPQ(IndexIVF):
             xq = x[start : start + real]
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            use_recon = br.get("yT") is not None
+            # qt=256 measured best for BOTH kernels (qt=512 runs the recon
+            # kernel 6x slower — Mosaic pipelining degrades at that tile)
             qt = min(padded, 256)
             xq_dev = _stage_queries(xq)
             use_dyn = bool(nprobe) and padded >= 128
@@ -752,7 +891,10 @@ class IndexIVFPQ(IndexIVF):
                 msteps = self._dyn_bucket_for(xq_dev, br, nprobe, qt)
                 # the dyn program adds ~top_k/permute/worklist overhead: only
                 # worth it when it skips a solid fraction of the chunks
-                use_dyn = msteps <= int(0.6 * br["nchunks"])
+                # (a larger fraction against the recon path, which scans a
+                # chunk ~2.5x faster than the dyn kernel's one-hot ADC)
+                frac = 0.3 if use_recon else 0.6
+                use_dyn = msteps <= int(frac * br["nchunks"])
             if use_dyn:
                 packed = _fused_search_rerank_dyn(
                     xq_dev,
@@ -783,6 +925,24 @@ class IndexIVFPQ(IndexIVF):
                     self._dyn_bucket = min(
                         br["nchunks"], self._dyn_bucket + 64
                     )
+            elif use_recon:
+                packed = _fused_search_rerank_recon(
+                    xq_dev,
+                    br["centroids_g"],
+                    br["cn2g"],
+                    br["yT"],
+                    br["n2s"],
+                    br["lid"],
+                    br["slot_map_dev"],
+                    refine_xb,
+                    k,
+                    kc,
+                    qt,
+                    self.FUSED_CT,
+                    nprobe,
+                    qdepth=self.refined_qdepth,
+                )
+                d, slots, lossy, _ = _unpack_results(packed, k)
             else:
                 packed = _fused_search_rerank(
                     xq_dev,

@@ -279,7 +279,6 @@ class IndexRefine(Index):
             and len(x) >= self.base_index.big_batch_threshold
             and self.base_index.by_residual
             and self.base_index.metric_type.name == "L2"
-            and self.base_index.pq.ksub <= 16
             and kc <= 128
             and (params is None or params.sel is None)
             and self.refine_index.ntotal

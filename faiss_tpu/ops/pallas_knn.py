@@ -844,6 +844,222 @@ def ivfpq_fused_pallas_v3(
     )(luts, meta, biasg, ohT, n2)
 
 
+def _make_recon_kernel(qt, ct, d, masked, qdepth):
+    """Reconstruction-GEMM score producer + the shared queue/flush select.
+
+    Scores ADC keys as a DIRECT MXU contraction against the decoded
+    reconstructions y = c_list + pq_decode(code) stored bf16 [d, S]:
+
+        key[q, c] = n2[c] - 2 q.y[c]   (+1e9 on unprobed lists if masked)
+
+    Mathematically the same ranking as the one-hot ADC kernel (the ADC
+    score IS ||q - recon||^2), but d MACs/slot instead of M*ksub + 128:
+    at d=128, M=32, ksub=16 that is 2.5x less MXU work even with the hi/lo
+    query split, and the per-step VPU one-hot build disappears entirely.
+    The trade is HBM capacity: 2*d bytes/slot instead of M/2. This is the
+    TPU answer to FastScan's register-LUT machinery when HBM has room —
+    dense GEMM is what the MXU is for (and it is also exactly the fused
+    IVF-Flat scan when y holds the raw vectors).
+
+    The query arrives f32 and is split hi+lo bf16 in-kernel, so q is
+    represented to ~16 mantissa bits; the only approximation left is y's
+    own bf16 storage (immaterial next to PQ error, and absorbed by the
+    exact re-rank). Masked mode adds a {0, 1e9} per-(query, list) penalty
+    via the local-list one-hot (search_preassigned semantics).
+    """
+    n_sub = ct // LANES
+
+    def kernel(*refs):
+        if masked:
+            (q_ref, bias_ref, yT_ref, n2_ref, lid_ref,
+             out_v_ref, out_i_ref, out_ev_ref,
+             rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref) = refs
+        else:
+            (q_ref, yT_ref, n2_ref,
+             out_v_ref, out_i_ref, out_ev_ref,
+             rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref) = refs
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (qt, LANES), 1)
+
+        @pl.when(j == 0)
+        def _init():
+            rv_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
+            ri_ref[:] = jnp.full((qt, LANES), -1, jnp.int32)
+            qv_ref[:] = jnp.full((qdepth, qt, LANES), jnp.inf, jnp.float32)
+            qi_ref[:] = jnp.full((qdepth, qt, LANES), -1, jnp.int32)
+            ev_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
+
+        interval = jnp.clip(j // 4, 1, 16)
+        do_flush = jnp.logical_and(j > 0, j % interval == 0)
+
+        @pl.when(do_flush)
+        def _scheduled():
+            flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane)
+
+        q = q_ref[:]  # [qt, d] f32
+        q_hi = q.astype(jnp.bfloat16)
+        q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        y = yT_ref[:]  # [d, ct] bf16 (transposed decoded store)
+        ip = jax.lax.dot_general(
+            q_hi, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            q_lo, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [qt, ct] = q.y to ~16 query mantissa bits
+        skey = n2_ref[:] - 2.0 * ip
+        if masked:
+            lid = lid_ref[:].astype(jnp.int32)  # [1, ct]
+            lrow = jax.lax.broadcasted_iota(jnp.int32, (LANES, ct), 0)
+            listoh = jnp.where(lrow == lid, 1.0, 0.0).astype(jnp.bfloat16)
+            penalty = jax.lax.dot_general(
+                bias_ref[:].astype(jnp.bfloat16), listoh,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [qt, ct]: 0 on probed lists, ~1e9 otherwise
+            skey = skey + penalty
+
+        base = j * ct
+        theta = rv_ref[:, LANES - 1 : LANES]
+        assert n_sub % 2 == 0
+        half = n_sub // 2
+        for t in range(half):
+            c0 = base + t * LANES + lane
+            c1 = c0 + half * LANES
+            s0 = skey[:, t * LANES : (t + 1) * LANES]
+            s1 = skey[:, (t + half) * LANES : (t + half + 1) * LANES]
+            sel = s0 <= s1
+            sv = jnp.where(sel, s0, s1)
+            col = jnp.where(sel, c0, c1)
+            dropped = jnp.where(sel, s1, s0)
+            ev_ref[:] = jnp.minimum(
+                ev_ref[:], jnp.where(dropped < theta, dropped, jnp.inf)
+            )
+            sv = jnp.where(sv < theta, sv, jnp.inf)
+            cv = sv
+            ci = col
+            for lev in range(qdepth):
+                lv = qv_ref[lev]
+                li = qi_ref[lev]
+                lt = cv < lv
+                qv_ref[lev] = jnp.where(lt, cv, lv)
+                qi_ref[lev] = jnp.where(lt, ci, li)
+                cv = jnp.where(lt, lv, cv)
+                ci = jnp.where(lt, li, ci)
+            ev_ref[:] = jnp.minimum(ev_ref[:], cv)
+
+        @pl.when(j == nj - 1)
+        def _finish():
+            flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane)
+            out_v_ref[:] = rv_ref[:]
+            out_i_ref[:] = ri_ref[:]
+            out_ev_ref[:] = ev_ref[:]
+
+    def flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane):
+        for t in range(qdepth):
+            wv[:] = -qv_ref[t]
+            wi[:] = qi_ref[t]
+            _sort_asc_ref(wv, wi, lane)
+            wv[:] = -wv[:]
+            _merge_desc_into_ref(rv_ref, ri_ref, wv, wi, lane)
+        qv_ref[:] = jnp.full(qv_ref.shape, jnp.inf, jnp.float32)
+        qi_ref[:] = jnp.full(qi_ref.shape, -1, jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("qt", "ct", "qdepth", "interpret")
+)
+def ivf_recon_fused_pallas(
+    xq: jax.Array,  # [nq, d_pad] f32 queries (zero-padded dims)
+    yT: jax.Array,  # [d_pad, S] bf16 TRANSPOSED decoded reconstructions
+    n2: jax.Array,  # [1, S] f32 ||y||^2 per slot (+inf on pads)
+    lid: jax.Array,  # [1, S] int32 local list ids (masked mode)
+    biasg,  # [nq, ngroups*128] f32 {0, 1e9} probe mask, or None
+    qt: int = 512,
+    ct: int = 1024,
+    qdepth: int = QDEPTH,
+    interpret: bool = False,
+):
+    """Fused IVF scan + top-128 select over DECODED reconstructions.
+
+    Same group-packed layout and return contract as ivfpq_fused_pallas
+    (keys missing ||q||^2, packed slot ids, eviction floor), but the score
+    producer is a direct [qt, d] x [d, ct] GEMM against the bf16 decoded
+    store — see _make_recon_kernel. ``biasg=None`` scans exhaustively
+    (nprobe=0); otherwise biasg carries a {0, 1e9} probe penalty per
+    grouped list column. With yT holding raw vectors this IS the fused
+    IVF-Flat big-batch scan.
+    """
+    nq, d = xq.shape
+    S = yT.shape[1]
+    assert yT.shape[0] == d and S % ct == 0
+    nchunks = S // ct
+    masked = biasg is not None
+    grid = (nq // qt, nchunks)
+    kernel = _make_recon_kernel(qt, ct, d, masked, qdepth)
+    in_specs = [
+        pl.BlockSpec((qt, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [xq]
+    if masked:
+        ngroups = biasg.shape[1] // 128
+        cpg = max(1, nchunks // ngroups)
+        assert nchunks - cpg * ngroups in (0, 1), (nchunks, ngroups)
+        in_specs.append(
+            pl.BlockSpec(
+                (qt, 128),
+                lambda i, j: (i, jnp.minimum(j // cpg, ngroups - 1)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(biasg)
+    in_specs.append(
+        pl.BlockSpec((d, ct), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    )
+    operands.append(yT)
+    in_specs.append(
+        pl.BlockSpec((1, ct), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    )
+    operands.append(n2)
+    if masked:
+        in_specs.append(
+            pl.BlockSpec((1, ct), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(lid)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((qt, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nq, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nq, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qt, LANES), jnp.float32),
+            pltpu.VMEM((qt, LANES), jnp.int32),
+            pltpu.VMEM((qdepth, qt, LANES), jnp.float32),
+            pltpu.VMEM((qdepth, qt, LANES), jnp.int32),
+            pltpu.VMEM((qt, LANES), jnp.float32),
+            pltpu.VMEM((qt, LANES), jnp.int32),
+            pltpu.VMEM((qt, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
 @functools.partial(
     jax.jit, static_argnames=("qt", "ct", "qdepth", "interpret")
 )

@@ -153,3 +153,38 @@ def test_pq_range_search(ds):
     res = index.range_search(ds.get_queries(), radius)
     assert (res.distances < radius).all()
     assert res.lims[-1] > 0
+
+
+def test_ivfflat_fused_big_batch_interpret():
+    """The fused IVF-Flat big-batch program (recon kernel over raw bf16
+    vectors + exact re-rank) must match the per-probe exact scan."""
+    import jax.numpy as jnp
+
+    import faiss_tpu as ft
+    from faiss_tpu.models.ivf_pq import (
+        _fused_search_rerank_recon,
+        _unpack_results,
+    )
+
+    rs = np.random.RandomState(11)
+    d, nb, nq, nlist = 32, 15000, 256, 64
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    idx = ft.IndexIVFFlat(None, d, nlist)
+    idx.train(xb[:8000])
+    idx.add(xb)
+    idx.nprobe = 8
+    D0, I0 = idx.search(xq, 10)  # CPU: per-probe exact path
+    br = idx._build_brute()
+    packed = _fused_search_rerank_recon(
+        jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["yT"],
+        br["n2s"], br["lid"], br["slot_map_dev"], br["xb"],
+        10, 52, 128, idx.FUSED_CT, 8, qdepth=3, lossy_rank=10,
+        interpret=True,
+    )
+    d1, s1, lossy, _ = _unpack_results(packed, 10)
+    I1 = np.where(s1 >= 0, idx._ids_host[np.maximum(s1, 0)], -1)
+    agree = (I0 == I1).mean()
+    assert agree > 0.97, agree
+    same = I0 == I1
+    np.testing.assert_allclose(D0[same], d1[same], rtol=1e-4, atol=1e-4)

@@ -426,3 +426,78 @@ def test_dyn_fused_search_interpret():
     ), k)
     assert int(nd2) > 0
     assert (np.asarray(I2) >= -1).all()
+
+
+def test_recon_fused_search_interpret():
+    """The recon-GEMM fused program (_fused_search_rerank_recon — ADC as a
+    direct MXU contraction against decoded reconstructions) must reproduce
+    the one-hot fused program: the decoded-store score IS the ADC score."""
+    import jax.numpy as jnp
+
+    import faiss_tpu as ft
+    from faiss_tpu.models.ivf_pq import (
+        _fused_search_rerank,
+        _fused_search_rerank_recon,
+        _unpack_results,
+    )
+
+    rs = np.random.RandomState(5)
+    d, nlist, nb, nq = 16, 256, 3000, 128
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    index = ft.IndexIVFPQFastScan(None, d, nlist, 4, 4)
+    index.FUSED_CT = 256
+    index.cp.niter = 4
+    index.cp.min_points_per_centroid = 1
+    index.train(xb)
+    index.add(xb)
+    br = index._build_brute()
+    assert br["yT"] is not None  # tiny index: decoded store must fit
+    assert br["yT"].shape[0] == 128  # d padded to the lane multiple
+    refine_xb = jnp.asarray(xb)
+    k, kc, qt = 10, 40, 128
+    for nprobe in (0, 16):
+        D0, I0, _, _ = _unpack_results(_fused_search_rerank(
+            jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["cbt"],
+            br["codesT"], br["n2s"], br["lid"], br["slot_map_dev"],
+            refine_xb, k, kc, qt, index.FUSED_CT, nprobe, interpret=True,
+        ), k)
+        D1, I1, _, _ = _unpack_results(_fused_search_rerank_recon(
+            jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["yT"],
+            br["n2s"], br["lid"], br["slot_map_dev"], refine_xb,
+            k, kc, qt, index.FUSED_CT, nprobe, interpret=True,
+        ), k)
+        D0, I0, D1, I1 = map(np.asarray, (D0, I0, D1, I1))
+        # both rerank their top-kc exactly; candidate sets agree modulo
+        # bf16 rounding differences in the two score producers
+        agree = (I0 == I1).mean()
+        assert agree > 0.95, (nprobe, agree)
+        same = I0 == I1
+        np.testing.assert_allclose(D0[same], D1[same], rtol=1e-4, atol=1e-4)
+
+
+def test_recon_store_decodes_exactly():
+    """The staged bf16 decoded store must equal reconstruct() up to bf16."""
+    import faiss_tpu as ft
+
+    rs = np.random.RandomState(6)
+    d, nlist, nb = 24, 32, 800
+    xb = rs.randn(nb, d).astype(np.float32)
+    index = ft.IndexIVFPQ(None, d, nlist, 4, 4)
+    index.cp.niter = 4
+    index.cp.min_points_per_centroid = 1
+    index.train(xb)
+    index.add(xb)
+    br = index._build_brute()
+    yT = np.asarray(br["yT"]).astype(np.float32)
+    sm = br["slot_map"]
+    # reconstruct a sample of slots through the codec and compare
+    take = np.where(sm >= 0)[0][::37]
+    want = index.decode_vectors(
+        index._codes_host[sm[take]], index._listnos_host[sm[take]]
+    )
+    got = yT[:d, take].T
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    # padded dims and pad slots are zero
+    assert (yT[d:, :] == 0).all()
+    assert (yT[:, np.where(sm < 0)[0]] == 0).all()
