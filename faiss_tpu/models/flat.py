@@ -9,14 +9,91 @@ IndexFlatL2 caches database norms like the reference's cached sync_l2norms
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..base import Index, RangeSearchResult, SearchParameters, query_buckets
 from ..metric import MetricType, is_similarity_metric
 from ..ops import distances as dops
+
+
+@functools.partial(jax.jit, static_argnames=("d_pad", "nbp", "metric_l2"))
+def _stage_flat_screen(xb, d_pad, nbp, metric_l2):
+    """Screen store for the recon-kernel flat path: the vectors as TWO
+    stacked transposed bf16 planes (hi parts then lo residuals — together
+    f32-faithful to ~2^-17, which is what lets the exactness certificate
+    pass: a single bf16 plane's worst-case bound swamps real top-k gaps),
+    plus per-row screen keys (exact ||y||^2 for L2, 0 for IP; +inf on
+    pads) and the max row norm (certification scale)."""
+    xbf = xb.astype(jnp.float32)
+    nb, d = xbf.shape
+    n2 = jnp.sum(jnp.square(xbf), axis=1)
+    # reduce_precision, NOT a bf16 cast round-trip: under XLA's
+    # allow-excess-precision the round-trip folds away and the lo plane
+    # silently becomes zero (measured: wrong neighbors at 2.4e-2)
+    hi32 = jax.lax.reduce_precision(xbf, 8, 7)
+    hi = hi32.astype(jnp.bfloat16)
+    lo = (xbf - hi32).astype(jnp.bfloat16)
+    yT_hi = jnp.pad(hi.T, ((0, d_pad - d), (0, nbp - nb)))
+    yT_lo = jnp.pad(lo.T, ((0, d_pad - d), (0, nbp - nb)))
+    vals = n2 if metric_l2 else jnp.zeros_like(n2)
+    n2s = jnp.pad(vals, (0, nbp - nb), constant_values=jnp.inf)[None]
+    return yT_hi, yT_lo, n2s, jnp.sqrt(jnp.max(n2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "qt", "ct", "metric_l2", "interpret")
+)
+def _flat_screen_program(
+    xq, yT_hi, yT_lo, n2s, xb, ymax, k, qt, ct, metric_l2, interpret=False
+):
+    """bf16 screen + EXACT re-rank + per-row exactness certificate, one
+    device program. The screen is the recon-GEMM kernel (hi/lo bf16 query
+    against the bf16 store, ~14x less MXU work than the f32-HIGHEST
+    6-pass kernel); the top-128 candidates are re-ranked exactly in f32.
+    A row is certified exact iff (a) its exact k-th key clears the 128th
+    screen key by delta = 2^-12 ||q|| max||y|| (the hi/lo-store cross-term
+    error bound with margin), so no excluded point can beat it, and
+    (b) the eviction floor clears the same bound (no queue loss can
+    either).
+    Uncertified rows are re-run through the f32 path by the caller —
+    the composite stays exact (IndexFlat contract, IndexFlat.cpp:40)."""
+    from ..ops.distances import rerank_exact
+    from ..ops.pallas_knn import LANES, ivf_recon_fused_pallas
+
+    nq, d = xq.shape
+    d_pad = yT_hi.shape[0]
+    xqp = jnp.pad(xq, ((0, 0), (0, d_pad - d))) if d_pad > d else xq
+    dummy_lid = jnp.zeros((1, 1), jnp.int32)
+    v, idx, ev = ivf_recon_fused_pallas(
+        xqp, yT_hi, n2s, dummy_lid, None, yT_lo=yT_lo, qt=qt, ct=ct,
+        qdepth=3, interpret=interpret,
+    )
+    metric = MetricType.L2 if metric_l2 else MetricType.INNER_PRODUCT
+    D, I = rerank_exact(xq, xb, idx, k, metric=metric)
+    qn = jnp.sum(jnp.square(xq), axis=1)
+    if metric_l2:
+        key_k = D[:, k - 1] - qn  # kernel-key space (missing ||q||^2)
+    else:
+        key_k = -2.0 * D[:, k - 1]  # kernel key = -2 q.y
+    # hi/lo store + hi/lo query: the dropped ql.yl term is bounded by
+    # 2^-15 ||q|| ||y||; f32 accumulation and the n2-vs-rerank provenance
+    # difference add ~d*2^-24 * scale terms. 2^-12 carries an 8x margin
+    # over the sum (2^-14 was measured UNSOUND: one of 17 sampled rows
+    # returned a wrong neighbor at 2.4e-2 relative)
+    delta = (2.0**-12) * jnp.sqrt(qn) * ymax
+    flag = jnp.logical_or(
+        key_k > v[:, LANES - 1] - delta,
+        jnp.min(ev, -1) < key_k + delta,
+    )
+    return jnp.concatenate(
+        [D, I.astype(jnp.float32), flag.astype(jnp.float32)[:, None]],
+        axis=1,
+    )
 
 
 class IndexFlat(Index):
@@ -31,6 +108,7 @@ class IndexFlat(Index):
         self._xb = None  # consolidated device array [ntotal, d]
         self._norms = None  # cached device L2 norms
         self._xbT = None  # transposed padded device copy for the fused kernel
+        self._screen = None  # bf16 screen store (yT, n2s, ymax)
         # device storage dtype: np.float16 halves HBM + upload time at
         # ~2^-11 rounding (GpuIndexFlatConfig.useFloat16, gpu/GpuIndexFlat.h)
         self.storage_dtype = np.float32
@@ -54,6 +132,7 @@ class IndexFlat(Index):
             )
             self._norms = None
             self._xbT = None
+            self._screen = None
             self.ntotal += len(x)
             return
         self._pending.append(x)
@@ -64,6 +143,7 @@ class IndexFlat(Index):
         self._xb = None
         self._norms = None
         self._xbT = None
+        self._screen = None
         self.ntotal = 0
 
     def merge_from(self, other: "IndexFlat", add_id: int = 0) -> None:
@@ -96,6 +176,7 @@ class IndexFlat(Index):
             self._pending = []
             self._norms = None
             self._xbT = None
+            self._screen = None
         if self._xb is not None and self._norms is None and (
             self.metric_type == MetricType.L2
         ):
@@ -240,11 +321,88 @@ class IndexFlat(Index):
             self._xbT = jnp.asarray(host)
         return self._xbT
 
+    # bf16-screen path: screen + exact re-rank + certificate; uncertified
+    # rows fall back to the f32-HIGHEST kernel. ~6x faster at SIFT1M k=100.
+    SCREEN_MAX_K = 100  # leaves >=28 certificate ranks in the 128 buffer
+    flat_screen = True
+    flat_screen_max_bytes = 2 << 30
+
+    def _screen_ok(self, k):
+        d_pad = -(-self.d // 128) * 128
+        nbp = -(-self.ntotal // 1024) * 1024
+        return (
+            self.flat_screen
+            and k <= self.SCREEN_MAX_K
+            and self.ntotal < (1 << 24)  # ids ride as exact f32 values
+            and nbp * (4 * d_pad + 4) <= self.flat_screen_max_bytes
+        )
+
+    def _screen_dev(self):
+        if self._screen is None:
+            xb = self._consolidate()
+            d_pad = -(-self.d // 128) * 128
+            nbp = -(-self.ntotal // 1024) * 1024
+            self._screen = _stage_flat_screen(
+                xb, d_pad, nbp, self.metric_type == MetricType.L2
+            )
+        return self._screen
+
+    def _search_screened(self, x, k, D, I):
+        """bf16 screen + exact re-rank (_flat_screen_program); rows whose
+        exactness certificate fails re-run through the exact XLA path.
+        If certification fails on a large fraction (heavily
+        distance-concentrated data: rank-k and rank-128 keys inside the
+        bf16 error band), the screen stops paying — disable it for this
+        index and serve everything from the f32 kernel."""
+        nq = len(x)
+        metric_l2 = self.metric_type == MetricType.L2
+        yT_hi, yT_lo, n2s, ymax = self._screen_dev()
+        xb = self._consolidate()
+        for start, padded, real in query_buckets(nq):
+            xq = x[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            qt = min(padded, 256)
+            packed = np.asarray(
+                _flat_screen_program(
+                    jnp.asarray(xq), yT_hi, yT_lo, n2s, xb, ymax, k, qt,
+                    1024, metric_l2,
+                )
+            )
+            d = np.array(packed[:real, :k])  # writable: repairs below
+            i = np.rint(packed[:real, k : 2 * k]).astype(np.int64)
+            flag = packed[:real, 2 * k] != 0.0
+            if flag.mean() > 0.25:
+                self.flat_screen = False  # not worth it on this data
+                rest = slice(start, nq)
+                Dr, Ir = self._search_fused(
+                    x[rest], k, D[rest].copy(), I[rest].copy()
+                )
+                D[rest] = Dr
+                I[rest] = Ir
+                return D, I
+            if flag.any():
+                rows = np.nonzero(flag)[0]
+                d_fix, i_fix = dops.knn(
+                    jnp.asarray(np.ascontiguousarray(x[start + rows])),
+                    xb.astype(jnp.float32),
+                    k,
+                    metric=self.metric_type,
+                    y_norms=self._norms,
+                )
+                d[rows] = np.asarray(d_fix)
+                i[rows] = np.asarray(i_fix)
+            D[start : start + real] = d
+            I[start : start + real] = i
+        return D, I
+
     def _search_fused(self, x, k, D, I):
         """Fused GEMM+select kernel with exactness repair for lossy rows
         (ops/pallas_knn.py)."""
         from ..ops import pallas_knn as pk
 
+        if self._screen_ok(k):
+            return self._search_screened(x, k, D, I)
         nq = len(x)
         metric_l2 = self.metric_type == MetricType.L2
         xbT = self._xbT_dev()

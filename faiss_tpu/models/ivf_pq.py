@@ -520,8 +520,11 @@ def _stage_recon_device(codes, listnos, cent, cbt, slot_map, d_pad, by_residual)
     n, M = codes.shape
     Kf = cbt.shape[1]
     ksub = Kf // M
-    cbtT_hi = cbt.T.astype(jnp.bfloat16)  # [M*ksub, d]
-    cbtT_lo = (cbt.T - cbtT_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # reduce_precision, NOT a bf16 cast round-trip (XLA's
+    # allow-excess-precision folds the round-trip and zeroes the lo part)
+    cbtT_hi32 = jax.lax.reduce_precision(cbt.T, 8, 7)  # [M*ksub, d]
+    cbtT_hi = cbtT_hi32.astype(jnp.bfloat16)
+    cbtT_lo = (cbt.T - cbtT_hi32).astype(jnp.bfloat16)
     ln = listnos.astype(jnp.int32)
     rbit = jnp.arange(ksub, dtype=jnp.int32)
     chunks = []
@@ -835,6 +838,10 @@ class IndexIVFPQ(IndexIVF):
     # candidate recall -0.005) for a 15% faster kernel. The unrefined path,
     # whose candidates ARE the results, stays at the default depth 3.
     refined_qdepth = 2
+    # refined-path sub-batch size: batches are split so the tunnel overlaps
+    # one sub-batch's upload/readback with another's compute (the
+    # dispatch-all-then-read-all structure in _search_big_batch_refined)
+    pipeline_batch = 4096
 
     def _dyn_bucket_for(self, xq_dev, br, nprobe, qt):
         if self.dyn_msteps:
@@ -877,7 +884,14 @@ class IndexIVFPQ(IndexIVF):
         kc = min(kc, 128)
         if nprobe >= self.nlist:
             nprobe = 0
-        for start, padded, real in query_buckets(nq):
+        # DISPATCH phase: enqueue every sub-batch before reading any result,
+        # so the tunnel overlaps batch i+1's upload/compute with batch i's
+        # compute/readback (jax async dispatch; the per-batch read is the
+        # only blocking point). pipeline_batch splits large nq for overlap.
+        pending = []
+        for start, padded, real in query_buckets(
+            nq, max_batch=self.pipeline_batch
+        ):
             xq = x[start : start + real]
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
@@ -917,14 +931,6 @@ class IndexIVFPQ(IndexIVF):
                     msteps,
                     br["max_span"],
                 )
-                d, slots, lossy, nd = _unpack_results(packed, k)
-                # post-hoc monitor: a worklist overflow means some probed
-                # chunks were skipped this batch — widen the bucket for the
-                # next one (recall impact is bounded to this batch)
-                if nd > 0 and not self.dyn_msteps:
-                    self._dyn_bucket = min(
-                        br["nchunks"], self._dyn_bucket + 64
-                    )
             elif use_recon:
                 packed = _fused_search_rerank_recon(
                     xq_dev,
@@ -942,7 +948,6 @@ class IndexIVFPQ(IndexIVF):
                     nprobe,
                     qdepth=self.refined_qdepth,
                 )
-                d, slots, lossy, _ = _unpack_results(packed, k)
             else:
                 packed = _fused_search_rerank(
                     xq_dev,
@@ -961,7 +966,15 @@ class IndexIVFPQ(IndexIVF):
                     nprobe,
                     qdepth=self.refined_qdepth,
                 )
-                d, slots, lossy, _ = _unpack_results(packed, k)
+            pending.append((start, real, packed, use_dyn))
+        # READ phase
+        for start, real, packed, was_dyn in pending:
+            d, slots, lossy, nd = _unpack_results(packed, k)
+            if was_dyn and nd > 0 and not self.dyn_msteps:
+                # post-hoc monitor: a worklist overflow means some probed
+                # chunks were skipped this batch — widen the bucket for the
+                # next call (recall impact is bounded to this batch)
+                self._dyn_bucket = min(br["nchunks"], self._dyn_bucket + 64)
             slots = slots[:real, :k]
             D[start : start + real] = d[:real, :k]
             I[start : start + real] = np.where(

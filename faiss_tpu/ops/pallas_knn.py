@@ -844,7 +844,7 @@ def ivfpq_fused_pallas_v3(
     )(luts, meta, biasg, ohT, n2)
 
 
-def _make_recon_kernel(qt, ct, d, masked, qdepth):
+def _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo=False):
     """Reconstruction-GEMM score producer + the shared queue/flush select.
 
     Scores ADC keys as a DIRECT MXU contraction against the decoded
@@ -866,12 +866,27 @@ def _make_recon_kernel(qt, ct, d, masked, qdepth):
     own bf16 storage (immaterial next to PQ error, and absorbed by the
     exact re-rank). Masked mode adds a {0, 1e9} per-(query, list) penalty
     via the local-list one-hot (search_preassigned semantics).
+
+    ``db_hilo``: the store holds TWO stacked bf16 planes (rows 0..d-1 the
+    hi parts, d..2d-1 the lo residuals), and the contraction runs three
+    passes (qh.yh + qh.yl + ql.yh) — f32-faithful to ~2^-17 relative.
+    This is the exact-search configuration (IndexFlat screen): the tight
+    error bound is what makes the per-row exactness certificate pass.
     """
     n_sub = ct // LANES
 
     def kernel(*refs):
-        if masked:
+        ylo_ref = None
+        if masked and db_hilo:
+            (q_ref, bias_ref, yT_ref, ylo_ref, n2_ref, lid_ref,
+             out_v_ref, out_i_ref, out_ev_ref,
+             rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref) = refs
+        elif masked:
             (q_ref, bias_ref, yT_ref, n2_ref, lid_ref,
+             out_v_ref, out_i_ref, out_ev_ref,
+             rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref) = refs
+        elif db_hilo:
+            (q_ref, yT_ref, ylo_ref, n2_ref,
              out_v_ref, out_i_ref, out_ev_ref,
              rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref) = refs
         else:
@@ -900,14 +915,32 @@ def _make_recon_kernel(qt, ct, d, masked, qdepth):
         q = q_ref[:]  # [qt, d] f32
         q_hi = q.astype(jnp.bfloat16)
         q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        y = yT_ref[:]  # [d, ct] bf16 (transposed decoded store)
-        ip = jax.lax.dot_general(
-            q_hi, y, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            q_lo, y, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [qt, ct] = q.y to ~16 query mantissa bits
+        if db_hilo:
+            y_hi = yT_ref[:]  # [d, ct] bf16 hi plane
+            y_lo = ylo_ref[:]  # bf16 lo residual plane (separate operand)
+            ip = (
+                jax.lax.dot_general(
+                    q_hi, y_hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot_general(
+                    q_hi, y_lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot_general(
+                    q_lo, y_hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # q.y to ~2^-17 relative (ql.yl term is below that)
+        else:
+            y = yT_ref[:]  # [d, ct] bf16 (transposed decoded store)
+            ip = jax.lax.dot_general(
+                q_hi, y, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                q_lo, y, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [qt, ct] = q.y to ~16 query mantissa bits
         skey = n2_ref[:] - 2.0 * ip
         if masked:
             lid = lid_ref[:].astype(jnp.int32)  # [1, ct]
@@ -978,6 +1011,7 @@ def ivf_recon_fused_pallas(
     n2: jax.Array,  # [1, S] f32 ||y||^2 per slot (+inf on pads)
     lid: jax.Array,  # [1, S] int32 local list ids (masked mode)
     biasg,  # [nq, ngroups*128] f32 {0, 1e9} probe mask, or None
+    yT_lo=None,  # [d_pad, S] bf16 lo residual plane (exact-search mode)
     qt: int = 512,
     ct: int = 1024,
     qdepth: int = QDEPTH,
@@ -995,11 +1029,12 @@ def ivf_recon_fused_pallas(
     """
     nq, d = xq.shape
     S = yT.shape[1]
+    db_hilo = yT_lo is not None
     assert yT.shape[0] == d and S % ct == 0
     nchunks = S // ct
     masked = biasg is not None
     grid = (nq // qt, nchunks)
-    kernel = _make_recon_kernel(qt, ct, d, masked, qdepth)
+    kernel = _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo)
     in_specs = [
         pl.BlockSpec((qt, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
     ]
@@ -1020,6 +1055,12 @@ def ivf_recon_fused_pallas(
         pl.BlockSpec((d, ct), lambda i, j: (0, j), memory_space=pltpu.VMEM)
     )
     operands.append(yT)
+    if db_hilo:
+        in_specs.append(
+            pl.BlockSpec((d, ct), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(yT_lo)
     in_specs.append(
         pl.BlockSpec((1, ct), lambda i, j: (0, j), memory_space=pltpu.VMEM)
     )

@@ -238,3 +238,42 @@ def test_fused_knn_kernel_k_lanes_interpret():
         np.testing.assert_allclose(
             np.maximum(picked, 0), v[clean], rtol=1e-4, atol=1e-4
         )
+
+
+def test_flat_screen_program_interpret():
+    """The bf16-screen + exact-rerank flat program must reproduce the exact
+    search, and its certificate must flag (only) rows it cannot guarantee."""
+    import jax.numpy as jnp
+
+    import faiss_tpu as ft
+    from faiss_tpu.models.flat import _flat_screen_program, _stage_flat_screen
+
+    rs = np.random.RandomState(21)
+    d, nb, nq, k = 24, 4096, 128, 10
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    for metric_l2 in (True, False):
+        index = (
+            ft.IndexFlatL2(d) if metric_l2 else ft.IndexFlatIP(d)
+        )
+        index.add(xb)
+        D0, I0 = index.search(xq, k)  # CPU exact path
+        xbdev = index._consolidate()
+        d_pad, nbp = 128, -(-nb // 1024) * 1024
+        yT_hi, yT_lo, n2s, ymax = _stage_flat_screen(
+            xbdev, d_pad, nbp, metric_l2
+        )
+        packed = np.asarray(
+            _flat_screen_program(
+                jnp.asarray(xq), yT_hi, yT_lo, n2s, xbdev, ymax, k, 128,
+                512, metric_l2, interpret=True,
+            )
+        )
+        D1 = packed[:, :k]
+        I1 = np.rint(packed[:, k : 2 * k]).astype(np.int64)
+        flag = packed[:, 2 * k] != 0.0
+        ok = ~flag
+        # certified rows must match the exact search bit-for-bit on ids
+        assert ok.any()
+        assert (I0[ok] == I1[ok]).mean() > 0.999, (metric_l2, (I0[ok] != I1[ok]).sum())
+        np.testing.assert_allclose(D0[ok], D1[ok], rtol=1e-4, atol=1e-4)
