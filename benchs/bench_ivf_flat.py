@@ -52,7 +52,9 @@ def main(nb=1_000_000, nq=8192, d=128, nlist=4096):
     log(f"train: {time.time()-t0:.1f}s")
     t0 = time.time()
     index.add(xb)
-    index._build_device()
+    index._build_brute()  # fused big-batch staging (the serving path);
+    # the padded per-probe layout (_build_device) stays lazy — it only
+    # backs small batches and lossy-row repairs
     log(f"add+stage: {time.time()-t0:.1f}s")
 
     for nprobe in (1, 8, 32, 64):

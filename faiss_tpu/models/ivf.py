@@ -572,7 +572,10 @@ class IndexIVFFlat(IndexIVF):
         I = np.full((nq, k), -1, np.int64)
         if nprobe >= self.nlist:
             nprobe = 0
-        for start, padded, real in query_buckets(nq):
+        # dispatch every sub-batch before reading any result (tunnel
+        # overlap — same structure as IndexIVFPQ._search_big_batch_refined)
+        pending = []
+        for start, padded, real in query_buckets(nq, max_batch=4096):
             xq = x[start : start + real]
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
@@ -594,6 +597,8 @@ class IndexIVFFlat(IndexIVF):
                 qdepth=self.refined_qdepth,
                 lossy_rank=min(k, kc - 1),
             )
+            pending.append((start, real, packed))
+        for start, real, packed in pending:
             d, slots, lossy, _ = _unpack_results(packed, k)
             slots = slots[:real, :k]
             d = d[:real, :k]
