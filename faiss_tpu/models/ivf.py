@@ -484,6 +484,7 @@ class IndexIVFFlat(IndexIVF):
     def _build_brute(self):
         if self._brute is not None:
             return self._brute
+        self._dyn_bucket = None  # worklist size is layout-dependent
         from .ivf_pq import pack_invlists_grouped
 
         centroids = self.quantizer.vectors()
@@ -512,6 +513,18 @@ class IndexIVFFlat(IndexIVF):
         cent_g[lp >= 0] = centroids[lp[lp >= 0]]
         cn2g = np.full(len(lp), np.inf, np.float32)
         cn2g[lp >= 0] = (cent_g[lp >= 0] ** 2).sum(1)
+        # dyn-chunk metadata (chunk span per grouped column + chunk->group)
+        S = g["S"]
+        nchunks = S // ct
+        cs, cl = g["col_start"], g["col_len"]
+        chunk_first = np.where(cl > 0, cs // ct, nchunks).astype(np.int32)
+        chunk_last = np.where(
+            cl > 0, (cs + np.maximum(cl, 1) - 1) // ct, nchunks
+        ).astype(np.int32)
+        cgroup = np.concatenate(
+            [np.repeat(np.arange(g["ngroups"], dtype=np.int32), g["cpg"]),
+             np.zeros(1, np.int32)]
+        )
         self._brute = {
             "xb": xb_dev,
             "yT": yT,
@@ -521,6 +534,11 @@ class IndexIVFFlat(IndexIVF):
             "slot_map_dev": slot_map_dev,
             "centroids_g": jnp.asarray(cent_g),
             "cn2g": jnp.asarray(cn2g),
+            "chunk_first": jnp.asarray(chunk_first),
+            "chunk_last": jnp.asarray(chunk_last),
+            "cgroup": jnp.asarray(cgroup),
+            "nchunks": nchunks,
+            "max_span": int((chunk_last - chunk_first).max()) + 1,
         }
         return self._brute
 
@@ -555,11 +573,33 @@ class IndexIVFFlat(IndexIVF):
                 )
         return super().search(x, k, params=params)
 
+    # dyn-chunk worklist cap (shared semantics with IndexIVFPQ; the
+    # adaptive cache is keyed by nprobe — see IndexIVFPQ._dyn_bucket_for)
+    dyn_msteps = 0
+    _dyn_bucket = None
+    dyn_engage_frac = 0.08
+
+    def _dyn_bucket_for(self, xq_dev, br, nprobe, qt):
+        from .ivf_pq import _dyn_probe_counts
+
+        if self.dyn_msteps:
+            return min(self.dyn_msteps, br["nchunks"])
+        if self._dyn_bucket is None:
+            self._dyn_bucket = {}
+        if nprobe not in self._dyn_bucket:
+            cnt = _dyn_probe_counts(
+                xq_dev, br["centroids_g"], br["cn2g"], br["chunk_first"],
+                br["chunk_last"], nprobe, qt, br["max_span"], br["nchunks"],
+            )
+            m = int(np.asarray(jnp.max(cnt)))
+            self._dyn_bucket[nprobe] = min(br["nchunks"], -(-m // 64) * 64)
+        return self._dyn_bucket[nprobe]
+
     def _search_big_batch_flat(self, x, k, nprobe, params):
         from ..base import query_buckets
         from .ivf_pq import (
             _fused_search_rerank_recon,
-            _stage_queries,
+            _fused_search_rerank_recon_dyn,
             _unpack_results,
         )
 
@@ -572,6 +612,8 @@ class IndexIVFFlat(IndexIVF):
         I = np.full((nq, k), -1, np.int64)
         if nprobe >= self.nlist:
             nprobe = 0
+        # queries cross as f32 (int8 staging would break IVFFlat's
+        # exact-distance contract)
         # dispatch every sub-batch before reading any result (tunnel
         # overlap — same structure as IndexIVFPQ._search_big_batch_refined)
         pending = []
@@ -580,26 +622,62 @@ class IndexIVFFlat(IndexIVF):
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
             qt = min(padded, 256)
-            packed = _fused_search_rerank_recon(
-                _stage_queries(xq),
-                br["centroids_g"],
-                br["cn2g"],
-                br["yT"],
-                br["n2s"],
-                br["lid"],
-                br["slot_map_dev"],
-                br["xb"],
-                k,
-                kc,
-                qt,
-                self.FUSED_CT,
-                nprobe,
-                qdepth=self.refined_qdepth,
-                lossy_rank=min(k, kc - 1),
-            )
-            pending.append((start, real, packed))
-        for start, real, packed in pending:
-            d, slots, lossy, _ = _unpack_results(packed, k)
+            xq_dev = jnp.asarray(xq)
+            use_dyn = bool(nprobe) and padded >= 128
+            if use_dyn:
+                msteps = self._dyn_bucket_for(xq_dev, br, nprobe, qt)
+                # extreme sparsity only — see IndexIVFPQ.dyn_engage_frac
+                use_dyn = msteps <= int(
+                    self.dyn_engage_frac * br["nchunks"]
+                )
+            if use_dyn:
+                packed = _fused_search_rerank_recon_dyn(
+                    xq_dev,
+                    br["centroids_g"],
+                    br["cn2g"],
+                    br["yT"],
+                    br["n2s"],
+                    br["lid"],
+                    br["slot_map_dev"],
+                    br["xb"],
+                    br["chunk_first"],
+                    br["chunk_last"],
+                    br["cgroup"],
+                    k,
+                    kc,
+                    qt,
+                    self.FUSED_CT,
+                    nprobe,
+                    msteps,
+                    br["max_span"],
+                    qdepth=self.refined_qdepth,
+                )
+            else:
+                packed = _fused_search_rerank_recon(
+                    xq_dev,
+                    br["centroids_g"],
+                    br["cn2g"],
+                    br["yT"],
+                    br["n2s"],
+                    br["lid"],
+                    br["slot_map_dev"],
+                    br["xb"],
+                    k,
+                    kc,
+                    qt,
+                    self.FUSED_CT,
+                    nprobe,
+                    qdepth=self.refined_qdepth,
+                    lossy_rank=min(k, kc - 1),
+                )
+            pending.append((start, real, packed, use_dyn))
+        for start, real, packed, was_dyn in pending:
+            d, slots, lossy, nd = _unpack_results(packed, k)
+            if was_dyn and nd > 0 and not self.dyn_msteps:
+                # worklist overflow: widen this nprobe's bucket next call
+                self._dyn_bucket[nprobe] = min(
+                    br["nchunks"], self._dyn_bucket[nprobe] + 64
+                )
             slots = slots[:real, :k]
             d = d[:real, :k]
             lossy = lossy[:real]

@@ -503,6 +503,66 @@ def _probe_penalty(xq, centroids_g, cn2g, nprobe):
     return jnp.where(probed, 0.0, 1e9)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "kc", "qt", "ct", "nprobe", "msteps", "max_span", "qdepth",
+        "interpret",
+    ),
+)
+def _fused_search_rerank_recon_dyn(
+    xq, centroids_g, cn2g, yT, n2s, lid, slot_map, xb,
+    chunk_first, chunk_last, cgroup,
+    k, kc, qt, ct, nprobe, msteps, max_span, qdepth=3, interpret=False,
+):
+    """nprobe-sparse recon-GEMM big-batch search + exact re-rank (one
+    dispatch): the dyn-chunk worklist flow of _fused_search_rerank_dyn
+    with the decoded-store score producer — scans only the probed chunks
+    AND does it at recon-GEMM speed."""
+    from ..ops.distances import rerank_exact
+    from ..ops.pallas_knn import ivf_recon_fused_dyn_pallas
+
+    if slot_map.shape[0] >= (1 << 24):
+        raise NotImplementedError(
+            "packed result transfer stores slot ids as exact f32 values; "
+            "layouts beyond 2^24 slots need a split-id packing"
+        )
+    xq = _dequantize_queries(xq)
+    nq = xq.shape[0]
+    nchunks = cgroup.shape[0] - 1  # trailing PAD chunk
+    perm, pcols_s, cm2, bitmap = _dyn_probe_bitmap(
+        xq, centroids_g, cn2g, chunk_first, chunk_last, nprobe, qt,
+        max_span, nchunks,
+    )
+    xq_s = xq[perm]
+    rows = jnp.arange(nq, dtype=jnp.int32)[:, None]
+    probed = jnp.zeros(cm2.shape, jnp.bool_).at[rows, pcols_s].set(True)
+    penalty = jnp.where(probed, 0.0, 1e9)
+    cnt = jnp.sum(bitmap, axis=1)
+    order = jnp.argsort(~bitmap, axis=1, stable=True)
+    cmap = order[:, :msteps].astype(jnp.int32)
+    step_i = jnp.arange(msteps, dtype=jnp.int32)[None, :]
+    cmap = jnp.where(step_i < cnt[:, None], cmap, nchunks)
+    ndropped = jnp.sum(jnp.maximum(cnt - msteps, 0))
+    d_pad = yT.shape[0]
+    xq_p = (
+        jnp.pad(xq_s, ((0, 0), (0, d_pad - xq_s.shape[1])))
+        if xq_s.shape[1] < d_pad
+        else xq_s
+    )
+    v, slots_raw, ev = ivf_recon_fused_dyn_pallas(
+        penalty, xq_p, yT, n2s, lid, cmap, cgroup,
+        qt=qt, ct=ct, qdepth=qdepth, interpret=interpret,
+    )
+    slots = jnp.where(
+        slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
+    )[:, :kc]
+    D, I = rerank_exact(xq_s, xb, slots, k)
+    lossy = jnp.min(ev, -1) < v[:, kc - 1]
+    inv = jnp.argsort(perm, stable=True)
+    return _pack_results(D[inv], I[inv], lossy[inv], ndropped)
+
+
 @functools.partial(jax.jit, static_argnames=("d_pad", "by_residual"))
 def _stage_recon_device(codes, listnos, cent, cbt, slot_map, d_pad, by_residual):
     """Decoded-reconstruction store for the recon-GEMM kernel:
@@ -830,9 +890,15 @@ class IndexIVFPQ(IndexIVF):
 
     # dynamic-chunk worklist cap (0 = adapt: first batch measures the max
     # per-tile probed-chunk union and rounds it up to a 64 bucket; later
-    # batches reuse the bucket and bump it if any chunks were dropped)
+    # batches reuse the bucket and bump it if any chunks were dropped).
+    # The adaptive cache is keyed by nprobe — unions grow with it, and a
+    # stale small bucket silently truncates worklists (measured: an
+    # nprobe=1 bucket reused at nprobe=32 dropped recall to 0.19).
     dyn_msteps = 0
-    _dyn_bucket = None
+    _dyn_bucket = None  # dict {nprobe: bucket} once first used
+    # engage the dyn kernel only below this probed-chunk fraction
+    # (its random-order DMA costs ~8x a sequential chunk)
+    dyn_engage_frac = 0.08
     # per-lane insertion-queue depth for the REFINED fused path: 2 trades a
     # few more queue evictions (absorbed by the exact re-rank; measured
     # candidate recall -0.005) for a 15% faster kernel. The unrefined path,
@@ -847,14 +913,16 @@ class IndexIVFPQ(IndexIVF):
         if self.dyn_msteps:
             return min(self.dyn_msteps, br["nchunks"])
         if self._dyn_bucket is None:
+            self._dyn_bucket = {}
+        if nprobe not in self._dyn_bucket:
             cnt = _dyn_probe_counts(
                 xq_dev, br["centroids_g"], br["cn2g"], br["chunk_first"],
                 br["chunk_last"], nprobe, qt, br["max_span"],
                 br["nchunks"],
             )
-            m = int(np.asarray(jnp.max(cnt)))  # one host sync, first batch only
-            self._dyn_bucket = min(br["nchunks"], -(-m // 64) * 64)
-        return self._dyn_bucket
+            m = int(np.asarray(jnp.max(cnt)))  # one host sync per nprobe
+            self._dyn_bucket[nprobe] = min(br["nchunks"], -(-m // 64) * 64)
+        return self._dyn_bucket[nprobe]
 
     def _search_big_batch_refined(self, x, k, kc, refine_xb, nprobe=0):
         """Big-batch search + exact re-rank in one device program
@@ -903,13 +971,36 @@ class IndexIVFPQ(IndexIVF):
             use_dyn = bool(nprobe) and padded >= 128
             if use_dyn:
                 msteps = self._dyn_bucket_for(xq_dev, br, nprobe, qt)
-                # the dyn program adds ~top_k/permute/worklist overhead: only
-                # worth it when it skips a solid fraction of the chunks
-                # (a larger fraction against the recon path, which scans a
-                # chunk ~2.5x faster than the dyn kernel's one-hot ADC)
-                frac = 0.3 if use_recon else 0.6
-                use_dyn = msteps <= int(frac * br["nchunks"])
-            if use_dyn:
+                # measured: the dyn kernel's random chunk order defeats
+                # Mosaic's DMA double-buffering — per-chunk cost is ~8x
+                # the sequential stream — so worklists only pay at extreme
+                # sparsity (dyn_engage_frac of the chunks)
+                use_dyn = msteps <= int(
+                    self.dyn_engage_frac * br["nchunks"]
+                )
+            if use_dyn and use_recon:
+                packed = _fused_search_rerank_recon_dyn(
+                    xq_dev,
+                    br["centroids_g"],
+                    br["cn2g"],
+                    br["yT"],
+                    br["n2s"],
+                    br["lid"],
+                    br["slot_map_dev"],
+                    refine_xb,
+                    br["chunk_first"],
+                    br["chunk_last"],
+                    br["cgroup"],
+                    k,
+                    kc,
+                    qt,
+                    self.FUSED_CT,
+                    nprobe,
+                    msteps,
+                    br["max_span"],
+                    qdepth=self.refined_qdepth,
+                )
+            elif use_dyn:
                 packed = _fused_search_rerank_dyn(
                     xq_dev,
                     br["centroids_g"],
@@ -974,7 +1065,9 @@ class IndexIVFPQ(IndexIVF):
                 # post-hoc monitor: a worklist overflow means some probed
                 # chunks were skipped this batch — widen the bucket for the
                 # next call (recall impact is bounded to this batch)
-                self._dyn_bucket = min(br["nchunks"], self._dyn_bucket + 64)
+                self._dyn_bucket[nprobe] = min(
+                    br["nchunks"], self._dyn_bucket[nprobe] + 64
+                )
             slots = slots[:real, :k]
             D[start : start + real] = d[:real, :k]
             I[start : start + real] = np.where(

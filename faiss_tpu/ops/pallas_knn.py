@@ -1002,6 +1002,182 @@ def _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo=False):
     return kernel
 
 
+def _make_recon_kernel_dyn(qt, ct, d, qdepth):
+    """Dynamic-chunk recon kernel: grid step j visits chunk ``cmap[i, j]``
+    (the per-tile probed-chunk worklist — implem_12 semantics,
+    IndexIVFFastScan.cpp:1166) with the recon-GEMM score producer and the
+    {0, 1e9} probe-penalty mask of the masked recon kernel. Scan cost
+    scales with the probed-chunk union instead of ntotal."""
+    n_sub = ct // LANES
+
+    def kernel(cmap_ref, cgroup_ref, q_ref, bias_ref, yT_ref, n2_ref,
+               lid_ref, out_v_ref, out_i_ref, out_ev_ref,
+               rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref):
+        del cgroup_ref  # used by the index maps only
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (qt, LANES), 1)
+
+        @pl.when(j == 0)
+        def _init():
+            rv_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
+            ri_ref[:] = jnp.full((qt, LANES), -1, jnp.int32)
+            qv_ref[:] = jnp.full((qdepth, qt, LANES), jnp.inf, jnp.float32)
+            qi_ref[:] = jnp.full((qdepth, qt, LANES), -1, jnp.int32)
+            ev_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
+
+        interval = jnp.clip(j // 4, 1, 16)
+        do_flush = jnp.logical_and(j > 0, j % interval == 0)
+
+        @pl.when(do_flush)
+        def _scheduled():
+            flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane)
+
+        q = q_ref[:]  # [qt, d] f32
+        q_hi = q.astype(jnp.bfloat16)
+        q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        y = yT_ref[:]  # [d, ct] bf16
+        ip = jax.lax.dot_general(
+            q_hi, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            q_lo, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        lid = lid_ref[:].astype(jnp.int32)
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (LANES, ct), 0)
+        listoh = jnp.where(lrow == lid, 1.0, 0.0).astype(jnp.bfloat16)
+        penalty = jax.lax.dot_general(
+            bias_ref[:].astype(jnp.bfloat16), listoh,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        skey = n2_ref[:] - 2.0 * ip + penalty
+
+        base = cmap_ref[i, j] * ct
+        theta = rv_ref[:, LANES - 1 : LANES]
+        assert n_sub % 2 == 0
+        half = n_sub // 2
+        for t in range(half):
+            c0 = base + t * LANES + lane
+            c1 = c0 + half * LANES
+            s0 = skey[:, t * LANES : (t + 1) * LANES]
+            s1 = skey[:, (t + half) * LANES : (t + half + 1) * LANES]
+            sel = s0 <= s1
+            sv = jnp.where(sel, s0, s1)
+            col = jnp.where(sel, c0, c1)
+            dropped = jnp.where(sel, s1, s0)
+            ev_ref[:] = jnp.minimum(
+                ev_ref[:], jnp.where(dropped < theta, dropped, jnp.inf)
+            )
+            sv = jnp.where(sv < theta, sv, jnp.inf)
+            cv = sv
+            ci = col
+            for lev in range(qdepth):
+                lv = qv_ref[lev]
+                li = qi_ref[lev]
+                lt = cv < lv
+                qv_ref[lev] = jnp.where(lt, cv, lv)
+                qi_ref[lev] = jnp.where(lt, ci, li)
+                cv = jnp.where(lt, lv, cv)
+                ci = jnp.where(lt, li, ci)
+            ev_ref[:] = jnp.minimum(ev_ref[:], cv)
+
+        @pl.when(j == nj - 1)
+        def _finish():
+            flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane)
+            out_v_ref[:] = rv_ref[:]
+            out_i_ref[:] = ri_ref[:]
+            out_ev_ref[:] = ev_ref[:]
+
+    def flush_adc(rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, lane):
+        for t in range(qdepth):
+            wv[:] = -qv_ref[t]
+            wi[:] = qi_ref[t]
+            _sort_asc_ref(wv, wi, lane)
+            wv[:] = -wv[:]
+            _merge_desc_into_ref(rv_ref, ri_ref, wv, wi, lane)
+        qv_ref[:] = jnp.full(qv_ref.shape, jnp.inf, jnp.float32)
+        qi_ref[:] = jnp.full(qi_ref.shape, -1, jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("qt", "ct", "qdepth", "interpret")
+)
+def ivf_recon_fused_dyn_pallas(
+    biasg: jax.Array,  # [nq, ngroups*128] f32 {0, 1e9} probe penalty
+    xq: jax.Array,  # [nq, d_pad] f32 (pre-sorted by home group)
+    yT: jax.Array,  # [d_pad, (nchunks+1)*ct] bf16 decoded store + PAD chunk
+    n2: jax.Array,  # [1, (nchunks+1)*ct] f32 (+inf on pads & PAD chunk)
+    lid: jax.Array,  # [1, (nchunks+1)*ct] int32 local list ids
+    cmap: jax.Array,  # [nq//qt, msteps] int32 chunk worklist per query tile
+    cgroup: jax.Array,  # [nchunks+1] int32 group of each chunk
+    qt: int = 256,
+    ct: int = 1024,
+    qdepth: int = QDEPTH,
+    interpret: bool = False,
+):
+    """nprobe-sparse recon-GEMM IVF scan + top-128 select: the dyn-chunk
+    worklist structure of ivfpq_fused_dyn_pallas with the decoded-store
+    score producer of ivf_recon_fused_pallas."""
+    nq = xq.shape[0]
+    d = xq.shape[1]
+    assert yT.shape[0] == d
+    msteps = cmap.shape[1]
+    assert cmap.shape[0] == nq // qt
+    grid = (nq // qt, msteps)
+    kernel = _make_recon_kernel_dyn(qt, ct, d, qdepth)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, d), lambda i, j, cm, cg: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, 128), lambda i, j, cm, cg: (i, cg[cm[i, j]]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ct), lambda i, j, cm, cg: (0, cm[i, j]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), lambda i, j, cm, cg: (0, cm[i, j]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), lambda i, j, cm, cg: (0, cm[i, j]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((qt, LANES), lambda i, j, cm, cg: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, LANES), lambda i, j, cm, cg: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, LANES), lambda i, j, cm, cg: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qt, LANES), jnp.float32),
+            pltpu.VMEM((qt, LANES), jnp.int32),
+            pltpu.VMEM((qdepth, qt, LANES), jnp.float32),
+            pltpu.VMEM((qdepth, qt, LANES), jnp.int32),
+            pltpu.VMEM((qt, LANES), jnp.float32),
+            pltpu.VMEM((qt, LANES), jnp.int32),
+            pltpu.VMEM((qt, LANES), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nq, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nq, LANES), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(cmap, cgroup, xq, biasg, yT, n2, lid)
+
+
 @functools.partial(
     jax.jit, static_argnames=("qt", "ct", "qdepth", "interpret")
 )

@@ -501,3 +501,49 @@ def test_recon_store_decodes_exactly():
     # padded dims and pad slots are zero
     assert (yT[d:, :] == 0).all()
     assert (yT[:, np.where(sm < 0)[0]] == 0).all()
+
+
+def test_recon_dyn_fused_search_interpret():
+    """The dyn-chunk recon program (_fused_search_rerank_recon_dyn) must
+    reproduce the masked exhaustive recon program at the same nprobe."""
+    import jax.numpy as jnp
+
+    import faiss_tpu as ft
+    from faiss_tpu.models.ivf_pq import (
+        _fused_search_rerank_recon,
+        _fused_search_rerank_recon_dyn,
+        _unpack_results,
+    )
+
+    rs = np.random.RandomState(7)
+    d, nlist, nb, nq, nprobe = 16, 256, 3000, 128, 16
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    index = ft.IndexIVFPQFastScan(None, d, nlist, 4, 4)
+    index.FUSED_CT = 256
+    index.cp.niter = 4
+    index.cp.min_points_per_centroid = 1
+    index.train(xb)
+    index.add(xb)
+    br = index._build_brute()
+    assert br["yT"] is not None
+    refine_xb = jnp.asarray(xb)
+    k, kc, qt = 10, 40, 128
+    D0, I0, _, _ = _unpack_results(_fused_search_rerank_recon(
+        jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["yT"],
+        br["n2s"], br["lid"], br["slot_map_dev"], refine_xb,
+        k, kc, qt, index.FUSED_CT, nprobe, interpret=True,
+    ), k)
+    D1, I1, _, nd = _unpack_results(_fused_search_rerank_recon_dyn(
+        jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["yT"],
+        br["n2s"], br["lid"], br["slot_map_dev"], refine_xb,
+        br["chunk_first"], br["chunk_last"], br["cgroup"],
+        k, kc, qt, index.FUSED_CT, nprobe, br["nchunks"], br["max_span"],
+        interpret=True,
+    ), k)
+    assert int(nd) == 0
+    D0, I0, D1, I1 = map(np.asarray, (D0, I0, D1, I1))
+    agree = (I0 == I1).mean()
+    assert agree > 0.97, agree
+    same = I0 == I1
+    np.testing.assert_allclose(D0[same], D1[same], rtol=1e-4, atol=1e-4)
