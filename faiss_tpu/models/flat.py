@@ -358,17 +358,25 @@ class IndexFlat(Index):
         metric_l2 = self.metric_type == MetricType.L2
         yT_hi, yT_lo, n2s, ymax = self._screen_dev()
         xb = self._consolidate()
-        for start, padded, real in query_buckets(nq):
+        # dispatch every sub-batch before reading any result: the 4 MB
+        # query uploads and multi-MB packed readbacks overlap other
+        # sub-batches' compute on the tunnel
+        pending = []
+        for start, padded, real in query_buckets(nq, max_batch=4096):
             xq = x[start : start + real]
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
             qt = min(padded, 256)
-            packed = np.asarray(
+            pending.append((
+                start,
+                real,
                 _flat_screen_program(
                     jnp.asarray(xq), yT_hi, yT_lo, n2s, xb, ymax, k, qt,
                     1024, metric_l2,
-                )
-            )
+                ),
+            ))
+        for start, real, packed_dev in pending:
+            packed = np.asarray(packed_dev)
             d = np.array(packed[:real, :k])  # writable: repairs below
             i = np.rint(packed[:real, k : 2 * k]).astype(np.int64)
             flag = packed[:real, 2 * k] != 0.0

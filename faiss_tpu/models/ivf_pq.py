@@ -780,7 +780,11 @@ class IndexIVFPQ(IndexIVF):
         }
 
     # -- big-batch exhaustive-ADC implem ------------------------------------------
-    FUSED_CT = 1024  # slots per kernel chunk (group-packed, multi-list)
+    # slots per kernel chunk (group-packed, multi-list). 2048 measured best
+    # end-to-end with 4096-query pipeline sub-batches (151 ms vs 176 at
+    # 1024 on the SIFT1M-scale bench: fewer per-step fixed costs at the
+    # sub-batch grid size)
+    FUSED_CT = 2048
     # HBM budget for the bf16 decoded-reconstruction store backing the
     # recon-GEMM kernel (2*d bytes/slot; _make_recon_kernel). Within budget
     # the scan is a dense [qt, d] x [d, ct] GEMM — the MXU-native FastScan;
