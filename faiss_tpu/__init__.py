@@ -167,13 +167,21 @@ from .ivflib import (  # noqa: F401
 
 from .models.aq import (  # noqa: F401
     IndexAdditiveQuantizer,
+    IndexAdditiveQuantizerFastScan,
     IndexIVFAdditiveQuantizer,
+    IndexIVFAdditiveQuantizerFastScan,
     IndexIVFLocalSearchQuantizer,
+    IndexIVFLocalSearchQuantizerFastScan,
     IndexIVFResidualQuantizer,
+    IndexIVFResidualQuantizerFastScan,
     IndexLocalSearchQuantizer,
+    IndexLocalSearchQuantizerFastScan,
     IndexProductLocalSearchQuantizer,
+    IndexProductLocalSearchQuantizerFastScan,
     IndexProductResidualQuantizer,
+    IndexProductResidualQuantizerFastScan,
     IndexResidualQuantizer,
+    IndexResidualQuantizerFastScan,
 )
 from .codecs.aq import (  # noqa: F401
     AdditiveQuantizer,

@@ -230,12 +230,18 @@ class ResidualQuantizer(AdditiveQuantizer):
 
 
 class LocalSearchQuantizer(AdditiveQuantizer):
-    """reference: impl/LocalSearchQuantizer.h:24 (RQ init + ICM refinement;
-    the reference adds simulated-annealing perturbations)."""
+    """reference: impl/LocalSearchQuantizer.h:24 — RQ init + iterated
+    local search: each ILS iteration PERTURBS ``nperts`` random levels of
+    the best codes, re-optimizes with ICM sweeps, and keeps the candidate
+    rows whose reconstruction improved (the reference's perturbation/
+    accept loop, LocalSearchQuantizer.cpp icm_encode; batched per-row on
+    device instead of per-vector)."""
 
     def __init__(self, d: int, M: int, nbits: int = 8):
         super().__init__(d, M, nbits)
-        self.encode_ils_iters = 4  # ICM sweeps at encode time
+        self.encode_ils_iters = 4  # perturb+ICM rounds at encode time
+        self.icm_iters = 2  # ICM sweeps per ILS round
+        self.nperts = min(4, M)  # levels perturbed per round (LSQ.h:42)
         self.train_ils_iters = 2
         self._rq = ResidualQuantizer(d, M, nbits)
 
@@ -264,9 +270,31 @@ class LocalSearchQuantizer(AdditiveQuantizer):
         )
         xd = jnp.asarray(x)
         cb = self._dev()
-        for _ in range(self.encode_ils_iters):
+
+        def row_err(c):
+            r = _decode_dev(c, cb) - xd
+            return jnp.sum(r * r, axis=1)
+
+        for _ in range(self.icm_iters):
             codes = _icm_sweep(xd, cb, codes)
-        return np.asarray(codes).astype(
+        best, best_err = codes, row_err(codes)
+        rng = np.random.RandomState(0x15C)
+        n = len(x)
+        for _ in range(max(0, self.encode_ils_iters - 1)):
+            # perturb nperts random levels per row, re-optimize, keep wins
+            levels = rng.randint(self.M, size=(n, self.nperts))
+            vals = rng.randint(self.K, size=(n, self.nperts))
+            cand = best.at[
+                jnp.arange(n, dtype=jnp.int32)[:, None],
+                jnp.asarray(levels, jnp.int32),
+            ].set(jnp.asarray(vals, best.dtype))
+            for _ in range(self.icm_iters):
+                cand = _icm_sweep(xd, cb, cand)
+            err = row_err(cand)
+            win = err < best_err
+            best = jnp.where(win[:, None], cand, best)
+            best_err = jnp.minimum(err, best_err)
+        return np.asarray(best).astype(
             np.uint8 if self.nbits <= 8 else np.uint16
         )
 

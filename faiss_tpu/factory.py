@@ -106,6 +106,20 @@ def _parse_ivf_encoding(tok: str, quantizer, d: int, nlist: int, metric):
         return IndexIVFFlatPanorama(
             quantizer, d, nlist, int(m.group(1)) if m.group(1) else 4, metric
         )
+    if m := re.fullmatch(r"RQ(\d+)x4fs(?:_(\d+))?", tok):
+        from .models.aq import IndexIVFResidualQuantizerFastScan
+
+        return IndexIVFResidualQuantizerFastScan(
+            quantizer, d, nlist, int(m.group(1)), 4, metric,
+            int(m.group(2)) if m.group(2) else 32,
+        )
+    if m := re.fullmatch(r"LSQ(\d+)x4fs(?:_(\d+))?", tok):
+        from .models.aq import IndexIVFLocalSearchQuantizerFastScan
+
+        return IndexIVFLocalSearchQuantizerFastScan(
+            quantizer, d, nlist, int(m.group(1)), 4, metric,
+            int(m.group(2)) if m.group(2) else 32,
+        )
     if m := re.fullmatch(r"RQ(\d+)x(\d+)", tok):
         return IndexIVFResidualQuantizer(
             quantizer, d, nlist, int(m.group(1)), int(m.group(2)), metric
@@ -168,6 +182,20 @@ def _parse_flat_encoding(tok: str, d: int, metric):
 
     if tok == "Flat":
         return IndexFlat(d, metric)
+    if m := re.fullmatch(r"RQ(\d+)x4fs(?:_(\d+))?", tok):
+        from .models.aq import IndexResidualQuantizerFastScan
+
+        return IndexResidualQuantizerFastScan(
+            d, int(m.group(1)), 4, metric,
+            int(m.group(2)) if m.group(2) else 32,
+        )
+    if m := re.fullmatch(r"LSQ(\d+)x4fs(?:_(\d+))?", tok):
+        from .models.aq import IndexLocalSearchQuantizerFastScan
+
+        return IndexLocalSearchQuantizerFastScan(
+            d, int(m.group(1)), 4, metric,
+            int(m.group(2)) if m.group(2) else 32,
+        )
     if m := re.fullmatch(r"RQ(\d+)x(\d+)", tok):
         return IndexResidualQuantizer(d, int(m.group(1)), int(m.group(2)), metric)
     if m := re.fullmatch(r"LSQ(\d+)x(\d+)", tok):

@@ -180,6 +180,20 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
         if isinstance(index, IndexIVFFlatPanorama):
             meta["n_levels"] = index.n_levels
             meta["prune_factor"] = index.prune_factor
+        from .models.aq import (
+            IndexIVFAdditiveQuantizer as _IVFAQ,
+        )
+
+        if isinstance(index, _IVFAQ):
+            meta["aq"] = {
+                "class": type(index.aq).__name__,
+                "M": index.aq.M,
+                "nbits": index.aq.nbits,
+            }
+            if index.aq.codebooks is not None:
+                arrays[f"{path}/aq_codebooks"] = index.aq.codebooks
+            if hasattr(index, "bbs"):
+                meta["bbs"] = index.bbs
         return meta
 
     if isinstance(index, IndexScalarQuantizer):
@@ -276,6 +290,10 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
             aq_class=type(index.aq).__name__,
             is_trained=index.is_trained,
         )
+        if hasattr(index.aq, "nsplits"):
+            meta["nsplits"] = index.aq.nsplits
+        if hasattr(index, "bbs"):
+            meta["bbs"] = index.bbs
         if index.aq.codebooks is not None:
             arrays[f"{path}/codebooks"] = index.aq.codebooks
         if index._codes_int is not None:
@@ -462,6 +480,12 @@ def _load(meta, arrays, path: str):
         "IndexIVFRaBitQ",
         "IndexIVFRaBitQFastScan",
         "IndexIVFFlatPanorama",
+        "IndexIVFAdditiveQuantizer",
+        "IndexIVFResidualQuantizer",
+        "IndexIVFLocalSearchQuantizer",
+        "IndexIVFAdditiveQuantizerFastScan",
+        "IndexIVFResidualQuantizerFastScan",
+        "IndexIVFLocalSearchQuantizerFastScan",
     ):
         quantizer = _load(meta["quantizer"], arrays, f"{path}/quantizer")
         d, nlist, metric = meta["d"], meta["nlist"], MetricType(meta["metric"])
@@ -502,6 +526,41 @@ def _load(meta, arrays, path: str):
             )
             if f"{path}/sq_trained" in arrays:
                 index.sq.trained = arrays[f"{path}/sq_trained"]
+        elif "Quantizer" in cls and "Scalar" not in cls:  # IVF AQ family
+            from .models import aq as aqm
+
+            aqmeta = meta["aq"]
+            Ma, nba = aqmeta["M"], aqmeta["nbits"]
+            bbs = meta.get("bbs", 32)
+
+            def _aq_codec():
+                from .codecs import aq as aqc
+
+                return getattr(aqc, aqmeta["class"])(d, Ma, nba)
+
+            ctor = {
+                "IndexIVFAdditiveQuantizer":
+                    lambda: aqm.IndexIVFAdditiveQuantizer(
+                        quantizer, d, nlist, _aq_codec(), metric),
+                "IndexIVFAdditiveQuantizerFastScan":
+                    lambda: aqm.IndexIVFAdditiveQuantizerFastScan(
+                        quantizer, d, nlist, _aq_codec(), metric, bbs),
+                "IndexIVFResidualQuantizer":
+                    lambda: aqm.IndexIVFResidualQuantizer(
+                        quantizer, d, nlist, Ma, nba, metric),
+                "IndexIVFLocalSearchQuantizer":
+                    lambda: aqm.IndexIVFLocalSearchQuantizer(
+                        quantizer, d, nlist, Ma, nba, metric),
+                "IndexIVFResidualQuantizerFastScan":
+                    lambda: aqm.IndexIVFResidualQuantizerFastScan(
+                        quantizer, d, nlist, Ma, nba, metric, bbs),
+                "IndexIVFLocalSearchQuantizerFastScan":
+                    lambda: aqm.IndexIVFLocalSearchQuantizerFastScan(
+                        quantizer, d, nlist, Ma, nba, metric, bbs),
+            }[cls]
+            index = ctor()
+            if f"{path}/aq_codebooks" in arrays:
+                index.aq.codebooks = arrays[f"{path}/aq_codebooks"]
         else:
             pq = meta["pq"]
             if cls == "IndexIVFPQFastScan":
@@ -621,22 +680,61 @@ def _load(meta, arrays, path: str):
         "IndexLocalSearchQuantizer",
         "IndexProductResidualQuantizer",
         "IndexProductLocalSearchQuantizer",
+        "IndexResidualQuantizerFastScan",
+        "IndexLocalSearchQuantizerFastScan",
+        "IndexProductResidualQuantizerFastScan",
+        "IndexProductLocalSearchQuantizerFastScan",
     ):
         from .models import aq as aqm
 
         metric = MetricType(meta["metric"])
+        d, M, nbits = meta["d"], meta["M"], meta["nbits"]
+        bbs = meta.get("bbs", 32)
         if cls == "IndexResidualQuantizer":
-            index = aqm.IndexResidualQuantizer(
-                meta["d"], meta["M"], meta["nbits"], metric
-            )
+            index = aqm.IndexResidualQuantizer(d, M, nbits, metric)
         elif cls == "IndexLocalSearchQuantizer":
-            index = aqm.IndexLocalSearchQuantizer(
-                meta["d"], meta["M"], meta["nbits"], metric
+            index = aqm.IndexLocalSearchQuantizer(d, M, nbits, metric)
+        elif cls == "IndexResidualQuantizerFastScan":
+            index = aqm.IndexResidualQuantizerFastScan(
+                d, M, nbits, metric, bbs
             )
-        else:
-            raise TypeError(f"cannot reload {cls} (product AQ io planned)")
+        elif cls == "IndexLocalSearchQuantizerFastScan":
+            index = aqm.IndexLocalSearchQuantizerFastScan(
+                d, M, nbits, metric, bbs
+            )
+        else:  # product variants: M = nsplits * Msub
+            ns = meta["nsplits"]
+            ctor = {
+                "IndexProductResidualQuantizer":
+                    lambda: aqm.IndexProductResidualQuantizer(
+                        d, ns, M // ns, nbits, metric),
+                "IndexProductLocalSearchQuantizer":
+                    lambda: aqm.IndexProductLocalSearchQuantizer(
+                        d, ns, M // ns, nbits, metric),
+                "IndexProductResidualQuantizerFastScan":
+                    lambda: aqm.IndexProductResidualQuantizerFastScan(
+                        d, ns, M // ns, nbits, metric, bbs),
+                "IndexProductLocalSearchQuantizerFastScan":
+                    lambda: aqm.IndexProductLocalSearchQuantizerFastScan(
+                        d, ns, M // ns, nbits, metric, bbs),
+            }[cls]
+            index = ctor()
         if f"{path}/codebooks" in arrays:
             index.aq.codebooks = arrays[f"{path}/codebooks"]
+            if hasattr(index.aq, "nsplits"):
+                # rebuild sub-codec codebooks from the block-diagonal
+                # merged layout (ProductAdditiveQuantizer.train)
+                ns = index.aq.nsplits
+                Msub = index.aq.M // ns
+                dsub = index.aq.dsub
+                for s, sub in enumerate(index.aq.subs):
+                    sub.codebooks = np.ascontiguousarray(
+                        index.aq.codebooks[
+                            s * Msub : (s + 1) * Msub,
+                            :,
+                            s * dsub : (s + 1) * dsub,
+                        ]
+                    )
         index.is_trained = meta["is_trained"]
         if f"{path}/codes" in arrays:
             index._codes_int = arrays[f"{path}/codes"]

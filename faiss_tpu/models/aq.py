@@ -246,3 +246,89 @@ class IndexIVFLocalSearchQuantizer(IndexIVFAdditiveQuantizer):
         super().__init__(
             quantizer, d, nlist, LocalSearchQuantizer(d, M, nbits), metric
         )
+
+
+class IndexAdditiveQuantizerFastScan(IndexAdditiveQuantizer):
+    """4-bit AQ with block-batched LUT scan (reference:
+    IndexAdditiveQuantizerFastScan.h:29). On TPU the 4-bit configuration
+    runs the same MXU LUT-sum scan as the base class — small-ksub tables
+    are what make the one-hot contraction cheap — so this class is the
+    nbits=4 constraint + the bbs knob, not a separate layout."""
+
+    def __init__(self, d, aq, metric=MetricType.L2, bbs: int = 32):
+        if aq.nbits != 4:
+            raise ValueError("FastScan requires nbits=4")
+        super().__init__(d, aq, metric)
+        self.bbs = bbs
+
+
+class IndexResidualQuantizerFastScan(IndexAdditiveQuantizerFastScan):
+    """reference: IndexAdditiveQuantizerFastScan.h:98."""
+
+    def __init__(self, d, M, nbits=4, metric=MetricType.L2, bbs=32):
+        super().__init__(d, ResidualQuantizer(d, M, nbits), metric, bbs)
+
+
+class IndexLocalSearchQuantizerFastScan(IndexAdditiveQuantizerFastScan):
+    """reference: IndexAdditiveQuantizerFastScan.h:121."""
+
+    def __init__(self, d, M, nbits=4, metric=MetricType.L2, bbs=32):
+        super().__init__(d, LocalSearchQuantizer(d, M, nbits), metric, bbs)
+
+
+class IndexProductResidualQuantizerFastScan(IndexAdditiveQuantizerFastScan):
+    """reference: IndexAdditiveQuantizerFastScan.h:143."""
+
+    def __init__(self, d, nsplits, Msub, nbits=4, metric=MetricType.L2, bbs=32):
+        super().__init__(
+            d,
+            ProductAdditiveQuantizer(d, nsplits, Msub, nbits,
+                                     sub_cls=ResidualQuantizer),
+            metric,
+            bbs,
+        )
+
+
+class IndexProductLocalSearchQuantizerFastScan(IndexAdditiveQuantizerFastScan):
+    """reference: IndexAdditiveQuantizerFastScan.h:166."""
+
+    def __init__(self, d, nsplits, Msub, nbits=4, metric=MetricType.L2, bbs=32):
+        super().__init__(
+            d,
+            ProductAdditiveQuantizer(d, nsplits, Msub, nbits,
+                                     sub_cls=LocalSearchQuantizer),
+            metric,
+            bbs,
+        )
+
+
+class IndexIVFAdditiveQuantizerFastScan(IndexIVFAdditiveQuantizer):
+    """4-bit IVF AQ (reference: IndexIVFAdditiveQuantizerFastScan.h:33):
+    the nbits=4 configuration of the IVF AQ scan + the bbs knob."""
+
+    def __init__(self, quantizer, d, nlist, aq, metric=MetricType.L2, bbs=32):
+        if aq.nbits != 4:
+            raise ValueError("FastScan requires nbits=4")
+        super().__init__(quantizer, d, nlist, aq, metric)
+        self.bbs = bbs
+
+
+class IndexIVFResidualQuantizerFastScan(IndexIVFAdditiveQuantizerFastScan):
+    """reference: IndexIVFAdditiveQuantizerFastScan.h:130."""
+
+    def __init__(self, quantizer, d, nlist, M, nbits=4,
+                 metric=MetricType.L2, bbs=32):
+        super().__init__(
+            quantizer, d, nlist, ResidualQuantizer(d, M, nbits), metric, bbs
+        )
+
+
+class IndexIVFLocalSearchQuantizerFastScan(IndexIVFAdditiveQuantizerFastScan):
+    """reference: IndexIVFAdditiveQuantizerFastScan.h:145."""
+
+    def __init__(self, quantizer, d, nlist, M, nbits=4,
+                 metric=MetricType.L2, bbs=32):
+        super().__init__(
+            quantizer, d, nlist, LocalSearchQuantizer(d, M, nbits), metric,
+            bbs,
+        )

@@ -120,3 +120,61 @@ def test_factory_aq():
     ]:
         index = ft.index_factory(32, desc)
         assert isinstance(index, cls), desc
+
+
+def test_aq_fastscan_classes_and_io_roundtrip():
+    """AQ FastScan API classes (IndexAdditiveQuantizerFastScan.h /
+    IndexIVFAdditiveQuantizerFastScan.h parity) via factory tokens, plus
+    write/read round-trips for the WHOLE AQ family — including product AQ
+    and IVF AQ, whose reload paths were previously missing."""
+    import os
+    import tempfile
+
+    import faiss_tpu as ft
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(2000, 16).astype(np.float32)
+    for fstr in (
+        "RQ4x4fs", "LSQ4x4fs", "PRQ2x2x4", "PLSQ2x2x4",
+        "IVF16,RQ4x4", "IVF16,RQ4x4fs", "IVF16,LSQ4x4fs",
+    ):
+        idx = ft.index_factory(16, fstr)
+        idx.train(x[:1500])
+        idx.add(x)
+        if hasattr(idx, "nprobe"):
+            idx.nprobe = 4
+        D0, I0 = idx.search(x[:16], 5)
+        fn = tempfile.mktemp(suffix=".npz")
+        try:
+            ft.write_index(idx, fn)
+            idx2 = ft.read_index(fn)
+            if hasattr(idx2, "nprobe"):
+                idx2.nprobe = 4
+            D1, I1 = idx2.search(x[:16], 5)
+            assert (I0 == I1).mean() > 0.95, (fstr, (I0 != I1).sum())
+            np.testing.assert_allclose(D0, D1, rtol=1e-5, atol=1e-5)
+        finally:
+            if os.path.exists(fn):
+                os.remove(fn)
+    # FastScan classes must reject nbits != 4 like the reference
+    import pytest
+
+    with pytest.raises(ValueError):
+        ft.IndexResidualQuantizerFastScan(16, 4, 8)
+
+
+def test_lsq_ils_perturbations_improve():
+    """LSQ's ILS perturbation loop (LocalSearchQuantizer.cpp icm_encode
+    semantics) must not be worse than pure ICM, and usually improves."""
+    from faiss_tpu.codecs.aq import LocalSearchQuantizer
+
+    rs = np.random.RandomState(1)
+    x = rs.randn(1500, 16).astype(np.float32)
+    lsq = LocalSearchQuantizer(16, 4, 4)
+    lsq.train(x[:1000])
+    codes = lsq.compute_codes_int(x[1000:])
+    mse_ils = ((lsq.decode_int(codes) - x[1000:]) ** 2).mean()
+    lsq.encode_ils_iters = 1  # pure ICM
+    codes0 = lsq.compute_codes_int(x[1000:])
+    mse_icm = ((lsq.decode_int(codes0) - x[1000:]) ** 2).mean()
+    assert mse_ils <= mse_icm + 1e-7
