@@ -172,6 +172,10 @@ from .models.aq import (  # noqa: F401
     IndexIVFAdditiveQuantizerFastScan,
     IndexIVFLocalSearchQuantizer,
     IndexIVFLocalSearchQuantizerFastScan,
+    IndexIVFProductLocalSearchQuantizer,
+    IndexIVFProductLocalSearchQuantizerFastScan,
+    IndexIVFProductResidualQuantizer,
+    IndexIVFProductResidualQuantizerFastScan,
     IndexIVFResidualQuantizer,
     IndexIVFResidualQuantizerFastScan,
     IndexLocalSearchQuantizer,

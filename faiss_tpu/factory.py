@@ -128,6 +128,36 @@ def _parse_ivf_encoding(tok: str, quantizer, d: int, nlist: int, metric):
         return IndexIVFLocalSearchQuantizer(
             quantizer, d, nlist, int(m.group(1)), int(m.group(2)), metric
         )
+    if m := re.fullmatch(r"(PRQ|PLSQ)(\d+)x(\d+)x4fs(?:_(\d+))?", tok):
+        from .models.aq import (
+            IndexIVFProductLocalSearchQuantizerFastScan,
+            IndexIVFProductResidualQuantizerFastScan,
+        )
+
+        cls = (
+            IndexIVFProductResidualQuantizerFastScan
+            if m.group(1) == "PRQ"
+            else IndexIVFProductLocalSearchQuantizerFastScan
+        )
+        return cls(
+            quantizer, d, nlist, int(m.group(2)), int(m.group(3)), 4, metric,
+            int(m.group(4)) if m.group(4) else 32,
+        )
+    if m := re.fullmatch(r"(PRQ|PLSQ)(\d+)x(\d+)x(\d+)", tok):
+        from .models.aq import (
+            IndexIVFProductLocalSearchQuantizer,
+            IndexIVFProductResidualQuantizer,
+        )
+
+        cls = (
+            IndexIVFProductResidualQuantizer
+            if m.group(1) == "PRQ"
+            else IndexIVFProductLocalSearchQuantizer
+        )
+        return cls(
+            quantizer, d, nlist, int(m.group(2)), int(m.group(3)),
+            int(m.group(4)), metric,
+        )
     if tok in _SQ_TYPES:
         return IndexIVFScalarQuantizer(quantizer, d, nlist, _SQ_TYPES[tok], metric)
     if m := re.fullmatch(r"PQ(\d+)x4fs(?:_(\d+))?", tok):

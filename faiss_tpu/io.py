@@ -190,6 +190,8 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
                 "M": index.aq.M,
                 "nbits": index.aq.nbits,
             }
+            if hasattr(index.aq, "nsplits"):  # product AQ codecs
+                meta["aq"]["nsplits"] = index.aq.nsplits
             if index.aq.codebooks is not None:
                 arrays[f"{path}/aq_codebooks"] = index.aq.codebooks
             if hasattr(index, "bbs"):
@@ -486,6 +488,10 @@ def _load(meta, arrays, path: str):
         "IndexIVFAdditiveQuantizerFastScan",
         "IndexIVFResidualQuantizerFastScan",
         "IndexIVFLocalSearchQuantizerFastScan",
+        "IndexIVFProductResidualQuantizer",
+        "IndexIVFProductLocalSearchQuantizer",
+        "IndexIVFProductResidualQuantizerFastScan",
+        "IndexIVFProductLocalSearchQuantizerFastScan",
     ):
         quantizer = _load(meta["quantizer"], arrays, f"{path}/quantizer")
         d, nlist, metric = meta["d"], meta["nlist"], MetricType(meta["metric"])
@@ -536,6 +542,9 @@ def _load(meta, arrays, path: str):
             def _aq_codec():
                 from .codecs import aq as aqc
 
+                ns = aqmeta.get("nsplits")
+                if ns:  # product codec signature: (d, nsplits, Msub, nbits)
+                    return getattr(aqc, aqmeta["class"])(d, ns, Ma // ns, nba)
                 return getattr(aqc, aqmeta["class"])(d, Ma, nba)
 
             ctor = {
@@ -557,10 +566,40 @@ def _load(meta, arrays, path: str):
                 "IndexIVFLocalSearchQuantizerFastScan":
                     lambda: aqm.IndexIVFLocalSearchQuantizerFastScan(
                         quantizer, d, nlist, Ma, nba, metric, bbs),
+                "IndexIVFProductResidualQuantizer":
+                    lambda: aqm.IndexIVFProductResidualQuantizer(
+                        quantizer, d, nlist, aqmeta["nsplits"],
+                        Ma // aqmeta["nsplits"], nba, metric),
+                "IndexIVFProductLocalSearchQuantizer":
+                    lambda: aqm.IndexIVFProductLocalSearchQuantizer(
+                        quantizer, d, nlist, aqmeta["nsplits"],
+                        Ma // aqmeta["nsplits"], nba, metric),
+                "IndexIVFProductResidualQuantizerFastScan":
+                    lambda: aqm.IndexIVFProductResidualQuantizerFastScan(
+                        quantizer, d, nlist, aqmeta["nsplits"],
+                        Ma // aqmeta["nsplits"], nba, metric, bbs),
+                "IndexIVFProductLocalSearchQuantizerFastScan":
+                    lambda: aqm.IndexIVFProductLocalSearchQuantizerFastScan(
+                        quantizer, d, nlist, aqmeta["nsplits"],
+                        Ma // aqmeta["nsplits"], nba, metric, bbs),
             }[cls]
             index = ctor()
             if f"{path}/aq_codebooks" in arrays:
                 index.aq.codebooks = arrays[f"{path}/aq_codebooks"]
+                if hasattr(index.aq, "nsplits"):
+                    # rebuild sub-codec codebooks from the block-diagonal
+                    # merged layout (mirrors the flat product AQ branch)
+                    ns = index.aq.nsplits
+                    Msub = index.aq.M // ns
+                    dsub = index.aq.dsub
+                    for s, sub in enumerate(index.aq.subs):
+                        sub.codebooks = np.ascontiguousarray(
+                            index.aq.codebooks[
+                                s * Msub : (s + 1) * Msub,
+                                :,
+                                s * dsub : (s + 1) * dsub,
+                            ]
+                        )
         else:
             pq = meta["pq"]
             if cls == "IndexIVFPQFastScan":

@@ -20,6 +20,7 @@ from ..base import Index, query_buckets
 from ..codecs.aq import (
     AdditiveQuantizer,
     LocalSearchQuantizer,
+    ProductAdditiveQuantizer,
     ProductLocalSearchQuantizer,
     ProductResidualQuantizer,
     ResidualQuantizer,
@@ -331,4 +332,59 @@ class IndexIVFLocalSearchQuantizerFastScan(IndexIVFAdditiveQuantizerFastScan):
         super().__init__(
             quantizer, d, nlist, LocalSearchQuantizer(d, M, nbits), metric,
             bbs,
+        )
+
+class IndexIVFProductResidualQuantizer(IndexIVFAdditiveQuantizer):
+    """reference: IndexIVFAdditiveQuantizer.h:141."""
+
+    def __init__(self, quantizer, d, nlist, nsplits, Msub, nbits=8,
+                 metric=MetricType.L2):
+        super().__init__(
+            quantizer, d, nlist,
+            ProductAdditiveQuantizer(d, nsplits, Msub, nbits,
+                                     sub_cls=ResidualQuantizer),
+            metric,
+        )
+
+
+class IndexIVFProductLocalSearchQuantizer(IndexIVFAdditiveQuantizer):
+    """reference: IndexIVFAdditiveQuantizer.h:171."""
+
+    def __init__(self, quantizer, d, nlist, nsplits, Msub, nbits=8,
+                 metric=MetricType.L2):
+        super().__init__(
+            quantizer, d, nlist,
+            ProductAdditiveQuantizer(d, nsplits, Msub, nbits,
+                                     sub_cls=LocalSearchQuantizer),
+            metric,
+        )
+
+
+class IndexIVFProductResidualQuantizerFastScan(
+    IndexIVFAdditiveQuantizerFastScan
+):
+    """reference: IndexIVFAdditiveQuantizerFastScan.h:166."""
+
+    def __init__(self, quantizer, d, nlist, nsplits, Msub, nbits=4,
+                 metric=MetricType.L2, bbs=32):
+        super().__init__(
+            quantizer, d, nlist,
+            ProductAdditiveQuantizer(d, nsplits, Msub, nbits,
+                                     sub_cls=ResidualQuantizer),
+            metric, bbs,
+        )
+
+
+class IndexIVFProductLocalSearchQuantizerFastScan(
+    IndexIVFAdditiveQuantizerFastScan
+):
+    """reference: IndexIVFAdditiveQuantizerFastScan.h:147."""
+
+    def __init__(self, quantizer, d, nlist, nsplits, Msub, nbits=4,
+                 metric=MetricType.L2, bbs=32):
+        super().__init__(
+            quantizer, d, nlist,
+            ProductAdditiveQuantizer(d, nsplits, Msub, nbits,
+                                     sub_cls=LocalSearchQuantizer),
+            metric, bbs,
         )

@@ -200,11 +200,18 @@ def pack_invlists_grouped(listnos, nlist, ct, seed=0xFA155, centroids=None):
 # immaterial after the exact re-rank; measured recall delta < 1e-3);
 # "int8" quarters it with a per-row scalar quantizer (range/255 rounding,
 # the GpuIndex fp16/int8 query option analogue). None = exact f32.
+# Module default; override per-index via IndexIVFPQ.query_h2d_dtype
+# (GpuIndexConfig-style knob — coarse probing, LUTs AND the "exact" re-rank
+# all see the dequantized query, so distances deviate from true f32 by the
+# quantizer's rounding; set to None for exact-f32 semantics).
 QUERY_H2D_DTYPE = "int8"
+_UNSET = object()
 
 
-def _stage_queries(xq: np.ndarray) -> jnp.ndarray:
-    if QUERY_H2D_DTYPE == "int8":
+def _stage_queries(xq: np.ndarray, dtype=_UNSET) -> jnp.ndarray:
+    if dtype is _UNSET:
+        dtype = QUERY_H2D_DTYPE
+    if dtype == "int8":
         # per-row SQ; (lo, step) ride along bitcast into the same uint8
         # buffer so the upload stays ONE transfer (one tunnel round trip)
         lo = xq.min(1, keepdims=True)
@@ -214,8 +221,8 @@ def _stage_queries(xq: np.ndarray) -> jnp.ndarray:
         return jnp.asarray(
             np.concatenate([u8, meta.view(np.uint8)], axis=1)
         )
-    if QUERY_H2D_DTYPE is not None:
-        xq = xq.astype(QUERY_H2D_DTYPE)
+    if dtype is not None:
+        xq = xq.astype(dtype)
     return jnp.asarray(xq)
 
 
@@ -371,9 +378,11 @@ def _dyn_probe_counts(
     nchunks,
 ):
     """Per-tile probed-chunk union sizes (sizes the dynamic worklist; the
-    caller syncs the [T] counts once per index/nprobe to pick a bucket)."""
+    caller syncs the [T] counts once per index/nprobe to pick a bucket).
+    ``xq`` may be a staged (int8-quantized) query buffer — dequantize, do
+    not astype: the staged buffer is [nq, d+8] uint8 with packed meta."""
     _, _, _, bitmap = _dyn_probe_bitmap(
-        xq.astype(jnp.float32), centroids_g, cn2g, chunk_first, chunk_last,
+        _dequantize_queries(xq), centroids_g, cn2g, chunk_first, chunk_last,
         nprobe, qt, max_span, nchunks,
     )
     return jnp.sum(bitmap, axis=1)
@@ -912,6 +921,14 @@ class IndexIVFPQ(IndexIVF):
     # one sub-batch's upload/readback with another's compute (the
     # dispatch-all-then-read-all structure in _search_big_batch_refined)
     pipeline_batch = 4096
+    # per-index query upload compression ("int8" / "float16" / None=f32);
+    # defaults to the module-level QUERY_H2D_DTYPE ("int8"). All distance
+    # stages (coarse, LUT, exact re-rank) see the dequantized query — set
+    # None for bit-exact f32 semantics at ~4x the query upload cost.
+    query_h2d_dtype = _UNSET
+    # run the fused Pallas programs in interpret mode (CPU testing of the
+    # full big-batch-refined path, including staging + dyn-bucket logic)
+    fused_interpret = False
 
     def _dyn_bucket_for(self, xq_dev, br, nprobe, qt):
         if self.dyn_msteps:
@@ -950,7 +967,12 @@ class IndexIVFPQ(IndexIVF):
                 jnp.asarray(x), refine_xb,
                 jnp.asarray(S.astype(np.int32)), k,
             )
-            return np.asarray(D), np.asarray(I).astype(np.int64)
+            D = np.asarray(D)
+            I = np.asarray(I)
+            # rerank_exact returns packed slot positions; translate to the
+            # stored user ids like every other _big_batch consumer does
+            I = np.where(I >= 0, self._ids_host[np.maximum(I, 0)], -1)
+            return D, I.astype(np.int64)
         D = np.full((nq, k), np.inf, np.float32)
         I = np.full((nq, k), -1, np.int64)
         kc = min(kc, 128)
@@ -971,7 +993,7 @@ class IndexIVFPQ(IndexIVF):
             # qt=256 measured best for BOTH kernels (qt=512 runs the recon
             # kernel 6x slower — Mosaic pipelining degrades at that tile)
             qt = min(padded, 256)
-            xq_dev = _stage_queries(xq)
+            xq_dev = _stage_queries(xq, self.query_h2d_dtype)
             use_dyn = bool(nprobe) and padded >= 128
             if use_dyn:
                 msteps = self._dyn_bucket_for(xq_dev, br, nprobe, qt)
@@ -1003,6 +1025,7 @@ class IndexIVFPQ(IndexIVF):
                     msteps,
                     br["max_span"],
                     qdepth=self.refined_qdepth,
+                    interpret=self.fused_interpret,
                 )
             elif use_dyn:
                 packed = _fused_search_rerank_dyn(
@@ -1025,6 +1048,7 @@ class IndexIVFPQ(IndexIVF):
                     nprobe,
                     msteps,
                     br["max_span"],
+                    interpret=self.fused_interpret,
                 )
             elif use_recon:
                 packed = _fused_search_rerank_recon(
@@ -1042,6 +1066,7 @@ class IndexIVFPQ(IndexIVF):
                     self.FUSED_CT,
                     nprobe,
                     qdepth=self.refined_qdepth,
+                    interpret=self.fused_interpret,
                 )
             else:
                 packed = _fused_search_rerank(
@@ -1060,6 +1085,7 @@ class IndexIVFPQ(IndexIVF):
                     self.FUSED_CT,
                     nprobe,
                     qdepth=self.refined_qdepth,
+                    interpret=self.fused_interpret,
                 )
             pending.append((start, real, packed, use_dyn))
         # READ phase

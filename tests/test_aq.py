@@ -137,6 +137,9 @@ def test_aq_fastscan_classes_and_io_roundtrip():
     for fstr in (
         "RQ4x4fs", "LSQ4x4fs", "PRQ2x2x4", "PLSQ2x2x4",
         "IVF16,RQ4x4", "IVF16,RQ4x4fs", "IVF16,LSQ4x4fs",
+        # product AQ inside IVF (nsplits must survive the io round-trip —
+        # ADVICE r2: the codec was previously rebuilt with the wrong ctor)
+        "IVF16,PRQ2x2x4", "IVF16,PLSQ2x2x4", "IVF16,PRQ2x2x4fs",
     ):
         idx = ft.index_factory(16, fstr)
         idx.train(x[:1500])

@@ -547,3 +547,67 @@ def test_recon_dyn_fused_search_interpret():
     assert agree > 0.97, agree
     same = I0 == I1
     np.testing.assert_allclose(D0[same], D1[same], rtol=1e-4, atol=1e-4)
+
+
+def test_refined_big_batch_int8_staging_selective_nprobe():
+    """Regression (ADVICE r2 high): _dyn_bucket_for must dequantize the
+    int8-staged query buffer before sizing the worklist — the staged buffer
+    is [nq, d+8] uint8 and a plain astype crashed the coarse dot_general.
+    Runs the FULL _search_big_batch_refined path (staging, dyn bucket,
+    fused kernels in interpret mode) with a selective nprobe on CPU."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(11)
+    d, nlist, nb, nq, nprobe = 16, 64, 2000, 128, 8
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    index = ft.IndexIVFPQFastScan(None, d, nlist, 4, 4)
+    index.FUSED_CT = 256
+    index.fused_interpret = True
+    index.query_h2d_dtype = "int8"  # force staging even on CPU
+    index.cp.niter = 4
+    index.cp.min_points_per_centroid = 1
+    index.train(xb)
+    index.add(xb)
+    D, I = index._search_big_batch_refined(xq, 10, 40, jnp.asarray(xb), nprobe)
+    assert index._dyn_bucket and nprobe in index._dyn_bucket
+    # results must match a straight IVF search at the same nprobe closely
+    index2 = ft.IndexIVFPQFastScan(None, d, nlist, 4, 4)
+    index2.cp.niter = 4
+    index2.cp.min_points_per_centroid = 1
+    index2.quantizer.add(index.quantizer.reconstruct_n(0, nlist))
+    index2.pq.centroids = index.pq.centroids
+    index2.is_trained = True
+    index2.add(xb)
+    index2.nprobe = nprobe
+    _, Iref = index2.search(xq, 40)
+    inter = np.mean([
+        len(set(I[i]) & set(Iref[i][:40])) / 10.0 for i in range(nq)
+    ])
+    assert inter > 0.9, inter
+
+
+def test_refined_big_batch_xla_fallback_maps_ids():
+    """Regression (ADVICE r2 medium): the ksub>16 XLA fallback in
+    _search_big_batch_refined must translate packed slot positions to the
+    stored user ids (add_with_ids)."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(12)
+    d, nlist, nb, nq = 16, 32, 1500, 64
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = xb[:nq] + 0.01 * rs.randn(nq, d).astype(np.float32)
+    index = ft.IndexIVFPQ(None, d, nlist, 4, 8)  # ksub=256 > 16
+    index.recon_scan_max_bytes = 0  # forbid the decoded store -> XLA path
+    index.cp.niter = 4
+    index.cp.min_points_per_centroid = 1
+    index.train(xb)
+    ids = np.arange(nb, dtype=np.int64) * 10 + 7
+    index.add_with_ids(xb, ids)
+    D, I = index._search_big_batch_refined(xq, 5, 32, jnp.asarray(xb), 0)
+    # every returned label must be one of the user ids, and the top hit
+    # must be the (noisy) query's own vector for most rows
+    valid = I[I >= 0]
+    assert ((valid % 10) == 7).all()
+    top_ok = (I[:, 0] == ids[:nq]).mean()
+    assert top_ok > 0.9, top_ok
