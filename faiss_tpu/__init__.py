@@ -67,6 +67,7 @@ from .models.ivf_pq import (  # noqa: F401
 from .models.sq import IndexIVFScalarQuantizer, IndexScalarQuantizer  # noqa: F401
 from .models.hnsw import (  # noqa: F401
     IndexHNSW,
+    IndexHNSW2Level,
     IndexHNSWFlat,
     IndexHNSWPQ,
     IndexHNSWSQ,
@@ -96,6 +97,8 @@ from .clustering import (  # noqa: F401
     Clustering,
     ClusteringParameters,
     Kmeans,
+    SuperKMeans,
+    SuperKMeansParameters,
     kmeans_clustering,
 )
 from .transforms import (  # noqa: F401
@@ -243,7 +246,12 @@ from .callbacks import (  # noqa: F401
 )
 from .models.extra_indexes import IndexIVFIndependentQuantizer  # noqa: F401
 
-from .models.nsg import IndexNNDescentFlat, IndexNSGFlat  # noqa: F401
+from .models.nsg import (  # noqa: F401
+    IndexNNDescentFlat,
+    IndexNSGFlat,
+    IndexNSGPQ,
+    IndexNSGSQ,
+)
 
 from .codecs.polysemous import PolysemousTraining  # noqa: F401
 

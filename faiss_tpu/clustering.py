@@ -18,8 +18,6 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.kmeans_ops import kmeans_assign_update
-
 EPS = 1.0 / 1024.0  # centroid-split perturbation (ClusteringHelpers.h:99)
 
 
@@ -185,6 +183,13 @@ class Clustering:
 
     # -- training (Clustering.cpp:47 / train_encoded:60) ---------------------
     def train(self, x, weights=None) -> float:
+        """Lloyd's k-means. The WHOLE niter loop runs as one device program
+        (ops/kmeans_ops.kmeans_fused_loop — assignment GEMM in bf16 hi/lo +
+        fused one-hot update + on-device empty-cluster splits), so training
+        costs one dispatch + one stats readback per redo instead of ~3
+        tunnel round-trips per iteration."""
+        import jax
+
         x = np.ascontiguousarray(x, dtype=np.float32)
         if x.ndim != 2 or x.shape[1] != self.d:
             raise ValueError(f"expected [n, {self.d}] training data")
@@ -194,56 +199,60 @@ class Clustering:
         x, weights = self._prepare(x, weights, rs)
         xd = jnp.asarray(x)
         wd = jnp.asarray(weights) if weights is not None else None
+        n = len(x)
+        # chunk: cover small n in one scan step; cap the [chunk, k] distance
+        # buffer for big runs (shape reuse: power-of-two buckets)
+        chunk = 1 << max(10, min(17, (n - 1).bit_length()))
 
         best_obj = np.inf
         best_centroids = None
         best_stats: List[ClusteringIterationStats] = []
 
         from .callbacks import InterruptCallback
+        from .ops.kmeans_ops import kmeans_fused_loop
 
         for redo in range(self.cp.nredo):
+            InterruptCallback.check()
+            t0 = time.time()
             centroids = self._init_centroids(x, rs)
             centroids = self._postprocess(centroids)
-            stats: List[ClusteringIterationStats] = []
-            obj = np.inf
-            for it in range(self.cp.niter):
-                InterruptCallback.check()
-                t0 = time.time()
-                sums, counts, obj_dev, _ = kmeans_assign_update(
-                    xd, jnp.asarray(centroids), wd
+            key = jax.random.PRNGKey(self.cp.seed + 7919 * redo)
+            cdev, objs, sumsq, tots, nsplits, counts_last = kmeans_fused_loop(
+                xd, jnp.asarray(centroids), key, wd,
+                niter=self.cp.niter,
+                chunk=min(chunk, 1 << 17),
+                spherical=self.cp.spherical,
+                int_centroids=self.cp.int_centroids,
+                frozen=self.cp.frozen_centroids,
+                weighted=wd is not None,
+            )
+            centroids = np.asarray(cdev)
+            objs = np.asarray(objs)
+            sumsq = np.asarray(sumsq, np.float64)
+            tots = np.asarray(tots, np.float64)
+            nsplits = np.asarray(nsplits)
+            t_total = time.time() - t0
+            stats = [
+                ClusteringIterationStats(
+                    obj=float(objs[it]),
+                    time=t_total / max(1, self.cp.niter),
+                    time_search=t_total / max(1, self.cp.niter),
+                    imbalance_factor=float(
+                        self.k * sumsq[it] / max(tots[it] ** 2, 1e-30)
+                    ),
+                    nsplit=int(nsplits[it]),
                 )
-                sums = np.asarray(sums)
-                counts = np.asarray(counts)
-                obj = float(obj_dev)
-                t_search = time.time() - t0
-
-                if not self.cp.frozen_centroids:
-                    nz = counts > 0
-                    new_c = centroids.copy()
-                    new_c[nz] = sums[nz] / counts[nz, None]
-                    icounts = counts.astype(np.int64)
-                    nsplit = self._split_clusters(new_c, icounts, rs)
-                    centroids = self._postprocess(new_c)
-                else:
-                    nsplit = 0
-                    icounts = counts.astype(np.int64)
-
-                stats.append(
-                    ClusteringIterationStats(
-                        obj=obj,
-                        time=time.time() - t0,
-                        time_search=t_search,
-                        imbalance_factor=imbalance_factor(counts),
-                        nsplit=nsplit,
-                    )
-                )
-                if self.verbose:
+                for it in range(self.cp.niter)
+            ]
+            obj = float(objs[-1]) if self.cp.niter else np.inf
+            if self.verbose:
+                for it, s in enumerate(stats):
                     print(
-                        f"  Iteration {it} ({stats[-1].time:.2f} s): "
-                        f"objective={obj:g} imbalance={stats[-1].imbalance_factor:.3f} "
-                        f"nsplit={nsplit}"
+                        f"  Iteration {it}: objective={s.obj:g} "
+                        f"imbalance={s.imbalance_factor:.3f} "
+                        f"nsplit={s.nsplit}"
                     )
-            if obj < best_obj:
+            if obj < best_obj or best_centroids is None:
                 best_obj, best_centroids, best_stats = obj, centroids, stats
             if self.cp.nredo > 1:
                 self.centroids = None  # force re-init on next redo
@@ -251,6 +260,122 @@ class Clustering:
         self.centroids = best_centroids
         self.iteration_stats = best_stats
         return best_obj
+
+
+@dataclass
+class SuperKMeansParameters(ClusteringParameters):
+    """SuperKMeans knobs (reference: SuperKMeans.h:26-58)."""
+
+    d_prime_fraction: float = 0.125
+    pruning_low: float = 0.5
+    pruning_high: float = 0.9
+    d_prime_adjust: float = 0.20
+    d_prime_min: int = 16
+    epsilon: float = 1e-3  # ADSampling chi-squared tail mass
+    keep: int = 64  # batch-form candidate width (see assign_adsampling)
+
+
+class SuperKMeans:
+    """k-means with ADSampling-pruned assignment
+    (reference: faiss/SuperKMeans.{h,cpp}; Gao & Long SIGMOD'23).
+
+    The reference prunes per (point, centroid) pair inside a PDX-laid-out
+    scan: a centroid is discarded once its partial distance over the front
+    d' dims exceeds tau * coeff[d'] (tau = exact distance to the current
+    assignment). The TPU batch form does the same screen as a partial-dim
+    GEMM and re-ranks the ``keep`` best-bounded centroids exactly — per
+    point, full-d work drops from k·d to d'·k + keep·d, which is the win
+    once k is large (coarse quantizers for 100M+ scale indexes).
+
+    Keeps the reference's adaptive d' controller (SuperKMeans.cpp
+    adapt_d_prime): observed pruning above the band shrinks d', below it
+    grows d'; d' moves in buckets of 16 so the jitted assignment reuses
+    compiled shapes. Data is randomly rotated up-front (the chi-squared
+    bound's assumption); centroids are returned in the ORIGINAL basis.
+    """
+
+    def __init__(self, d: int, k: int, cp: Optional[SuperKMeansParameters] = None):
+        self.d = int(d)
+        self.k = int(k)
+        self.cp = cp or SuperKMeansParameters()
+        self.centroids: Optional[np.ndarray] = None
+        self.iteration_stats: List[ClusteringIterationStats] = []
+        self.pruning_fractions: List[float] = []
+
+    def train(self, x, weights=None) -> float:
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.adsampling import precompute_ad_thresholds
+        from .ops.kmeans_ops import kmeans_fused_loop, superkm_assign_update
+        from .transforms import RandomRotationMatrix
+
+        cp = self.cp
+        x = np.ascontiguousarray(x, np.float32)
+        rs = np.random.RandomState(cp.seed)
+        base = Clustering(self.d, self.k, cp)
+        x, weights = base._prepare(x, weights, rs)
+        n = len(x)
+
+        rot = RandomRotationMatrix(self.d, self.d)
+        rot.train(x)
+        xr = rot.apply(x)
+        xd = jnp.asarray(xr)
+
+        centroids = base._init_centroids(xr, rs)
+        # iteration 0: one exact full-d Lloyd step (SuperKMeans.cpp:66
+        # "iter 0 computes exact assignments"; seeds tau for the bound)
+        key = jax.random.PRNGKey(cp.seed)
+        cdev, objs0, _, _, _, _ = kmeans_fused_loop(
+            xd, jnp.asarray(centroids), key,
+            jnp.asarray(weights) if weights is not None else None,
+            niter=1, spherical=cp.spherical, weighted=weights is not None,
+        )
+        coeffs = precompute_ad_thresholds(self.d, cp.epsilon)
+        d_prime = max(cp.d_prime_min, int(self.d * cp.d_prime_fraction))
+        d_prime = min(d_prime, max(cp.d_prime_min, self.d // 2))
+        stats: List[ClusteringIterationStats] = []
+        obj = float(objs0[0])
+        t0 = time.time()
+        tau = None
+        for it in range(1, cp.niter):
+            p = min(self.d, -(-d_prime // 16) * 16)  # 16-bucketed shapes
+            key, sub = jax.random.split(key)
+            cdev, tau, obj_dev, sumsq, tot, pruned = superkm_assign_update(
+                xd, cdev, float(coeffs[p]), sub, p, min(cp.keep, self.k),
+            )
+            obj = float(obj_dev)
+            frac = float(pruned)
+            self.pruning_fractions.append(frac)
+            # stay-in-band controller (SuperKMeans.cpp adapt_d_prime)
+            if frac > cp.pruning_high:
+                d_prime = max(
+                    cp.d_prime_min,
+                    int(round(d_prime * (1 - cp.d_prime_adjust))),
+                )
+            elif frac < cp.pruning_low:
+                d_prime = min(
+                    self.d, int(round(d_prime * (1 + cp.d_prime_adjust)))
+                )
+            stats.append(
+                ClusteringIterationStats(
+                    obj=obj,
+                    time=(time.time() - t0) / it,
+                    time_search=0.0,
+                    imbalance_factor=float(
+                        self.k * float(sumsq) / max(float(tot) ** 2, 1e-30)
+                    ),
+                    nsplit=0,
+                )
+            )
+            if cp.verbose:
+                print(
+                    f"  SuperKMeans it {it}: obj={obj:g} d'={d_prime} "
+                    f"pruned={frac:.3f}"
+                )
+        self.iteration_stats = stats
+        self.centroids = rot.reverse_transform(np.asarray(cdev))
+        return obj
 
 
 def kmeans_clustering(d, k, x, niter=25, **kw) -> np.ndarray:

@@ -299,6 +299,59 @@ def _parse_flat_encoding(tok: str, d: int, metric):
     return None
 
 
+def _parse_graph_index(kind: str, gM: int, suffix, d: int, metric):
+    """Graph index + optional storage-codec suffix
+    (reference: index_factory.cpp parse_IndexHNSW / parse_IndexNSG).
+    Returns (index, suffix_consumed) or None."""
+    from .models.hnsw import (
+        IndexHNSW2Level,
+        IndexHNSWFlat,
+        IndexHNSWPQ,
+        IndexHNSWSQ,
+    )
+    from .models.nsg import IndexNSGFlat, IndexNSGPQ, IndexNSGSQ
+
+    hnsw = kind == "HNSW"
+    if suffix is None or suffix in ("RFlat",) or suffix.startswith("Refine"):
+        return (
+            (IndexHNSWFlat if hnsw else IndexNSGFlat)(d, gM, metric),
+            False,
+        )
+    if suffix == "Flat":
+        return (
+            (IndexHNSWFlat if hnsw else IndexNSGFlat)(d, gM, metric),
+            True,
+        )
+    if m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:np)?", suffix):
+        pm = int(m.group(1))
+        nbit = int(m.group(2)) if m.group(2) else 8
+        if hnsw:
+            return IndexHNSWPQ(d, gM, pm, nbit), True
+        return IndexNSGPQ(d, pm, gM, nbit), True
+    if suffix in _SQ_TYPES:
+        if hnsw:
+            return IndexHNSWSQ(d, _SQ_TYPES[suffix], gM, metric), True
+        return IndexNSGSQ(d, _SQ_TYPES[suffix], gM, metric), True
+    if hnsw and (m := re.fullmatch(r"(\d+)\+PQ(\d+)", suffix)):
+        from .models.flat import IndexFlat
+
+        return (
+            IndexHNSW2Level(
+                IndexFlat(d, metric), int(m.group(1)), int(m.group(2)), gM
+            ),
+            True,
+        )
+    if hnsw and (m := re.fullmatch(r"2x(\d+)\+PQ(\d+)", suffix)):
+        from .models.imi import MultiIndexQuantizer
+
+        nbit = int(m.group(1))
+        quant = MultiIndexQuantizer(d, 2, nbit)
+        idx = IndexHNSW2Level(quant, 1 << (2 * nbit), int(m.group(2)), gM)
+        return idx, True
+    # unknown suffix: bare graph index, let the main loop handle the token
+    return (IndexHNSWFlat if hnsw else IndexNSGFlat)(d, gM, metric), False
+
+
 def _split_toplevel(description: str):
     """Split on commas not inside parentheses."""
     toks, depth, cur = [], 0, []
@@ -367,6 +420,19 @@ def index_factory(d: int, description: str, metric=MetricType.L2) -> Index:
             refine = m.group(1)
             i += 1
             continue
+        if (m := re.fullmatch(r"(HNSW|NSG)(\d+)?", tok)) and core is None:
+            # graph index with an optional storage-codec suffix token
+            # (reference index_factory.cpp:560-630 parse_IndexHNSW/NSG:
+            # "HNSW32,PQ8x8", "NSG32,SQ8", "HNSW32,100+PQ8", ...)
+            nxt = toks[i + 1] if i + 1 < len(toks) else None
+            built = _parse_graph_index(
+                m.group(1), int(m.group(2)) if m.group(2) else 32,
+                nxt, cur_d, metric,
+            )
+            if built is not None:
+                core, used_suffix = built
+                i += 2 if used_suffix else 1
+                continue
         enc = _parse_flat_encoding(tok, cur_d, metric)
         if enc is not None:
             if core is not None:

@@ -39,12 +39,19 @@ class Index2Layer(Index):
     def train(self, x) -> None:
         x = self._check_input(x)
         if self.q1_quantizer.ntotal != self.nlist:
-            from ..clustering import Clustering
+            from .imi import MultiIndexQuantizer
 
-            clus = Clustering(self.d, self.nlist)
-            clus.train(x)
-            self.q1_quantizer.reset()
-            self.q1_quantizer.add(clus.centroids)
+            if isinstance(self.q1_quantizer, MultiIndexQuantizer):
+                # IMI coarse quantizer trains itself (the reference sets
+                # quantizer_trains_alone=1 for the 2x..+PQ factory form)
+                self.q1_quantizer.train(x)
+            else:
+                from ..clustering import Clustering
+
+                clus = Clustering(self.d, self.nlist)
+                clus.train(x)
+                self.q1_quantizer.reset()
+                self.q1_quantizer.add(clus.centroids)
         _, assign = self.q1_quantizer.search(x, 1)
         res = x - self.q1_quantizer.vectors()[assign.ravel()]
         self.pq.train(res)

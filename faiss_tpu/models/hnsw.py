@@ -247,3 +247,51 @@ class SearchParametersHNSW:
     def __init__(self, efSearch: int = 16, sel=None):
         self.efSearch = efSearch
         self.sel = sel
+
+
+class IndexHNSW2Level(IndexHNSW):
+    """HNSW graph over 2-level (coarse id + PQ residual) codes
+    (reference: IndexHNSW.h:221 IndexHNSW2Level).
+
+    The graph is built and searched over the DECODED reconstructions
+    (centroid + PQ residual decode) so distances equal the reference
+    storage DistanceComputer's; the Index2Layer storage keeps the compact
+    codes for persistence and reconstruction."""
+
+    def __init__(self, quantizer, nlist: int, m_pq: int, M: int = 32):
+        from .extra_indexes import Index2Layer
+
+        super().__init__(Index2Layer(quantizer, nlist, m_pq), M)
+        self.is_trained = self.storage.is_trained
+
+    def add(self, x) -> None:
+        x = self._check_input(x)
+        self._check_trained()
+        n0 = self.storage.ntotal
+        self.storage.add(x)
+        xr = self.storage.reconstruct_n(n0, self.storage.ntotal - n0)
+        g = self._ensure_graph()
+        self._lib.hnsw_add(
+            g, _fp(np.ascontiguousarray(xr, np.float32)), len(xr)
+        )
+        self.ntotal = self.storage.ntotal
+
+    def flip_to_ivf(self):
+        """Return an IndexIVFPQ over the SAME trained parameters and codes
+        (reference: IndexHNSW2Level::flip_to_ivf — converts the flat
+        2-level storage into inverted lists for IVF-style search)."""
+        from .ivf_pq import IndexIVFPQ
+
+        st = self.storage
+        ivf = IndexIVFPQ(
+            st.q1_quantizer, st.d, st.nlist, st.pq.M, st.pq.nbits,
+            st.metric_type,
+        )
+        ivf.pq.centroids = st.pq.centroids
+        ivf.is_trained = True
+        if st.ntotal:
+            ivf._codes_host = st._codes.copy()
+            ivf._listnos_host = st._listnos.astype(np.int32).copy()
+            ivf._ids_host = np.arange(st.ntotal, dtype=np.int64)
+            ivf.ntotal = st.ntotal
+        return ivf

@@ -188,6 +188,32 @@ class IndexIVF(Index, Level1Quantizer):
         self.ntotal = 0
         self._device = None
 
+    def update_vectors(self, ids, x) -> None:
+        """Replace the stored vectors of existing ids in place
+        (reference: IndexIVF.h:375 update_vectors / DirectMap::update_codes).
+        Each id keeps its identity; the new vector is coarse-assigned and
+        re-encoded, possibly moving to a different inverted list. The flat
+        entry store makes this an in-place write — no hole management."""
+        x = self._check_input(x)
+        self._check_trained()
+        ids = np.asarray(ids, np.int64).ravel()
+        if len(ids) != len(x):
+            raise ValueError("ids/x length mismatch")
+        order = np.argsort(self._ids_host, kind="stable")
+        loc = np.searchsorted(self._ids_host[order], ids)
+        if (loc >= len(order)).any() or (
+            self._ids_host[order[np.minimum(loc, len(order) - 1)]] != ids
+        ).any():
+            raise ValueError("did not find all entries to update")
+        pos = order[loc]
+        _, assign = self.quantizer.search(x, 1)
+        assign = np.asarray(assign, np.int32).ravel()
+        codes = self.encode_vectors(x, assign)
+        self._codes_host[pos] = codes
+        self._listnos_host[pos] = assign
+        self._device = None
+        self._brute = None  # big-batch staging caches (IVFFlat / IVFPQ)
+
     def remove_ids(self, sel) -> int:
         keep = ~sel.mask_for_ids(self._ids_host)
         nremoved = int((~keep).sum())

@@ -457,11 +457,12 @@ def _fused_search_rerank_dyn(
 
 @functools.partial(
     jax.jit, static_argnames=("k", "kc", "qt", "ct", "nprobe", "qdepth",
-                              "lossy_rank", "interpret")
+                              "lossy_rank", "fmax", "sort_rot", "interpret")
 )
 def _fused_search_rerank_recon(
     xq, centroids_g, cn2g, yT, n2s, lid, slot_map, xb,
-    k, kc, qt, ct, nprobe, qdepth=3, lossy_rank=None, interpret=False,
+    k, kc, qt, ct, nprobe, qdepth=3, lossy_rank=None, fmax=16,
+    sort_rot=False, interpret=False,
 ):
     """One-dispatch big-batch IVF search + exact re-rank, scoring against
     the DECODED reconstruction store (ivf_recon_fused_pallas) instead of
@@ -470,7 +471,13 @@ def _fused_search_rerank_recon(
     IndexIVFFlat with yT holding the raw vectors. ``lossy_rank`` sets the
     rank against which the eviction floor flags a row (default kc-1:
     "any top-kc candidate lost"; IVF-Flat uses ~k: "a lost candidate could
-    displace the k-th result")."""
+    displace the k-th result").
+
+    ``sort_rot``: sort queries by HOME group and rotate each tile's chunk
+    scan order to start at its own region (kernel ``rot``); the select
+    threshold then tightens within the first few steps, which is what makes
+    a sparse flush cap (``fmax``) loss-free. Results are un-permuted before
+    packing."""
     from ..ops.distances import rerank_exact
     from ..ops.pallas_knn import ivf_recon_fused_pallas
 
@@ -480,6 +487,16 @@ def _fused_search_rerank_recon(
             "layouts beyond 2^24 slots need a split-id packing"
         )
     xq = _dequantize_queries(xq)
+    inv = None
+    if sort_rot:
+        keyc = cn2g[None, :] - 2.0 * jax.lax.dot_general(
+            xq, centroids_g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        home = jnp.argmin(keyc, axis=1) // 128  # home GROUP per query
+        perm = jnp.argsort(home, stable=True)
+        inv = jnp.argsort(perm, stable=True)
+        xq = xq[perm]
     mask = (
         _probe_penalty(xq, centroids_g, cn2g, nprobe) if nprobe else None
     )
@@ -488,13 +505,16 @@ def _fused_search_rerank_recon(
         xq = jnp.pad(xq, ((0, 0), (0, d_pad - xq.shape[1])))
     v, slots_raw, ev = ivf_recon_fused_pallas(
         xq, yT, n2s, lid, mask,
-        qt=qt, ct=ct, qdepth=qdepth, interpret=interpret,
+        qt=qt, ct=ct, qdepth=qdepth, fmax=fmax, rot=sort_rot,
+        interpret=interpret,
     )
     slots = jnp.where(
         slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
     )[:, :kc]
     D, I = rerank_exact(xq[:, : xb.shape[1]], xb, slots, k)
     lossy = jnp.min(ev, -1) < v[:, kc - 1 if lossy_rank is None else lossy_rank]
+    if inv is not None:
+        D, I, lossy = D[inv], I[inv], lossy[inv]
     return _pack_results(D, I, lossy, jnp.zeros((), jnp.int32))
 
 
@@ -929,6 +949,10 @@ class IndexIVFPQ(IndexIVF):
     # run the fused Pallas programs in interpret mode (CPU testing of the
     # full big-batch-refined path, including staging + dyn-bucket logic)
     fused_interpret = False
+    # recon-kernel flush-schedule cap + home-group query sort/rotation
+    # (see _fused_search_rerank_recon sort_rot); tuned on TPU
+    fused_fmax = 16
+    fused_sort_rot = False
 
     def _dyn_bucket_for(self, xq_dev, br, nprobe, qt):
         if self.dyn_msteps:
@@ -1066,6 +1090,8 @@ class IndexIVFPQ(IndexIVF):
                     self.FUSED_CT,
                     nprobe,
                     qdepth=self.refined_qdepth,
+                    fmax=self.fused_fmax,
+                    sort_rot=self.fused_sort_rot,
                     interpret=self.fused_interpret,
                 )
             else:

@@ -166,3 +166,53 @@ class IndexNNDescentFlat(IndexNSGFlat):
     def __init__(self, d: int, K: int = 32, metric=MetricType.L2):
         super().__init__(d, K, metric)
         self.GK = max(K, 32)
+
+
+class IndexNSGPQ(IndexNSGFlat):
+    """NSG graph over PQ-coded storage (reference: IndexNSG.h:89).
+
+    Graph construction AND search run on the DECODED reconstructions, so
+    reported distances are the asymmetric ADC distances
+    ||q - decode(code)||^2 — the same distances the reference's storage
+    DistanceComputer produces; only codes + graph need persisting."""
+
+    def __init__(self, d: int, pq_m: int, R: int = 32, pq_nbits: int = 8):
+        from .pq import IndexPQ
+
+        super().__init__(d, R)
+        self.storage = IndexPQ(d, pq_m, pq_nbits)
+        self.is_trained = False
+
+    def train(self, x) -> None:
+        x = self._check_input(x)
+        self.storage.train(x)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        x = self._check_input(x)
+        self._check_trained()
+        if self.ntotal:
+            raise RuntimeError("IndexNSG must be built in one add() call")
+        self.storage.add(x)
+        xr = self.storage.reconstruct_n(0, self.storage.ntotal)
+        g = self._ensure()
+        self._lib.nsg_build(
+            g, _fp(np.ascontiguousarray(xr, np.float32)), len(xr),
+            self.GK, self.nndescent_iter, self.build_L,
+        )
+        self._xb = xr
+        self.ntotal = len(xr)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self.storage.reconstruct(key)
+
+
+class IndexNSGSQ(IndexNSGPQ):
+    """NSG graph over SQ-coded storage (reference: IndexNSG.h:98)."""
+
+    def __init__(self, d: int, qtype, R: int = 32, metric=MetricType.L2):
+        from .sq import IndexScalarQuantizer
+
+        IndexNSGFlat.__init__(self, d, R, metric)
+        self.storage = IndexScalarQuantizer(d, qtype, metric)
+        self.is_trained = self.storage.is_trained

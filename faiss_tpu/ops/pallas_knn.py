@@ -844,7 +844,8 @@ def ivfpq_fused_pallas_v3(
     )(luts, meta, biasg, ohT, n2)
 
 
-def _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo=False):
+def _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo=False,
+                       fmax=16, rot=0):
     """Reconstruction-GEMM score producer + the shared queue/flush select.
 
     Scores ADC keys as a DIRECT MXU contraction against the decoded
@@ -905,7 +906,7 @@ def _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo=False):
             qi_ref[:] = jnp.full((qdepth, qt, LANES), -1, jnp.int32)
             ev_ref[:] = jnp.full((qt, LANES), jnp.inf, jnp.float32)
 
-        interval = jnp.clip(j // 4, 1, 16)
+        interval = jnp.clip(j // 4, 1, fmax)
         do_flush = jnp.logical_and(j > 0, j % interval == 0)
 
         @pl.when(do_flush)
@@ -953,7 +954,12 @@ def _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo=False):
             )  # [qt, ct]: 0 on probed lists, ~1e9 otherwise
             skey = skey + penalty
 
-        base = j * ct
+        if rot:
+            i = pl.program_id(0)
+            jc = jax.lax.rem(j + i * rot, nj)
+        else:
+            jc = j
+        base = jc * ct
         theta = rv_ref[:, LANES - 1 : LANES]
         assert n_sub % 2 == 0
         half = n_sub // 2
@@ -1179,7 +1185,8 @@ def ivf_recon_fused_dyn_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("qt", "ct", "qdepth", "interpret")
+    jax.jit,
+    static_argnames=("qt", "ct", "qdepth", "fmax", "rot", "interpret"),
 )
 def ivf_recon_fused_pallas(
     xq: jax.Array,  # [nq, d_pad] f32 queries (zero-padded dims)
@@ -1191,6 +1198,8 @@ def ivf_recon_fused_pallas(
     qt: int = 512,
     ct: int = 1024,
     qdepth: int = QDEPTH,
+    fmax: int = 16,  # flush-interval cap (sparser = cheaper, more evictions)
+    rot: bool = False,  # rotate chunk order: tile i starts at its home region
     interpret: bool = False,
 ):
     """Fused IVF scan + top-128 select over DECODED reconstructions.
@@ -1210,7 +1219,19 @@ def ivf_recon_fused_pallas(
     nchunks = S // ct
     masked = biasg is not None
     grid = (nq // qt, nchunks)
-    kernel = _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo)
+    # per-tile rotated chunk order: with queries sorted by home group
+    # (proximity packing puts a group's lists in a contiguous chunk run),
+    # tile i scans its own region FIRST, so the select threshold tightens
+    # within a few steps and the sparse flush schedule loses nothing
+    rstride = (nchunks // max(1, nq // qt)) if rot else 0
+    if rstride:
+        def cmap(i, j):
+            return jax.lax.rem(j + i * rstride, nchunks)
+    else:
+        def cmap(i, j):
+            return j
+    kernel = _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo,
+                                fmax=fmax, rot=rstride)
     in_specs = [
         pl.BlockSpec((qt, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
     ]
@@ -1222,28 +1243,30 @@ def ivf_recon_fused_pallas(
         in_specs.append(
             pl.BlockSpec(
                 (qt, 128),
-                lambda i, j: (i, jnp.minimum(j // cpg, ngroups - 1)),
+                lambda i, j: (i, jnp.minimum(cmap(i, j) // cpg, ngroups - 1)),
                 memory_space=pltpu.VMEM,
             )
         )
         operands.append(biasg)
     in_specs.append(
-        pl.BlockSpec((d, ct), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        pl.BlockSpec((d, ct), lambda i, j: (0, cmap(i, j)),
+                     memory_space=pltpu.VMEM)
     )
     operands.append(yT)
     if db_hilo:
         in_specs.append(
-            pl.BlockSpec((d, ct), lambda i, j: (0, j),
+            pl.BlockSpec((d, ct), lambda i, j: (0, cmap(i, j)),
                          memory_space=pltpu.VMEM)
         )
         operands.append(yT_lo)
     in_specs.append(
-        pl.BlockSpec((1, ct), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, ct), lambda i, j: (0, cmap(i, j)),
+                     memory_space=pltpu.VMEM)
     )
     operands.append(n2)
     if masked:
         in_specs.append(
-            pl.BlockSpec((1, ct), lambda i, j: (0, j),
+            pl.BlockSpec((1, ct), lambda i, j: (0, cmap(i, j)),
                          memory_space=pltpu.VMEM)
         )
         operands.append(lid)

@@ -142,10 +142,10 @@ class ShardedIVF:
     """
 
     def __init__(self, index, mesh: Mesh):
-        from ..models.ivf import IndexIVFFlat
+        from ..models.ivf import IndexIVF
 
-        if not isinstance(index, IndexIVFFlat):
-            raise TypeError("ShardedIVF round-1 supports IndexIVFFlat")
+        if not isinstance(index, IndexIVF):
+            raise TypeError("ShardedIVF wraps a trained IndexIVF")
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.index = index
@@ -157,6 +157,13 @@ class ShardedIVF:
         self.lists_per_shard = index.nlist // n_shards
 
         dev = index._build_device()
+        codes = np.asarray(dev["codes"])
+        if codes.ndim != 3 or codes.dtype != np.float32:
+            raise TypeError(
+                "ShardedIVF requires a float-staged codec (IVFFlat / IVF-SQ /"
+                " IVF-AQ decode to [nlist, max_len, d] floats); use"
+                " ShardedIVFPQ for PQ codes"
+            )
         shard_rows = jax.sharding.NamedSharding(mesh, P(self.axis, None, None))
         shard_rows2 = jax.sharding.NamedSharding(mesh, P(self.axis, None))
         shard_rows1 = jax.sharding.NamedSharding(mesh, P(self.axis))
@@ -301,19 +308,19 @@ class ShardedIVFPQ:
 
         if not isinstance(index, IndexIVFPQ):
             raise TypeError("ShardedIVFPQ wraps a trained IndexIVFPQ")
-        if index.metric_type != MetricType.L2 or not index.by_residual:
-            raise NotImplementedError("sharded IVFPQ: L2 by-residual only")
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.index = index
         self.nprobe = index.nprobe
+        self.metric_type = index.metric_type
+        self.by_residual = bool(index.by_residual)
         n_shards = mesh.devices.size
         if index.nlist % n_shards:
             raise ValueError("nlist must be divisible by the shard count")
         self.lists_per_shard = index.nlist // n_shards
 
         dev = index._build_device()
-        term2 = index._maybe_term2()
+        term2 = index._maybe_term2()  # None unless L2 by-residual
         rows3 = jax.sharding.NamedSharding(mesh, P(self.axis, None, None))
         rows2 = jax.sharding.NamedSharding(mesh, P(self.axis, None))
         rows1 = jax.sharding.NamedSharding(mesh, P(self.axis))
@@ -321,7 +328,13 @@ class ShardedIVFPQ:
         self.codes = jax.device_put(np.asarray(dev["codes"]), rows3)
         self.slot_ids = jax.device_put(np.asarray(dev["slot_ids"]), rows2)
         self.lengths = jax.device_put(np.asarray(dev["lengths"]), rows1)
-        self.term2 = jax.device_put(np.asarray(term2), rows3)
+        self._has_term2 = term2 is not None
+        self.term2 = jax.device_put(
+            np.asarray(term2)
+            if self._has_term2
+            else np.zeros((1, 1, 1), np.float32),
+            rows3 if self._has_term2 else repl,
+        )
         self.centroids = jax.device_put(index.quantizer.vectors(), repl)
         self.pq_codebooks = jax.device_put(index.pq.centroids, repl)
         self._ids_host = index._ids_host
@@ -341,6 +354,9 @@ class ShardedIVFPQ:
             k,
             nprobe,
             self.lists_per_shard,
+            self.metric_type,
+            self.by_residual,
+            self._has_term2,
         )
         D = np.asarray(D)
         slots = np.asarray(slots)
@@ -350,40 +366,272 @@ class ShardedIVFPQ:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "k", "nprobe", "lists_per_shard"),
+    static_argnames=(
+        "mesh", "k", "nprobe", "lists_per_shard", "metric", "by_residual",
+        "has_term2",
+    ),
 )
 def _sharded_ivfpq_search(
     mesh, xq, centroids, pq_cb, codes, slot_ids, lengths, term2, k, nprobe,
-    lists_per_shard,
+    lists_per_shard, metric=MetricType.L2, by_residual=True, has_term2=True,
 ):
+    """All four metric/residual combinations, mirroring the single-chip
+    IndexIVFPQ._scan decomposition (models/ivf_pq.py):
+
+      L2 residual:   bias = ||q - c||^2, term2 tables, luts = -2 q.y
+      L2 flat:       full distance LUTs, zero bias
+      IP (both):     luts = q.y, bias = q.c for residual else 0, max-select
+    """
     from ..ops import pq_ops
 
     axis = mesh.axis_names[0]
+    largest = is_similarity_metric(metric)
 
     def local(xq, centroids, pq_cb, codes, slot_ids, lengths, term2):
-        coarse_dis, probes = dops.knn(xq, centroids, nprobe)
+        coarse_dis, probes = dops.knn(xq, centroids, nprobe, metric=metric)
         probes = probes.astype(jnp.int32)
         shard = jax.lax.axis_index(axis).astype(jnp.int32)
         lo = shard * lists_per_shard
         local_probe = probes - lo
         owned = jnp.logical_and(local_probe >= 0, local_probe < lists_per_shard)
         local_probe = jnp.where(owned, local_probe, -1)
-        luts = -2.0 * pq_ops.pq_ip_tables(xq, pq_cb)
+        if metric == MetricType.L2 and by_residual:
+            luts = -2.0 * pq_ops.pq_ip_tables(xq, pq_cb)
+            bias = coarse_dis
+        elif metric == MetricType.L2:
+            luts = pq_ops.pq_distance_tables(xq, pq_cb)
+            bias = jnp.zeros_like(coarse_dis)
+        else:  # inner product
+            luts = pq_ops.pq_ip_tables(xq, pq_cb)
+            bias = (
+                coarse_dis if by_residual else jnp.zeros_like(coarse_dis)
+            )
         d, slots = ivf_ops.ivf_pq_scan(
-            luts, local_probe, coarse_dis, codes, slot_ids, lengths, k,
-            largest=False, term2=term2,
+            luts, local_probe, bias, codes, slot_ids, lengths, k,
+            largest=largest, term2=term2 if has_term2 else None,
         )
         dd = jnp.moveaxis(jax.lax.all_gather(d, axis), 0, 1)
         ss = jnp.moveaxis(jax.lax.all_gather(slots, axis), 0, 1)
-        return merge_topk_many(dd, ss, k, largest=False)
+        return merge_topk_many(dd, ss, k, largest=largest)
 
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
             P(), P(), P(),
-            P(axis, None, None), P(axis, None), P(axis), P(axis, None, None),
+            P(axis, None, None), P(axis, None), P(axis),
+            P(axis, None, None) if has_term2 else P(),
         ),
         out_specs=(P(), P()),
         check_vma=False,
     )(xq, centroids, pq_cb, codes, slot_ids, lengths, term2)
+
+
+# ---------------------------------------------------------------------------
+# sharded BUILD path — trains and populates a ShardedIVFPQ without ever
+# materializing the whole index on one host pass (the Deep100M shape).
+# Reference: gpu/GpuCloner.h:45-66 copy_ivf_shard / clone_Index_to_shards,
+# IVFlib.h:171 shard_ivf_index_centroids feeding per-shard adds.
+# ---------------------------------------------------------------------------
+
+
+class ShardedIVFPQBuilder:
+    """Build an IVF-PQ index directly into mesh-sharded storage.
+
+    - ``train``: coarse k-means runs DATA-PARALLEL over the mesh
+      (``sharded_kmeans_iter`` psum reductions over ICI); the PQ codebook
+      trains on a residual subsample.
+    - ``add``: each chunk is coarse-assigned + PQ-encoded on device, then
+      rows route to the OWNING shard's host-side CSR bucket (list range
+      [s*lists_per_shard, (s+1)*lists_per_shard)) — no single global padded
+      array is ever built.
+    - ``finalize``: per-shard padded arrays are placed on their own device
+      and assembled with ``jax.make_array_from_single_device_arrays`` into
+      the ShardedIVFPQ search layout (term2 computed per shard).
+
+    On a multi-host deployment each host would run the same routine over
+    its slice; the assembly call is the standard JAX cross-host pattern.
+    """
+
+    def __init__(self, d, nlist, M, nbits, mesh: Mesh,
+                 metric=MetricType.L2, by_residual=True):
+        from ..codecs.pq import ProductQuantizer
+
+        self.d, self.nlist, self.mesh = int(d), int(nlist), mesh
+        self.axis = mesh.axis_names[0]
+        self.metric_type = MetricType(metric)
+        self.by_residual = bool(by_residual)
+        n_shards = mesh.devices.size
+        if nlist % n_shards:
+            raise ValueError("nlist must be divisible by the shard count")
+        self.lists_per_shard = nlist // n_shards
+        self.n_shards = n_shards
+        self.pq = ProductQuantizer(d, M, nbits)
+        self.centroids: Optional[np.ndarray] = None
+        self.ntotal = 0
+        self._codes = [[] for _ in range(n_shards)]
+        self._listnos = [[] for _ in range(n_shards)]
+        self._gids = [[] for _ in range(n_shards)]
+        self._ids_parts = []
+        self.is_trained = False
+
+    # -- training ----------------------------------------------------------
+    def train(self, xt, niter=20, seed=1234, pq_sample=65536):
+        from ..clustering import Clustering
+
+        xt = np.ascontiguousarray(xt, np.float32)
+        rs = np.random.RandomState(seed)
+        centroids = xt[rs.permutation(len(xt))[: self.nlist]].copy()
+        xp, _ = _shard_pad(xt, self.n_shards)
+        x_sh = jax.device_put(
+            xp, jax.sharding.NamedSharding(self.mesh, P(self.axis, None))
+        )
+        # pad rows are zero vectors: give them their own throwaway weight by
+        # masking nothing — they converge into whichever cluster owns 0;
+        # with n >> pad the effect is below split noise. (The exact-masked
+        # variant would thread a weight vector through the psum.)
+        for _ in range(niter):
+            sums, counts, _ = sharded_kmeans_iter(
+                self.mesh, x_sh, jnp.asarray(centroids)
+            )
+            sums = np.asarray(sums)
+            counts = np.asarray(counts)
+            nz = counts > 0
+            new_c = centroids.copy()
+            new_c[nz] = sums[nz] / counts[nz, None]
+            Clustering._split_clusters(new_c, counts.astype(np.int64), rs)
+            centroids = new_c
+        self.centroids = centroids
+        sub = xt[rs.permutation(len(xt))[:pq_sample]]
+        if self.by_residual:
+            _, a = dops.assign_flat(
+                jnp.asarray(sub), jnp.asarray(centroids),
+                metric=self.metric_type,
+            )
+            sub = sub - centroids[np.asarray(a)]
+        self.pq.train(sub)
+        self.is_trained = True
+
+    # -- population --------------------------------------------------------
+    def add(self, x, ids=None, chunk=1 << 20):
+        if not self.is_trained:
+            raise RuntimeError("train before add")
+        x = np.ascontiguousarray(x, np.float32)
+        n = len(x)
+        ids = (
+            np.arange(self.ntotal, self.ntotal + n, dtype=np.int64)
+            if ids is None
+            else np.asarray(ids, np.int64).ravel()
+        )
+        cdev = jnp.asarray(self.centroids)
+        gid0 = sum(len(p) for p in self._ids_parts)
+        self._ids_parts.append(ids)
+        for c0 in range(0, n, chunk):
+            xc = x[c0 : c0 + chunk]
+            _, a = dops.assign_flat(
+                jnp.asarray(xc), cdev, metric=self.metric_type
+            )
+            a = np.asarray(a)
+            resid = xc - self.centroids[a] if self.by_residual else xc
+            codes = self.pq.compute_codes_int(resid).astype(np.uint8)
+            gids = np.arange(gid0 + c0, gid0 + c0 + len(xc), dtype=np.int64)
+            owner = a // self.lists_per_shard
+            for s in range(self.n_shards):
+                m = owner == s
+                if m.any():
+                    self._codes[s].append(codes[m])
+                    self._listnos[s].append(a[m].astype(np.int32))
+                    self._gids[s].append(gids[m])
+        self.ntotal += n
+
+    # -- assembly ----------------------------------------------------------
+    def finalize(self) -> "ShardedIVFPQ":
+        M, ksub, dsub = self.pq.M, self.pq.ksub, self.pq.dsub
+        lps = self.lists_per_shard
+        devices = list(self.mesh.devices.flat)
+        lengths_s, max_len = [], 1
+        for s in range(self.n_shards):
+            ln = (
+                np.concatenate(self._listnos[s])
+                if self._listnos[s]
+                else np.empty(0, np.int32)
+            )
+            lengths = np.bincount(ln - s * lps, minlength=lps).astype(
+                np.int32
+            )
+            lengths_s.append(lengths)
+            if len(ln):
+                max_len = max(max_len, int(lengths.max()))
+        max_len = max(128, -(-max_len // 128) * 128)
+
+        def put(parts, spec):
+            shape = (self.n_shards * parts[0].shape[0],) + parts[0].shape[1:]
+            sh = jax.sharding.NamedSharding(self.mesh, spec)
+            bufs = [
+                jax.device_put(p, d) for p, d in zip(parts, devices)
+            ]
+            return jax.make_array_from_single_device_arrays(shape, sh, bufs)
+
+        codes_parts, slots_parts, t2_parts = [], [], []
+        cb = self.pq.centroids  # [M, ksub, dsub]
+        y_norms = np.sum(cb**2, axis=-1)  # [M, ksub]
+        for s in range(self.n_shards):
+            if self._listnos[s]:
+                ln = np.concatenate(self._listnos[s]) - s * lps
+                cd = np.concatenate(self._codes[s])
+                gd = np.concatenate(self._gids[s])
+            else:
+                ln = np.empty(0, np.int32)
+                cd = np.empty((0, M), np.uint8)
+                gd = np.empty(0, np.int64)
+            order = np.argsort(ln, kind="stable")
+            sln = ln[order]
+            offs = np.zeros(lps, np.int64)
+            np.cumsum(lengths_s[s][:-1], out=offs[1:])
+            ranks = np.arange(len(ln), dtype=np.int64) - offs[sln]
+            pad_codes = np.zeros((lps, max_len, M), np.uint8)
+            slot_ids = np.full((lps, max_len), -1, np.int32)
+            if len(ln):
+                pad_codes[sln, ranks] = cd[order]
+                slot_ids[sln, ranks] = gd[order].astype(np.int32)
+            codes_parts.append(pad_codes)
+            slots_parts.append(slot_ids)
+            if self.by_residual and self.metric_type == MetricType.L2:
+                cent_s = self.centroids[s * lps : (s + 1) * lps].reshape(
+                    lps, M, dsub
+                )
+                t2_parts.append(
+                    (
+                        y_norms[None]
+                        + 2.0 * np.einsum("cmd,mkd->cmk", cent_s, cb)
+                    ).astype(np.float32)
+                )
+
+        out = ShardedIVFPQ.__new__(ShardedIVFPQ)
+        out.mesh = self.mesh
+        out.axis = self.axis
+        out.index = None
+        out.nprobe = 1
+        out.metric_type = self.metric_type
+        out.by_residual = self.by_residual
+        out.lists_per_shard = lps
+        repl = jax.sharding.NamedSharding(self.mesh, P())
+        out.codes = put(codes_parts, P(self.axis, None, None))
+        out.slot_ids = put(slots_parts, P(self.axis, None))
+        out.lengths = put(
+            [le for le in lengths_s], P(self.axis)
+        )
+        out._has_term2 = bool(t2_parts)
+        out.term2 = (
+            put(t2_parts, P(self.axis, None, None))
+            if t2_parts
+            else jax.device_put(np.zeros((1, 1, 1), np.float32), repl)
+        )
+        out.centroids = jax.device_put(self.centroids, repl)
+        out.pq_codebooks = jax.device_put(self.pq.centroids, repl)
+        out._ids_host = (
+            np.concatenate(self._ids_parts)
+            if self._ids_parts
+            else np.empty(0, np.int64)
+        )
+        return out

@@ -119,3 +119,51 @@ def test_afkmc2_init():
     clus = Clustering(8, 8, cp)
     obj = clus.train(x)
     assert obj / len(x) < 1.0
+
+
+def test_superkmeans_matches_exact():
+    """SuperKMeans (ADSampling-pruned assignment, SuperKMeans.cpp analogue)
+    must reach an objective close to exact Lloyd on the same data, report
+    pruning fractions, and adapt d_prime."""
+    from faiss_tpu.clustering import SuperKMeans, SuperKMeansParameters
+
+    x, centers = make_blobs(n=4000, d=32, k=16, seed=5)
+    cp = SuperKMeansParameters(niter=8, seed=3)
+    skm = SuperKMeans(32, 16, cp)
+    obj_s = skm.train(x)
+    obj_e = Clustering(32, 16, ClusteringParameters(niter=8, seed=3)).train(x)
+    # the pruned assignment tracks exact Lloyd closely (measured: within
+    # 1e-5 relative on this data) and prunes the bulk of the pairs
+    assert obj_s <= obj_e * 1.05 + 1e-6, (obj_s, obj_e)
+    assert len(skm.pruning_fractions) == 7
+    assert all(0.0 <= f <= 1.0 for f in skm.pruning_fractions)
+    assert skm.pruning_fractions[-1] > 0.5  # screen actually prunes
+    # covers true centers at least as well as exact Lloyd does
+    cov_s = (((centers[:, None, :] - skm.centroids[None]) ** 2).sum(-1)
+             .min(1) < 1.0).sum()
+    ce = Clustering(32, 16, ClusteringParameters(niter=8, seed=3))
+    ce.train(x)
+    cov_e = (((centers[:, None, :] - ce.centroids[None]) ** 2).sum(-1)
+             .min(1) < 1.0).sum()
+    assert cov_s >= cov_e - 1
+
+
+def test_superkm_assign_update_exactness():
+    """With keep == k the SuperKMeans iteration must reproduce exact
+    argmin assignment (screen is a no-op at full width)."""
+    import jax.numpy as jnp
+
+    from faiss_tpu.ops.kmeans_ops import superkm_assign_update
+
+    rs = np.random.RandomState(2)
+    x = rs.randn(500, 32).astype(np.float32)
+    c = rs.randn(16, 32).astype(np.float32)
+    import jax
+
+    new_c, tau, obj, _, tot, frac = superkm_assign_update(
+        jnp.asarray(x), jnp.asarray(c), 0.5, jax.random.PRNGKey(0), 16, 16
+    )
+    d2 = ((x[:, None] - c[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(tau), d2.min(1), rtol=1e-4, atol=1e-4)
+    assert abs(float(obj) - d2.min(1).sum()) / d2.min(1).sum() < 1e-4
+    assert int(tot) == 500

@@ -803,3 +803,52 @@ def test_refine_flat_store_float16():
     assert r.store_float16
     _, Ir = r.search(xq, 10)
     assert (Ir == Ib).mean() > 0.97
+
+
+def test_hnsw_2level():
+    """IndexHNSW2Level (IndexHNSW.h:221): graph over 2-level codes,
+    factory grammar HNSWm,ncent+PQm; flip_to_ivf preserves codes."""
+    rs = np.random.RandomState(1)
+    xb = rs.randn(3000, 32).astype(np.float32)
+    xq = xb[:20] + 0.01 * rs.randn(20, 32).astype(np.float32)
+    index = ft.index_factory(32, "HNSW16,16+PQ4")
+    assert isinstance(index, ft.IndexHNSW2Level)
+    index.train(xb[:2000])
+    index.add(xb)
+    D, I = index.search(xq, 5)
+    hit = (I == np.arange(20)[:, None]).any(1).mean()
+    assert hit > 0.8, hit
+    ivf = index.flip_to_ivf()
+    ivf.nprobe = 16
+    D2, I2 = ivf.search(xq, 5)
+    hit2 = (I2 == np.arange(20)[:, None]).any(1).mean()
+    assert hit2 > 0.8, hit2
+
+
+def test_ivf_update_vectors():
+    """IndexIVF.update_vectors (IndexIVF.h:375): ids keep their identity,
+    vectors are re-assigned + re-encoded in place."""
+    rs = np.random.RandomState(2)
+    xb = rs.randn(2000, 16).astype(np.float32)
+    index = ft.IndexIVFFlat(None, 16, 8)
+    index.big_batch_threshold = 0
+    index.cp.niter = 4
+    index.train(xb)
+    ids = np.arange(2000, dtype=np.int64) + 100
+    index.add_with_ids(xb, ids)
+    index.nprobe = 8
+    # move the first 50 vectors somewhere else entirely
+    newv = 5.0 + rs.randn(50, 16).astype(np.float32)
+    index.update_vectors(ids[:50], newv)
+    assert index.ntotal == 2000
+    D, I = index.search(newv, 1)
+    np.testing.assert_array_equal(I.ravel(), ids[:50])
+    np.testing.assert_allclose(D.ravel(), 0.0, atol=1e-4)
+    # reconstruct returns the new vector
+    np.testing.assert_allclose(index.reconstruct(int(ids[0])), newv[0],
+                               rtol=1e-5, atol=1e-5)
+    # unknown id raises
+    import pytest
+
+    with pytest.raises(ValueError):
+        index.update_vectors(np.array([99999], np.int64), newv[:1])

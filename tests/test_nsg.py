@@ -47,3 +47,27 @@ def test_nndescent_flat(ds):
     gt = ds.get_groundtruth(10)
     _, I = index.search(ds.get_queries(), 10)
     assert recall_at_k(I, gt, 10) > 0.7
+
+
+def test_nsg_pq_sq_variants():
+    import faiss_tpu as ft
+
+    """IndexNSGPQ / IndexNSGSQ (IndexNSG.h:89,98): graph over decoded
+    storage; distances are the asymmetric codec distances."""
+    rs = np.random.RandomState(0)
+    xb = rs.randn(2000, 32).astype(np.float32)
+    xq = xb[:20] + 0.01 * rs.randn(20, 32).astype(np.float32)
+    for fstr, cls in [("NSG24,PQ4x8", ft.IndexNSGPQ), ("NSG24,SQ8", ft.IndexNSGSQ)]:
+        index = ft.index_factory(32, fstr)
+        assert isinstance(index, cls), fstr
+        index.train(xb)
+        index.add(xb)
+        D, I = index.search(xq, 5)
+        # codec-approximate graph search must still find the true neighbor
+        hit = (I == np.arange(20)[:, None]).any(1).mean()
+        assert hit > 0.8, (fstr, hit)
+        # distances = ||q - decode(code)||^2 of the reported neighbor
+        recon = np.stack([index.reconstruct(int(i)) for i in I[:, 0]])
+        np.testing.assert_allclose(
+            D[:, 0], ((xq - recon) ** 2).sum(1), rtol=1e-3, atol=1e-3
+        )

@@ -611,3 +611,51 @@ def test_refined_big_batch_xla_fallback_maps_ids():
     assert ((valid % 10) == 7).all()
     top_ok = (I[:, 0] == ids[:nq]).mean()
     assert top_ok > 0.9, top_ok
+
+
+def test_recon_sort_rot_sparse_flush_interpret():
+    """sort_rot (home-group query sort + per-tile rotated chunk order) and
+    a sparser flush cap must reproduce the baseline recon program's results
+    (same exact re-rank; candidate sets agree up to queue-eviction order)."""
+    import jax.numpy as jnp
+
+    import faiss_tpu as ft
+    from faiss_tpu.models.ivf_pq import (
+        _fused_search_rerank_recon,
+        _unpack_results,
+    )
+
+    rs = np.random.RandomState(7)
+    d, nlist, nb, nq = 16, 256, 3000, 256
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    index = ft.IndexIVFPQFastScan(None, d, nlist, 4, 4)
+    index.FUSED_CT = 256
+    index.cp.niter = 4
+    index.cp.min_points_per_centroid = 1
+    index.train(xb)
+    index.add(xb)
+    br = index._build_brute()
+    refine_xb = jnp.asarray(xb)
+    k, kc, qt = 10, 40, 128
+    for nprobe in (0, 16):
+        base_args = (
+            jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["yT"],
+            br["n2s"], br["lid"], br["slot_map_dev"], refine_xb,
+            k, kc, qt, index.FUSED_CT, nprobe,
+        )
+        D0, I0, _, _ = _unpack_results(
+            _fused_search_rerank_recon(*base_args, interpret=True), k
+        )
+        D1, I1, _, _ = _unpack_results(
+            _fused_search_rerank_recon(
+                *base_args, fmax=48, sort_rot=True, interpret=True
+            ),
+            k,
+        )
+        agree = (np.asarray(I0) == np.asarray(I1)).mean()
+        assert agree > 0.95, (nprobe, agree)
+        same = np.asarray(I0) == np.asarray(I1)
+        np.testing.assert_allclose(
+            np.asarray(D0)[same], np.asarray(D1)[same], rtol=1e-4, atol=1e-4
+        )
