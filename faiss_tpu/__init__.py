@@ -63,9 +63,13 @@ from .models.ivf_pq import (  # noqa: F401
     IndexIVFPQ,
     IndexIVFPQFastScan,
     IndexIVFPQR,
+    IVFFastScanStats,
+    ivf_fast_scan_stats,
 )
 from .models.sq import IndexIVFScalarQuantizer, IndexScalarQuantizer  # noqa: F401
 from .models.hnsw import (  # noqa: F401
+    HNSWStats,
+    hnsw_stats,
     IndexHNSW,
     IndexHNSW2Level,
     IndexHNSWFlat,
@@ -251,6 +255,8 @@ from .models.nsg import (  # noqa: F401
     IndexNSGFlat,
     IndexNSGPQ,
     IndexNSGSQ,
+    NSGStats,
+    nsg_stats,
 )
 
 from .codecs.polysemous import PolysemousTraining  # noqa: F401

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..callbacks import InterruptCallback
+
 from .pq import Quantizer
 
 
@@ -52,6 +54,7 @@ def _beam_search_encode(x, codebooks, beam: int):
     res = x[:, None, :] - c0[idx]  # [n, b, d]
 
     for m in range(1, M):
+        InterruptCallback.check()
         cm = codebooks[m]  # [K, d]
         # errors of all (beam, K) continuations
         ip = jnp.einsum("nbd,kd->nbk", res, cm, preferred_element_type=jnp.float32)
@@ -275,12 +278,16 @@ class LocalSearchQuantizer(AdditiveQuantizer):
             r = _decode_dev(c, cb) - xd
             return jnp.sum(r * r, axis=1)
 
+        from ..callbacks import InterruptCallback
+
         for _ in range(self.icm_iters):
+            InterruptCallback.check()
             codes = _icm_sweep(xd, cb, codes)
         best, best_err = codes, row_err(codes)
         rng = np.random.RandomState(0x15C)
         n = len(x)
         for _ in range(max(0, self.encode_ils_iters - 1)):
+            InterruptCallback.check()
             # perturb nperts random levels per row, re-optimize, keep wins
             levels = rng.randint(self.M, size=(n, self.nperts))
             vals = rng.randint(self.K, size=(n, self.nperts))

@@ -34,8 +34,8 @@ def _load_lib():
     if _LIB is not None:
         return _LIB
     so = os.path.abspath(os.path.join(_native_dir(), "libhnsw.so"))
-    if not os.path.exists(so):
-        src = os.path.abspath(os.path.join(_native_dir(), "hnsw.cpp"))
+    src = os.path.abspath(os.path.join(_native_dir(), "hnsw.cpp"))
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
              src, "-o", so],
@@ -52,6 +52,10 @@ def _load_lib():
     lib.hnsw_add.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
     ]
+    lib.hnsw_add.restype = ctypes.c_int64
+    lib.hnsw_stats_get.argtypes = [ctypes.POINTER(ctypes.c_longlong)]
+    lib.hnsw_stats_reset.argtypes = []
+    lib.hnsw_set_interrupt.argtypes = [ctypes.c_int]
     lib.hnsw_search.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
@@ -92,6 +96,61 @@ class HNSW:
         self.entry_point = -1
 
 
+class HNSWStats:
+    """Search counters (reference: impl/HNSW.h:260 HNSWStats; the global
+    ``hnsw_stats`` singleton mirrors faiss.cvar.hnsw_stats). Counters live
+    in the native library; ``sync()`` snapshots them into the fields."""
+
+    def __init__(self):
+        self.n1 = 0  # searches run
+        self.ndis = 0  # distance evaluations (level-0 beam visits)
+        self.nhops = 0  # beam-search expansions
+
+    def sync(self) -> "HNSWStats":
+        if _LIB is not None:
+            buf = (ctypes.c_longlong * 3)()
+            _LIB.hnsw_stats_get(buf)
+            self.n1, self.ndis, self.nhops = (
+                int(buf[0]), int(buf[1]), int(buf[2])
+            )
+        return self
+
+    def reset(self) -> None:
+        if _LIB is not None:
+            _LIB.hnsw_stats_reset()
+        self.n1 = self.ndis = self.nhops = 0
+
+
+hnsw_stats = HNSWStats()
+
+
+def _watch_interrupt(set_fn, call):
+    """Run ``call()`` (a GIL-releasing ctypes call) while a watchdog
+    thread polls InterruptCallback and forwards interruption into the
+    native loop — the ctypes equivalent of the reference's per-loop
+    InterruptCallback::check() polling (AuxIndexStructures.h:138)."""
+    import threading
+
+    from ..callbacks import InterruptCallback
+
+    stop = threading.Event()
+
+    def watch():
+        while not stop.wait(0.05):
+            if InterruptCallback.is_interrupted():
+                set_fn(1)
+                return
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+    try:
+        return call()
+    finally:
+        stop.set()
+        t.join(timeout=0.5)
+        set_fn(0)
+
+
 class IndexHNSW(Index):
     """HNSW over a storage index (reference: IndexHNSW.h:24)."""
 
@@ -125,7 +184,18 @@ class IndexHNSW(Index):
         # efConstruction may have been changed after init; re-create not
         # needed — the native side reads it at hnsw_new; reference allows
         # changing it between adds, we approximate by rebuilding if empty.
-        self._lib.hnsw_add(g, _fp(x), len(x))
+        added = _watch_interrupt(
+            self._lib.hnsw_set_interrupt,
+            lambda: self._lib.hnsw_add(g, _fp(x), len(x)),
+        )
+        if added < len(x):
+            from ..callbacks import InterruptedException
+
+            self.storage.add(x[:added])
+            self.ntotal = self.storage.ntotal
+            raise InterruptedException(
+                f"HNSW add interrupted after {added}/{len(x)} nodes"
+            )
         self.storage.add(x)
         self.ntotal = self.storage.ntotal
 
@@ -150,6 +220,7 @@ class IndexHNSW(Index):
             _fp(D),
             I.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
+        hnsw_stats.sync()
         return D, I
 
     def reconstruct(self, key: int) -> np.ndarray:
@@ -271,10 +342,19 @@ class IndexHNSW2Level(IndexHNSW):
         self.storage.add(x)
         xr = self.storage.reconstruct_n(n0, self.storage.ntotal - n0)
         g = self._ensure_graph()
-        self._lib.hnsw_add(
-            g, _fp(np.ascontiguousarray(xr, np.float32)), len(xr)
+        xr = np.ascontiguousarray(xr, np.float32)
+        added = _watch_interrupt(
+            self._lib.hnsw_set_interrupt,
+            lambda: self._lib.hnsw_add(g, _fp(xr), len(xr)),
         )
-        self.ntotal = self.storage.ntotal
+        self.ntotal = n0 + added
+        if added < len(xr):
+            from ..callbacks import InterruptedException
+
+            raise InterruptedException(
+                f"HNSW2Level add interrupted after {added}/{len(xr)} nodes"
+                " (storage holds the full batch; graph holds the prefix)"
+            )
 
     def flip_to_ivf(self):
         """Return an IndexIVFPQ over the SAME trained parameters and codes

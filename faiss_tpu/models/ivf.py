@@ -504,6 +504,9 @@ class IndexIVFFlat(IndexIVF):
     recon_scan_max_bytes = 4 << 30
     refined_qdepth = 3  # candidates are near-results: keep the deep queue
     fused_interpret = False  # CPU interpret-mode testing knob
+    fused_fmax = 16  # flush cap / home-sort rotation / two-phase select
+    fused_sort_rot = False  # (shared semantics with IndexIVFPQ)
+    fused_cheap_after = 0
     _brute = None
 
     def __init__(self, quantizer, d, nlist, metric=MetricType.L2):
@@ -707,6 +710,10 @@ class IndexIVFFlat(IndexIVF):
                     nprobe,
                     qdepth=self.refined_qdepth,
                     lossy_rank=min(k, kc - 1),
+                    fmax=self.fused_fmax,
+                    sort_rot=self.fused_sort_rot,
+                    cheap_after=self.fused_cheap_after,
+                    interpret=self.fused_interpret,
                 )
             pending.append((start, real, packed, use_dyn))
         for start, real, packed, was_dyn in pending:

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import functools
+import time
 
 import jax
 
@@ -208,6 +209,37 @@ QUERY_H2D_DTYPE = "int8"
 _UNSET = object()
 
 
+class IVFFastScanStats:
+    """Counters for the fused big-batch scans (reference:
+    IndexIVFFastScan.h:409 IVFFastScanStats). ``ndis`` counts slots whose
+    key entered selection (the exhaustive kernel streams every slot;
+    the dyn kernel streams only worklist chunks), ``chunks_*`` the
+    dyn-worklist economy, ``lossy_rows`` eviction-floor flags absorbed by
+    the exact re-rank."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.nq = 0
+        self.ndis = 0
+        self.chunks_scanned = 0
+        self.chunks_skipped = 0
+        self.lossy_rows = 0
+        self.t_scan = 0.0
+
+    def __repr__(self):
+        return (
+            f"IVFFastScanStats(nq={self.nq}, ndis={self.ndis}, "
+            f"chunks_scanned={self.chunks_scanned}, "
+            f"chunks_skipped={self.chunks_skipped}, "
+            f"lossy_rows={self.lossy_rows}, t_scan={self.t_scan:.3f}s)"
+        )
+
+
+ivf_fast_scan_stats = IVFFastScanStats()
+
+
 def _stage_queries(xq: np.ndarray, dtype=_UNSET) -> jnp.ndarray:
     if dtype is _UNSET:
         dtype = QUERY_H2D_DTYPE
@@ -343,12 +375,15 @@ def _masked_coarse_bias(xq, centroids_g, cn2g, nprobe):
 
 def _dyn_probe_bitmap(
     xq, centroids_g, cn2g, chunk_first, chunk_last, nprobe, qt, max_span,
-    nchunks,
+    nchunks, approx=False,
 ):
     """Shared probe/sort/bitmap stages of the dynamic-chunk search.
 
     Returns (perm, pcols_sorted, cm2, bitmap [T, nchunks+1]) for home-group-
-    sorted queries; the trailing bitmap column is the PAD chunk (cleared)."""
+    sorted queries; the trailing bitmap column is the PAD chunk (cleared).
+    ``approx`` routes the probe top-k through lax.approx_max_k (TPU-native,
+    measured 31.5 -> 11.9 ms on the 8192x4096 serving shape); fine for the
+    soft-probe path, where the worklist only needs to COVER the best lists."""
     nq = xq.shape[0]
     T = nq // qt
     cm2 = -2.0 * jax.lax.dot_general(
@@ -356,7 +391,10 @@ def _dyn_probe_bitmap(
         preferred_element_type=jnp.float32,
     )
     key = cn2g[None, :] + cm2
-    _, pcols = jax.lax.top_k(-key, nprobe)
+    if approx:
+        _, pcols = jax.lax.approx_max_k(-key, nprobe)
+    else:
+        _, pcols = jax.lax.top_k(-key, nprobe)
     perm = jnp.argsort(pcols[:, 0] // 128, stable=True)
     pcols_s = pcols[perm]
     tile_of = jnp.repeat(jnp.arange(T, dtype=jnp.int32), qt)[:, None]
@@ -457,12 +495,13 @@ def _fused_search_rerank_dyn(
 
 @functools.partial(
     jax.jit, static_argnames=("k", "kc", "qt", "ct", "nprobe", "qdepth",
-                              "lossy_rank", "fmax", "sort_rot", "interpret")
+                              "lossy_rank", "fmax", "sort_rot",
+                              "cheap_after", "interpret")
 )
 def _fused_search_rerank_recon(
     xq, centroids_g, cn2g, yT, n2s, lid, slot_map, xb,
     k, kc, qt, ct, nprobe, qdepth=3, lossy_rank=None, fmax=16,
-    sort_rot=False, interpret=False,
+    sort_rot=False, cheap_after=0, carry=None, interpret=False,
 ):
     """One-dispatch big-batch IVF search + exact re-rank, scoring against
     the DECODED reconstruction store (ivf_recon_fused_pallas) instead of
@@ -506,6 +545,7 @@ def _fused_search_rerank_recon(
     v, slots_raw, ev = ivf_recon_fused_pallas(
         xq, yT, n2s, lid, mask,
         qt=qt, ct=ct, qdepth=qdepth, fmax=fmax, rot=sort_rot,
+        cheap_after=cheap_after if sort_rot else 0,
         interpret=interpret,
     )
     slots = jnp.where(
@@ -515,7 +555,10 @@ def _fused_search_rerank_recon(
     lossy = jnp.min(ev, -1) < v[:, kc - 1 if lossy_rank is None else lossy_rank]
     if inv is not None:
         D, I, lossy = D[inv], I[inv], lossy[inv]
-    return _pack_results(D, I, lossy, jnp.zeros((), jnp.int32))
+    out = _pack_results(D, I, lossy, jnp.zeros((), jnp.int32))
+    if carry is not None:  # single-read chaining (see recon_dyn)
+        out = jnp.concatenate([carry, out], axis=0)
+    return out
 
 
 def _probe_penalty(xq, centroids_g, cn2g, nprobe):
@@ -536,18 +579,26 @@ def _probe_penalty(xq, centroids_g, cn2g, nprobe):
     jax.jit,
     static_argnames=(
         "k", "kc", "qt", "ct", "nprobe", "msteps", "max_span", "qdepth",
-        "interpret",
+        "strict_probe", "interpret",
     ),
 )
 def _fused_search_rerank_recon_dyn(
     xq, centroids_g, cn2g, yT, n2s, lid, slot_map, xb,
     chunk_first, chunk_last, cgroup,
-    k, kc, qt, ct, nprobe, msteps, max_span, qdepth=3, interpret=False,
+    k, kc, qt, ct, nprobe, msteps, max_span, qdepth=3, strict_probe=True,
+    carry=None, interpret=False,
 ):
     """nprobe-sparse recon-GEMM big-batch search + exact re-rank (one
     dispatch): the dyn-chunk worklist flow of _fused_search_rerank_dyn
     with the decoded-store score producer — scans only the probed chunks
-    AND does it at recon-GEMM speed."""
+    AND does it at recon-GEMM speed.
+
+    ``strict_probe=False`` (soft probing): no {0,1e9} penalty — every slot
+    in a worklist chunk competes on its true key. Strictly higher recall
+    than the penalized scan at the same worklists and much cheaper (the
+    penalty one-hot GEMM is ~20% of the step cost); the trade is that
+    results are no longer exactly "nprobe lists only" (search_preassigned
+    parity keeps strict_probe=True)."""
     from ..ops.distances import rerank_exact
     from ..ops.pallas_knn import ivf_recon_fused_dyn_pallas
 
@@ -561,12 +612,17 @@ def _fused_search_rerank_recon_dyn(
     nchunks = cgroup.shape[0] - 1  # trailing PAD chunk
     perm, pcols_s, cm2, bitmap = _dyn_probe_bitmap(
         xq, centroids_g, cn2g, chunk_first, chunk_last, nprobe, qt,
-        max_span, nchunks,
+        max_span, nchunks, approx=not strict_probe,
     )
     xq_s = xq[perm]
-    rows = jnp.arange(nq, dtype=jnp.int32)[:, None]
-    probed = jnp.zeros(cm2.shape, jnp.bool_).at[rows, pcols_s].set(True)
-    penalty = jnp.where(probed, 0.0, 1e9)
+    if strict_probe:
+        rows = jnp.arange(nq, dtype=jnp.int32)[:, None]
+        probed = (
+            jnp.zeros(cm2.shape, jnp.bool_).at[rows, pcols_s].set(True)
+        )
+        penalty = jnp.where(probed, 0.0, 1e9)
+    else:
+        penalty = None
     cnt = jnp.sum(bitmap, axis=1)
     order = jnp.argsort(~bitmap, axis=1, stable=True)
     cmap = order[:, :msteps].astype(jnp.int32)
@@ -581,7 +637,8 @@ def _fused_search_rerank_recon_dyn(
     )
     v, slots_raw, ev = ivf_recon_fused_dyn_pallas(
         penalty, xq_p, yT, n2s, lid, cmap, cgroup,
-        qt=qt, ct=ct, qdepth=qdepth, interpret=interpret,
+        qt=qt, ct=ct, qdepth=qdepth, penalized=strict_probe,
+        interpret=interpret,
     )
     slots = jnp.where(
         slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
@@ -589,7 +646,13 @@ def _fused_search_rerank_recon_dyn(
     D, I = rerank_exact(xq_s, xb, slots, k)
     lossy = jnp.min(ev, -1) < v[:, kc - 1]
     inv = jnp.argsort(perm, stable=True)
-    return _pack_results(D[inv], I[inv], lossy[inv], ndropped)
+    out = _pack_results(D[inv], I[inv], lossy[inv], ndropped)
+    if carry is not None:
+        # chain the previous sub-batch's packed result through this
+        # program so ALL sub-batches come home in ONE device->host read
+        # (each read costs a ~38 ms tunnel round trip)
+        out = jnp.concatenate([carry, out], axis=0)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("d_pad", "by_residual"))
@@ -930,8 +993,16 @@ class IndexIVFPQ(IndexIVF):
     dyn_msteps = 0
     _dyn_bucket = None  # dict {nprobe: bucket} once first used
     # engage the dyn kernel only below this probed-chunk fraction
-    # (its random-order DMA costs ~8x a sequential chunk)
+    # (strict mode: the {0,1e9} penalty GEMM makes dyn steps ~40% dearer)
     dyn_engage_frac = 0.08
+    # SOFT probing (strict_probe=False): skip the penalty — every slot in
+    # a worklist chunk competes on its true key (recall >= the strict scan
+    # at the same worklists; measured r3: worklist gaps are DMA-free and
+    # the dyn step costs the same as the sequential stream). nprobe then
+    # selects the worklist SIZE, not an exact list filter; results may
+    # include better candidates from unprobed lists sharing a chunk.
+    strict_probe = True
+    soft_engage_frac = 0.7
     # per-lane insertion-queue depth for the REFINED fused path: 2 trades a
     # few more queue evictions (absorbed by the exact re-rank; measured
     # candidate recall -0.005) for a 15% faster kernel. The unrefined path,
@@ -949,10 +1020,16 @@ class IndexIVFPQ(IndexIVF):
     # run the fused Pallas programs in interpret mode (CPU testing of the
     # full big-batch-refined path, including staging + dyn-bucket logic)
     fused_interpret = False
+    # ONE staged upload + ONE concatenated readback across sub-batches.
+    # Measured SLOWER on the axon tunnel (eager slice/concat dispatches
+    # cost more than the saved RTs; A/B x3: 162-192 vs 144-161 ms) —
+    # default off, kept as a knob for direct-attached TPUs.
+    rt_econ = False
     # recon-kernel flush-schedule cap + home-group query sort/rotation
     # (see _fused_search_rerank_recon sort_rot); tuned on TPU
     fused_fmax = 16
     fused_sort_rot = False
+    fused_cheap_after = 0  # two-phase select boundary (needs sort_rot)
 
     def _dyn_bucket_for(self, xq_dev, br, nprobe, qt):
         if self.dyn_msteps:
@@ -1006,28 +1083,48 @@ class IndexIVFPQ(IndexIVF):
         # so the tunnel overlaps batch i+1's upload/compute with batch i's
         # compute/readback (jax async dispatch; the per-batch read is the
         # only blocking point). pipeline_batch splits large nq for overlap.
+        #
+        # Tunnel-RT economy (each host<->device sync costs ~38 ms): ALL
+        # sub-batches ride ONE staged upload (device slices per bucket) and
+        # ONE packed readback (device concat in the read phase).
+        buckets = list(query_buckets(nq, max_batch=self.pipeline_batch))
+        if self.rt_econ:
+            offs = []
+            o = 0
+            for _, padded, _ in buckets:
+                offs.append(o)
+                o += padded
+            xq_pad = np.zeros((o, x.shape[1]), np.float32)
+            for (start, padded, real), op in zip(buckets, offs):
+                xq_pad[op : op + real] = x[start : start + real]
+            xq_all = _stage_queries(xq_pad, self.query_h2d_dtype)
+        else:
+            offs = [0] * len(buckets)
         pending = []
-        for start, padded, real in query_buckets(
-            nq, max_batch=self.pipeline_batch
-        ):
-            xq = x[start : start + real]
-            if padded != real:
-                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+        carry = None  # single-read chaining across sub-batches
+        for (start, padded, real), op in zip(buckets, offs):
             use_recon = br.get("yT") is not None
             # qt=256 measured best for BOTH kernels (qt=512 runs the recon
             # kernel 6x slower — Mosaic pipelining degrades at that tile)
             qt = min(padded, 256)
-            xq_dev = _stage_queries(xq, self.query_h2d_dtype)
+            if self.rt_econ:
+                xq_dev = jax.lax.slice_in_dim(
+                    xq_all, op, op + padded, axis=0
+                )
+            else:
+                xqh = x[start : start + real]
+                if padded != real:
+                    xqh = np.pad(xqh, ((0, padded - real), (0, 0)))
+                xq_dev = _stage_queries(xqh, self.query_h2d_dtype)
             use_dyn = bool(nprobe) and padded >= 128
             if use_dyn:
                 msteps = self._dyn_bucket_for(xq_dev, br, nprobe, qt)
-                # measured: the dyn kernel's random chunk order defeats
-                # Mosaic's DMA double-buffering — per-chunk cost is ~8x
-                # the sequential stream — so worklists only pay at extreme
-                # sparsity (dyn_engage_frac of the chunks)
-                use_dyn = msteps <= int(
-                    self.dyn_engage_frac * br["nchunks"]
+                frac = (
+                    self.soft_engage_frac
+                    if not self.strict_probe
+                    else self.dyn_engage_frac
                 )
+                use_dyn = msteps <= int(frac * br["nchunks"])
             if use_dyn and use_recon:
                 packed = _fused_search_rerank_recon_dyn(
                     xq_dev,
@@ -1049,9 +1146,13 @@ class IndexIVFPQ(IndexIVF):
                     msteps,
                     br["max_span"],
                     qdepth=self.refined_qdepth,
+                    strict_probe=self.strict_probe,
+                    carry=carry,
                     interpret=self.fused_interpret,
                 )
+                carry = packed
             elif use_dyn:
+                carry = None  # one-hot paths are not chainable
                 packed = _fused_search_rerank_dyn(
                     xq_dev,
                     br["centroids_g"],
@@ -1092,9 +1193,13 @@ class IndexIVFPQ(IndexIVF):
                     qdepth=self.refined_qdepth,
                     fmax=self.fused_fmax,
                     sort_rot=self.fused_sort_rot,
+                    cheap_after=self.fused_cheap_after,
+                    carry=carry,
                     interpret=self.fused_interpret,
                 )
+                carry = packed
             else:
+                carry = None  # one-hot path: per-batch reads
                 packed = _fused_search_rerank(
                     xq_dev,
                     br["centroids_g"],
@@ -1113,10 +1218,43 @@ class IndexIVFPQ(IndexIVF):
                     qdepth=self.refined_qdepth,
                     interpret=self.fused_interpret,
                 )
-            pending.append((start, real, packed, use_dyn))
-        # READ phase
-        for start, real, packed, was_dyn in pending:
-            d, slots, lossy, nd = _unpack_results(packed, k)
+            nch = br["nchunks"]
+            nscan = msteps if use_dyn else nch
+            ivf_fast_scan_stats.nq += real
+            ivf_fast_scan_stats.ndis += (padded // qt) * nscan * self.FUSED_CT
+            ivf_fast_scan_stats.chunks_scanned += nscan
+            ivf_fast_scan_stats.chunks_skipped += nch - nscan
+            pending.append((start, real, padded, packed, use_dyn))
+        # READ phase. Preferred: the dispatch loop CHAINED each sub-batch's
+        # packed rows through the next program (carry), so the LAST handle
+        # holds every row and ONE host read (~38 ms tunnel RT each) fetches
+        # all of them. Fallbacks: rt_econ device concat, batched
+        # device_get, or per-batch reads (a chained mid-stream packed
+        # carries its predecessors — its own rows are the tail slice).
+        t_read0 = time.perf_counter()
+        total_rows = sum(p[2] for p in pending)
+        if len(pending) > 1 and pending[-1][3].shape[0] == total_rows:
+            allp = np.asarray(pending[-1][3])
+        elif len(pending) > 1 and self.rt_econ:
+            allp = np.asarray(
+                jnp.concatenate([p[3][-p[2] :] for p in pending], axis=0)
+            )
+        elif len(pending) > 1:
+            # device_get on the list lets the client batch transfers
+            allp = np.concatenate(
+                [a[-p[2] :] for a, p in zip(
+                    jax.device_get([p[3] for p in pending]), pending
+                )]
+            )
+        else:
+            allp = np.asarray(pending[0][3])[-pending[0][2] :]
+        po = 0
+        for start, real, padded, packed, was_dyn in pending:
+            d, slots, lossy, nd = _unpack_results(
+                allp[po : po + padded], k
+            )
+            po += padded
+            ivf_fast_scan_stats.lossy_rows += int(lossy[:real].sum())
             if was_dyn and nd > 0 and not self.dyn_msteps:
                 # post-hoc monitor: a worklist overflow means some probed
                 # chunks were skipped this batch — widen the bucket for the
@@ -1137,6 +1275,7 @@ class IndexIVFPQ(IndexIVF):
             # keeps the kernel output; the unrefined path, whose candidates
             # ARE the results, still repairs (_search_big_batch).
             del lossy
+        ivf_fast_scan_stats.t_scan += time.perf_counter() - t_read0
         return D, I
 
     def _big_batch_xla(self, x, k, nprobe=0):

@@ -27,7 +27,8 @@ def _load_lib():
         return _LIB
     nd = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "native"))
     so = os.path.join(nd, "libnsg.so")
-    if not os.path.exists(so):
+    src = os.path.join(nd, "nsg.cpp")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
              os.path.join(nd, "nsg.cpp"), "-o", so],
@@ -42,6 +43,10 @@ def _load_lib():
     lib.nsg_ntotal.argtypes = [c.c_void_p]
     lib.nsg_enterpoint.restype = c.c_int64
     lib.nsg_enterpoint.argtypes = [c.c_void_p]
+    lib.nsg_build.restype = c.c_int
+    lib.nsg_stats_get.argtypes = [c.POINTER(c.c_longlong)]
+    lib.nsg_stats_reset.argtypes = []
+    lib.nsg_set_interrupt.argtypes = [c.c_int]
     lib.nsg_build.argtypes = [
         c.c_void_p, c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int, c.c_int,
     ]
@@ -65,6 +70,29 @@ def _fp(a):
 
 def _ip64(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+class NSGStats:
+    """Build/search distance-eval counter (hnsw_stats analogue for the
+    native NSG component)."""
+
+    def __init__(self):
+        self.ndis = 0
+
+    def sync(self) -> "NSGStats":
+        if _LIB is not None:
+            buf = (ctypes.c_longlong * 1)()
+            _LIB.nsg_stats_get(buf)
+            self.ndis = int(buf[0])
+        return self
+
+    def reset(self) -> None:
+        if _LIB is not None:
+            _LIB.nsg_stats_reset()
+        self.ndis = 0
+
+
+nsg_stats = NSGStats()
 
 
 class IndexNSGFlat(Index):
@@ -100,9 +128,21 @@ class IndexNSGFlat(Index):
                 "IndexNSG.cpp has the same constraint)"
             )
         g = self._ensure()
-        self._lib.nsg_build(
-            g, _fp(x), len(x), self.GK, self.nndescent_iter, self.build_L
+        from .hnsw import _watch_interrupt
+
+        rc = _watch_interrupt(
+            self._lib.nsg_set_interrupt,
+            lambda: self._lib.nsg_build(
+                g, _fp(x), len(x), self.GK, self.nndescent_iter,
+                self.build_L,
+            ),
         )
+        nsg_stats.sync()
+        if rc != 0:
+            from ..callbacks import InterruptedException
+
+            self.reset()
+            raise InterruptedException("NSG build interrupted")
         self._xb = x.copy()
         self.ntotal = len(x)
 
@@ -196,10 +236,22 @@ class IndexNSGPQ(IndexNSGFlat):
         self.storage.add(x)
         xr = self.storage.reconstruct_n(0, self.storage.ntotal)
         g = self._ensure()
-        self._lib.nsg_build(
-            g, _fp(np.ascontiguousarray(xr, np.float32)), len(xr),
-            self.GK, self.nndescent_iter, self.build_L,
+        from .hnsw import _watch_interrupt
+
+        xr = np.ascontiguousarray(xr, np.float32)
+        rc = _watch_interrupt(
+            self._lib.nsg_set_interrupt,
+            lambda: self._lib.nsg_build(
+                g, _fp(xr), len(xr), self.GK, self.nndescent_iter,
+                self.build_L,
+            ),
         )
+        nsg_stats.sync()
+        if rc != 0:
+            from ..callbacks import InterruptedException
+
+            self.reset()
+            raise InterruptedException("NSG build interrupted")
         self._xb = xr
         self.ntotal = len(xr)
 

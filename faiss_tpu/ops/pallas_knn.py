@@ -845,7 +845,7 @@ def ivfpq_fused_pallas_v3(
 
 
 def _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo=False,
-                       fmax=16, rot=0):
+                       fmax=16, rot=0, cheap_after=0, dbg="full"):
     """Reconstruction-GEMM score producer + the shared queue/flush select.
 
     Scores ADC keys as a DIRECT MXU contraction against the decoded
@@ -963,21 +963,96 @@ def _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo=False,
         theta = rv_ref[:, LANES - 1 : LANES]
         assert n_sub % 2 == 0
         half = n_sub // 2
-        for t in range(half):
-            c0 = base + t * LANES + lane
-            c1 = c0 + half * LANES
-            s0 = skey[:, t * LANES : (t + 1) * LANES]
-            s1 = skey[:, (t + half) * LANES : (t + half + 1) * LANES]
-            sel = s0 <= s1
-            sv = jnp.where(sel, s0, s1)
-            col = jnp.where(sel, c0, c1)
-            dropped = jnp.where(sel, s1, s0)
+
+        def _careful_select():
+            if dbg == "seqq":
+                # debug: sequential strips, per-strip theta-filtered queue
+                # insert, no pair reduce, no ev tracking
+                for t in range(n_sub):
+                    sl = skey[:, t * LANES : (t + 1) * LANES]
+                    cv = jnp.where(sl < theta, sl, jnp.inf)
+                    ci = base + t * LANES + lane
+                    for lev in range(qdepth):
+                        lv = qv_ref[lev]
+                        li = qi_ref[lev]
+                        lt = cv < lv
+                        qv_ref[lev] = jnp.where(lt, cv, lv)
+                        qi_ref[lev] = jnp.where(lt, ci, li)
+                        cv = jnp.where(lt, lv, cv)
+                        ci = jnp.where(lt, li, ci)
+                    ev_ref[:] = jnp.minimum(ev_ref[:], cv)
+                return
+            if dbg == "pair":
+                # debug: identical slicing pattern, min-only ops, no
+                # scratch writes inside the loop (isolates skey
+                # materialization cost from select state updates)
+                mm = None
+                for t in range(half):
+                    s0 = skey[:, t * LANES : (t + 1) * LANES]
+                    s1 = skey[
+                        :, (t + half) * LANES : (t + half + 1) * LANES
+                    ]
+                    sv = jnp.minimum(s0, s1)
+                    mm = sv if mm is None else jnp.minimum(mm, sv)
+                ev_ref[:] = jnp.minimum(ev_ref[:], mm)
+                return
+            for t in range(half):
+                c0 = base + t * LANES + lane
+                c1 = c0 + half * LANES
+                s0 = skey[:, t * LANES : (t + 1) * LANES]
+                s1 = skey[:, (t + half) * LANES : (t + half + 1) * LANES]
+                sel = s0 <= s1
+                sv = jnp.where(sel, s0, s1)
+                col = jnp.where(sel, c0, c1)
+                if dbg == "noq":  # debug: pair-reduce + theta only
+                    ev_ref[:] = jnp.minimum(
+                        ev_ref[:], jnp.where(sv < theta, sv, jnp.inf)
+                    )
+                    continue
+                if dbg != "noev":
+                    dropped = jnp.where(sel, s1, s0)
+                    ev_ref[:] = jnp.minimum(
+                        ev_ref[:],
+                        jnp.where(dropped < theta, dropped, jnp.inf),
+                    )
+                sv = jnp.where(sv < theta, sv, jnp.inf)
+                cv = sv
+                ci = col
+                for lev in range(qdepth):
+                    lv = qv_ref[lev]
+                    li = qi_ref[lev]
+                    lt = cv < lv
+                    qv_ref[lev] = jnp.where(lt, cv, lv)
+                    qi_ref[lev] = jnp.where(lt, ci, li)
+                    cv = jnp.where(lt, lv, cv)
+                    ci = jnp.where(lt, li, ci)
+                if dbg != "noev":
+                    ev_ref[:] = jnp.minimum(ev_ref[:], cv)
+
+        def _cheap_select():
+            # tail-phase select (valid under sort_rot: after the home
+            # region the threshold is tight and candidates that beat it
+            # are rare). Linear min2 fold across the ct/128 subtiles:
+            # keeps the per-lane best (with column) + the exact runner-up
+            # value, so the eviction-floor contract stays truthful (the
+            # best candidate this step drops IS m2), at ~4 VPU ops per
+            # subtile instead of the careful path's ~17.
+            m1 = skey[:, :LANES]
+            c1 = base + lane
+            m2 = jnp.full((qt, LANES), jnp.inf, jnp.float32)
+            for t in range(1, n_sub):
+                sl = skey[:, t * LANES : (t + 1) * LANES]
+                cl = base + t * LANES + lane
+                lt1 = sl < m1
+                m2 = jnp.where(lt1, m1, jnp.minimum(m2, sl))
+                m1 = jnp.minimum(m1, sl)
+                c1 = jnp.where(lt1, cl, c1)
             ev_ref[:] = jnp.minimum(
-                ev_ref[:], jnp.where(dropped < theta, dropped, jnp.inf)
+                ev_ref[:], jnp.where(m2 < theta, m2, jnp.inf)
             )
-            sv = jnp.where(sv < theta, sv, jnp.inf)
+            sv = jnp.where(m1 < theta, m1, jnp.inf)
             cv = sv
-            ci = col
+            ci = c1
             for lev in range(qdepth):
                 lv = qv_ref[lev]
                 li = qi_ref[lev]
@@ -987,6 +1062,12 @@ def _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo=False,
                 cv = jnp.where(lt, lv, cv)
                 ci = jnp.where(lt, li, ci)
             ev_ref[:] = jnp.minimum(ev_ref[:], cv)
+
+        if cheap_after:
+            pl.when(j < cheap_after)(_careful_select)
+            pl.when(j >= cheap_after)(_cheap_select)
+        else:
+            _careful_select()
 
         @pl.when(j == nj - 1)
         def _finish():
@@ -1008,17 +1089,28 @@ def _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo=False,
     return kernel
 
 
-def _make_recon_kernel_dyn(qt, ct, d, qdepth):
+def _make_recon_kernel_dyn(qt, ct, d, qdepth, penalized=True):
     """Dynamic-chunk recon kernel: grid step j visits chunk ``cmap[i, j]``
     (the per-tile probed-chunk worklist — implem_12 semantics,
-    IndexIVFFastScan.cpp:1166) with the recon-GEMM score producer and the
-    {0, 1e9} probe-penalty mask of the masked recon kernel. Scan cost
+    IndexIVFFastScan.cpp:1166) with the recon-GEMM score producer and,
+    when ``penalized``, the {0, 1e9} probe-penalty mask of the masked
+    recon kernel. ``penalized=False`` is the SOFT-probe serving mode:
+    every slot in a worklist chunk competes on its true key — candidates
+    from unprobed lists in shared chunks only improve recall, and the
+    penalty machinery (a [qt,128]x[128,ct] one-hot GEMM + wide iota
+    compare per step, measured ~+1.3 us/step) disappears. Scan cost
     scales with the probed-chunk union instead of ntotal."""
     n_sub = ct // LANES
 
-    def kernel(cmap_ref, cgroup_ref, q_ref, bias_ref, yT_ref, n2_ref,
-               lid_ref, out_v_ref, out_i_ref, out_ev_ref,
-               rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref):
+    def kernel(*refs):
+        if penalized:
+            (cmap_ref, cgroup_ref, q_ref, bias_ref, yT_ref, n2_ref,
+             lid_ref, out_v_ref, out_i_ref, out_ev_ref,
+             rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref) = refs
+        else:
+            (cmap_ref, cgroup_ref, q_ref, yT_ref, n2_ref,
+             out_v_ref, out_i_ref, out_ev_ref,
+             rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref) = refs
         del cgroup_ref  # used by the index maps only
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -1051,15 +1143,18 @@ def _make_recon_kernel_dyn(qt, ct, d, qdepth):
             q_lo, y, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        lid = lid_ref[:].astype(jnp.int32)
-        lrow = jax.lax.broadcasted_iota(jnp.int32, (LANES, ct), 0)
-        listoh = jnp.where(lrow == lid, 1.0, 0.0).astype(jnp.bfloat16)
-        penalty = jax.lax.dot_general(
-            bias_ref[:].astype(jnp.bfloat16), listoh,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        skey = n2_ref[:] - 2.0 * ip + penalty
+        if penalized:
+            lid = lid_ref[:].astype(jnp.int32)
+            lrow = jax.lax.broadcasted_iota(jnp.int32, (LANES, ct), 0)
+            listoh = jnp.where(lrow == lid, 1.0, 0.0).astype(jnp.bfloat16)
+            penalty = jax.lax.dot_general(
+                bias_ref[:].astype(jnp.bfloat16), listoh,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            skey = n2_ref[:] - 2.0 * ip + penalty
+        else:
+            skey = n2_ref[:] - 2.0 * ip
 
         base = cmap_ref[i, j] * ct
         theta = rv_ref[:, LANES - 1 : LANES]
@@ -1111,7 +1206,8 @@ def _make_recon_kernel_dyn(qt, ct, d, qdepth):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("qt", "ct", "qdepth", "interpret")
+    jax.jit,
+    static_argnames=("qt", "ct", "qdepth", "penalized", "interpret"),
 )
 def ivf_recon_fused_dyn_pallas(
     biasg: jax.Array,  # [nq, ngroups*128] f32 {0, 1e9} probe penalty
@@ -1124,33 +1220,44 @@ def ivf_recon_fused_dyn_pallas(
     qt: int = 256,
     ct: int = 1024,
     qdepth: int = QDEPTH,
+    penalized: bool = True,
     interpret: bool = False,
 ):
     """nprobe-sparse recon-GEMM IVF scan + top-128 select: the dyn-chunk
     worklist structure of ivfpq_fused_dyn_pallas with the decoded-store
-    score producer of ivf_recon_fused_pallas."""
+    score producer of ivf_recon_fused_pallas. ``penalized=False`` = soft
+    probing (no {0,1e9} mask — see _make_recon_kernel_dyn)."""
     nq = xq.shape[0]
     d = xq.shape[1]
     assert yT.shape[0] == d
     msteps = cmap.shape[1]
     assert cmap.shape[0] == nq // qt
     grid = (nq // qt, msteps)
-    kernel = _make_recon_kernel_dyn(qt, ct, d, qdepth)
+    kernel = _make_recon_kernel_dyn(qt, ct, d, qdepth, penalized=penalized)
+    in_specs = [
+        pl.BlockSpec((qt, d), lambda i, j, cm, cg: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if penalized:
+        in_specs.append(
+            pl.BlockSpec((qt, 128), lambda i, j, cm, cg: (i, cg[cm[i, j]]),
+                         memory_space=pltpu.VMEM)
+        )
+    in_specs += [
+        pl.BlockSpec((d, ct), lambda i, j, cm, cg: (0, cm[i, j]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ct), lambda i, j, cm, cg: (0, cm[i, j]),
+                     memory_space=pltpu.VMEM),
+    ]
+    if penalized:
+        in_specs.append(
+            pl.BlockSpec((1, ct), lambda i, j, cm, cg: (0, cm[i, j]),
+                         memory_space=pltpu.VMEM)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((qt, d), lambda i, j, cm, cg: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((qt, 128), lambda i, j, cm, cg: (i, cg[cm[i, j]]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, ct), lambda i, j, cm, cg: (0, cm[i, j]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ct), lambda i, j, cm, cg: (0, cm[i, j]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ct), lambda i, j, cm, cg: (0, cm[i, j]),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((qt, LANES), lambda i, j, cm, cg: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -1169,6 +1276,11 @@ def ivf_recon_fused_dyn_pallas(
             pltpu.VMEM((qt, LANES), jnp.float32),
         ],
     )
+    operands = (
+        (cmap, cgroup, xq, biasg, yT, n2, lid)
+        if penalized
+        else (cmap, cgroup, xq, yT, n2)
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1181,12 +1293,15 @@ def ivf_recon_fused_dyn_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(cmap, cgroup, xq, biasg, yT, n2, lid)
+    )(*operands)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("qt", "ct", "qdepth", "fmax", "rot", "interpret"),
+    static_argnames=(
+        "qt", "ct", "qdepth", "fmax", "rot", "cheap_after", "dbg",
+        "interpret",
+    ),
 )
 def ivf_recon_fused_pallas(
     xq: jax.Array,  # [nq, d_pad] f32 queries (zero-padded dims)
@@ -1200,6 +1315,8 @@ def ivf_recon_fused_pallas(
     qdepth: int = QDEPTH,
     fmax: int = 16,  # flush-interval cap (sparser = cheaper, more evictions)
     rot: bool = False,  # rotate chunk order: tile i starts at its home region
+    cheap_after: int = 0,  # steps after which the cheap tail select engages
+    dbg: str = "full",  # kernel-bisection debug modes (noev / noq)
     interpret: bool = False,
 ):
     """Fused IVF scan + top-128 select over DECODED reconstructions.
@@ -1231,7 +1348,8 @@ def ivf_recon_fused_pallas(
         def cmap(i, j):
             return j
     kernel = _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo,
-                                fmax=fmax, rot=rstride)
+                                fmax=fmax, rot=rstride,
+                                cheap_after=cheap_after, dbg=dbg)
     in_specs = [
         pl.BlockSpec((qt, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
     ]

@@ -11,6 +11,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -fopenmp hnsw.cpp -o libhnsw.so
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -26,6 +27,13 @@
 namespace {
 
 using idx_t = int64_t;
+
+// -- stats + cooperative cancellation (reference: impl/HNSW.h:260
+// HNSWStats / AuxIndexStructures.h:138 InterruptCallback) ------------------
+std::atomic<long long> g_n1{0};    // searches run
+std::atomic<long long> g_ndis{0};  // distance evaluations (level-0 visits)
+std::atomic<long long> g_nhops{0}; // beam-search expansions
+std::atomic<int> g_stop{0};        // set by hnsw_set_interrupt
 
 struct HNSW {
   int d = 0;
@@ -112,10 +120,12 @@ std::vector<PairDI> search_level(
   visited[entry] = 1;
   visited_list.push_back(entry);
 
+  long long hops = 0;
   while (!cands.empty()) {
     auto [dc, c] = cands.top();
     if (dc > results.top().first && (idx_t)results.size() >= ef) break;
     cands.pop();
+    ++hops;
     idx_t* nb = h.neigh(c, level);
     int nn = h.nb_per_level(level);
     for (int i = 0; i < nn; ++i) {
@@ -132,6 +142,9 @@ std::vector<PairDI> search_level(
       }
     }
   }
+  g_nhops.fetch_add(hops, std::memory_order_relaxed);
+  g_ndis.fetch_add((long long)visited_list.size(),
+                   std::memory_order_relaxed);
   std::vector<PairDI> out;
   out.reserve(results.size());
   while (!results.empty()) {
@@ -247,8 +260,9 @@ void hnsw_free(void* ptr) { delete static_cast<HNSW*>(ptr); }
 
 int64_t hnsw_ntotal(void* ptr) { return static_cast<HNSW*>(ptr)->ntotal; }
 
-// append n vectors and link them into the graph
-void hnsw_add(void* ptr, const float* x, int64_t n) {
+// append n vectors and link them into the graph; returns the number of
+// nodes actually linked (< n iff interrupted via hnsw_set_interrupt)
+int64_t hnsw_add(void* ptr, const float* x, int64_t n) {
   auto& h = *static_cast<HNSW*>(ptr);
   idx_t base = h.ntotal;
   h.vecs.insert(h.vecs.end(), x, x + (size_t)n * h.d);
@@ -264,12 +278,33 @@ void hnsw_add(void* ptr, const float* x, int64_t n) {
   h.ntotal += n;
   std::vector<uint8_t> visited(h.ntotal, 0);
   std::vector<idx_t> vlist;
-  for (idx_t i = 0; i < n; ++i) insert_node(h, base + i, visited, vlist);
+  for (idx_t i = 0; i < n; ++i) {
+    if (g_stop.load(std::memory_order_relaxed)) {
+      // roll back the unlinked tail so the graph stays consistent
+      h.ntotal = base + i;
+      h.vecs.resize((size_t)h.ntotal * h.d);
+      h.levels.resize(h.ntotal);
+      h.neighbors.resize(h.ntotal);
+      return i;
+    }
+    insert_node(h, base + i, visited, vlist);
+  }
+  return n;
 }
+
+// stats + cancellation C ABI (HNSWStats analogue)
+void hnsw_stats_get(long long* out3) {
+  out3[0] = g_n1.load();
+  out3[1] = g_ndis.load();
+  out3[2] = g_nhops.load();
+}
+void hnsw_stats_reset() { g_n1 = 0; g_ndis = 0; g_nhops = 0; }
+void hnsw_set_interrupt(int v) { g_stop.store(v); }
 
 void hnsw_search(void* ptr, const float* xq, int64_t nq, int64_t k,
                  int ef_search, float* D, int64_t* I) {
   auto& h = *static_cast<HNSW*>(ptr);
+  g_n1.fetch_add(nq, std::memory_order_relaxed);
   int ef = std::max<int64_t>(ef_search, k);
 #ifdef _OPENMP
 #pragma omp parallel

@@ -11,6 +11,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -fopenmp nsg.cpp -o libnsg.so
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -23,6 +24,9 @@
 #endif
 
 namespace {
+
+std::atomic<long long> g_ndis{0};  // search-pool distance evals
+std::atomic<int> g_stop{0};
 
 using idx_t = int64_t;
 
@@ -158,8 +162,9 @@ int64_t nsg_ntotal(void* p) { return static_cast<NSG*>(p)->ntotal; }
 int64_t nsg_enterpoint(void* p) { return static_cast<NSG*>(p)->enterpoint; }
 
 // full build: NN-descent kNN graph (degree K) then MRNG pruning to degree R
-void nsg_build(void* p, const float* x, int64_t n, int K, int nnd_iters,
-               int L_build) {
+// returns 0, or -1 if interrupted (graph left unusable; caller must reset)
+int nsg_build(void* p, const float* x, int64_t n, int K, int nnd_iters,
+              int L_build) {
   auto& g = *static_cast<NSG*>(p);
   g.ntotal = n;
   g.vecs.assign(x, x + (size_t)n * g.d);
@@ -203,7 +208,9 @@ void nsg_build(void* p, const float* x, int64_t n, int K, int nnd_iters,
 #pragma omp for schedule(dynamic, 64)
 #endif
     for (idx_t i = 0; i < n; ++i) {
+      if (g_stop.load(std::memory_order_relaxed)) continue;  // drain fast
       auto pool = search_pool(g, g.vec(i), medoid, L_build, visited, vlist);
+      g_ndis.fetch_add((long long)vlist.size(), std::memory_order_relaxed);
       for (idx_t v : vlist) visited[v] = 0;
       vlist.clear();
       for (auto& [dv, v] : knn[i]) pool.emplace_back(dv, v);
@@ -249,6 +256,7 @@ void nsg_build(void* p, const float* x, int64_t n, int K, int nnd_iters,
         stack.push_back(nb[i]);
       }
   }
+  if (g_stop.load()) return -1;
   for (idx_t i = 0; i < n; ++i) {
     if (reach[i]) continue;
     // link from its nearest knn neighbor that is reachable (or medoid)
@@ -268,7 +276,12 @@ void nsg_build(void* p, const float* x, int64_t n, int K, int nnd_iters,
     nb[slot] = i;
     reach[i] = 1;
   }
+  return 0;
 }
+
+void nsg_stats_get(long long* out1) { out1[0] = g_ndis.load(); }
+void nsg_stats_reset() { g_ndis = 0; }
+void nsg_set_interrupt(int v) { g_stop.store(v); }
 
 void nsg_search(void* p, const float* xq, int64_t nq, int64_t k, int L,
                 float* D, int64_t* I) {

@@ -852,3 +852,66 @@ def test_ivf_update_vectors():
 
     with pytest.raises(ValueError):
         index.update_vectors(np.array([99999], np.int64), newv[:1])
+
+
+def test_graph_stats_and_cancellation():
+    """hnsw_stats / nsg_stats counters (HNSW.h:260 analogues) and
+    InterruptCallback-driven cancellation of native graph builds."""
+    import faiss_tpu as ft
+    from faiss_tpu.callbacks import (
+        InterruptCallback,
+        InterruptedException,
+        PythonInterruptCallback,
+    )
+
+    rs = np.random.RandomState(3)
+    xb = rs.randn(1500, 16).astype(np.float32)
+    ft.hnsw_stats.reset()
+    index = ft.IndexHNSWFlat(16, 16)
+    index.add(xb)
+    D, I = index.search(xb[:32], 5)
+    s = ft.hnsw_stats.sync()
+    assert s.n1 >= 32 and s.ndis > 0 and s.nhops > 0
+    # cancellation: an immediately-interrupting callback stops the add
+    InterruptCallback.instance = PythonInterruptCallback(lambda: True)
+    try:
+        big = rs.randn(60000, 16).astype(np.float32)
+        idx2 = ft.IndexHNSWFlat(16, 16)
+        import pytest
+
+        with pytest.raises(InterruptedException):
+            idx2.add(big)
+        assert idx2.ntotal < 60000  # partial, consistent prefix
+        # graph still searchable on the prefix
+        if idx2.ntotal > 10:
+            idx2.search(xb[:4], 3)
+    finally:
+        InterruptCallback.clear_instance()
+
+    ft.nsg_stats.reset()
+    nsg = ft.IndexNSGFlat(16, 16)
+    nsg.add(xb[:800])
+    assert ft.nsg_stats.sync().ndis > 0
+
+
+def test_ivf_fast_scan_stats():
+    """ivf_fast_scan_stats (IndexIVFFastScan.h:409 analogue) counts the
+    fused big-batch scan economy."""
+    import jax.numpy as jnp
+
+    import faiss_tpu as ft
+
+    rs = np.random.RandomState(5)
+    xb = rs.randn(2000, 16).astype(np.float32)
+    xq = rs.randn(128, 16).astype(np.float32)
+    index = ft.IndexIVFPQFastScan(None, 16, 32, 4, 4)
+    index.FUSED_CT = 256
+    index.fused_interpret = True
+    index.cp.niter = 4
+    index.cp.min_points_per_centroid = 1
+    index.train(xb)
+    index.add(xb)
+    ft.ivf_fast_scan_stats.reset()
+    index._search_big_batch_refined(xq, 5, 20, jnp.asarray(xb), 0)
+    s = ft.ivf_fast_scan_stats
+    assert s.nq == 128 and s.ndis > 0 and s.chunks_scanned > 0

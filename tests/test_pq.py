@@ -659,3 +659,107 @@ def test_recon_sort_rot_sparse_flush_interpret():
         np.testing.assert_allclose(
             np.asarray(D0)[same], np.asarray(D1)[same], rtol=1e-4, atol=1e-4
         )
+
+
+def test_recon_two_phase_select_interpret():
+    """cheap_after (two-phase select: careful home-region steps + min2-fold
+    tail) must match the baseline recon program's results under sort_rot."""
+    import jax.numpy as jnp
+
+    import faiss_tpu as ft
+    from faiss_tpu.models.ivf_pq import (
+        _fused_search_rerank_recon,
+        _unpack_results,
+    )
+
+    rs = np.random.RandomState(17)
+    d, nlist, nb, nq = 16, 256, 3000, 256
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    index = ft.IndexIVFPQFastScan(None, d, nlist, 4, 4)
+    index.FUSED_CT = 256
+    index.cp.niter = 4
+    index.cp.min_points_per_centroid = 1
+    index.train(xb)
+    index.add(xb)
+    br = index._build_brute()
+    refine_xb = jnp.asarray(xb)
+    k, kc, qt = 10, 40, 128
+    base_args = (
+        jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["yT"],
+        br["n2s"], br["lid"], br["slot_map_dev"], refine_xb,
+        k, kc, qt, index.FUSED_CT, 0,
+    )
+    D0, I0, _, _ = _unpack_results(
+        _fused_search_rerank_recon(
+            *base_args, fmax=48, sort_rot=True, interpret=True
+        ),
+        k,
+    )
+    D1, I1, _, _ = _unpack_results(
+        _fused_search_rerank_recon(
+            *base_args, fmax=48, sort_rot=True, cheap_after=3,
+            interpret=True,
+        ),
+        k,
+    )
+    agree = (np.asarray(I0) == np.asarray(I1)).mean()
+    assert agree > 0.9, agree
+    # top-1 must be essentially identical (the cheap tail only risks
+    # runner-up candidates, absorbed by the exact re-rank margin)
+    assert (np.asarray(I0)[:, 0] == np.asarray(I1)[:, 0]).mean() > 0.97
+
+
+def test_dyn_soft_probe_interpret():
+    """strict_probe=False (soft probing — no {0,1e9} penalty) must be at
+    least as good as the penalized dyn scan: same worklist chunks, every
+    slot competes on its true key."""
+    import jax.numpy as jnp
+
+    import faiss_tpu as ft
+    from faiss_tpu.models.ivf_pq import (
+        _fused_search_rerank_recon,
+        _fused_search_rerank_recon_dyn,
+        _unpack_results,
+    )
+
+    rs = np.random.RandomState(23)
+    d, nlist, nb, nq, nprobe = 16, 256, 3000, 128, 16
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    index = ft.IndexIVFPQFastScan(None, d, nlist, 4, 4)
+    index.FUSED_CT = 256
+    index.cp.niter = 4
+    index.cp.min_points_per_centroid = 1
+    index.train(xb)
+    index.add(xb)
+    br = index._build_brute()
+    refine_xb = jnp.asarray(xb)
+    k, kc, qt = 10, 40, 128
+    # exhaustive reference
+    D0, I0, _, _ = _unpack_results(_fused_search_rerank_recon(
+        jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["yT"],
+        br["n2s"], br["lid"], br["slot_map_dev"], refine_xb,
+        k, kc, qt, index.FUSED_CT, 0, interpret=True,
+    ), k)
+    out = {}
+    for strict in (True, False):
+        D1, I1, _, nd = _unpack_results(_fused_search_rerank_recon_dyn(
+            jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["yT"],
+            br["n2s"], br["lid"], br["slot_map_dev"], refine_xb,
+            br["chunk_first"], br["chunk_last"], br["cgroup"],
+            k, kc, qt, index.FUSED_CT, nprobe, br["nchunks"],
+            br["max_span"], qdepth=2, strict_probe=strict, interpret=True,
+        ), k)
+        assert int(nd) == 0
+        out[strict] = (np.asarray(I1), np.asarray(D1))
+    # intersection with the exhaustive top-k: soft >= strict
+    I0 = np.asarray(I0)
+    inter_strict = np.mean([
+        len(set(out[True][0][i]) & set(I0[i])) / k for i in range(nq)
+    ])
+    inter_soft = np.mean([
+        len(set(out[False][0][i]) & set(I0[i])) / k for i in range(nq)
+    ])
+    assert inter_soft >= inter_strict - 1e-9, (inter_soft, inter_strict)
+    assert inter_soft > 0.9
