@@ -209,7 +209,7 @@ class Clustering:
         best_stats: List[ClusteringIterationStats] = []
 
         from .callbacks import InterruptCallback
-        from .ops.kmeans_ops import kmeans_fused_loop
+        from .ops import kmeans_ops as _ko
 
         for redo in range(self.cp.nredo):
             InterruptCallback.check()
@@ -217,20 +217,31 @@ class Clustering:
             centroids = self._init_centroids(x, rs)
             centroids = self._postprocess(centroids)
             key = jax.random.PRNGKey(self.cp.seed + 7919 * redo)
-            cdev, objs, sumsq, tots, nsplits, counts_last = kmeans_fused_loop(
-                xd, jnp.asarray(centroids), key, wd,
-                niter=self.cp.niter,
-                chunk=min(chunk, 1 << 17),
-                spherical=self.cp.spherical,
-                int_centroids=self.cp.int_centroids,
-                frozen=self.cp.frozen_centroids,
-                weighted=wd is not None,
-            )
+            # host-chained single-iteration programs: compiles fast in cold
+            # processes (the whole-loop lax.scan program costs minutes of
+            # remote compile), dispatches are async (no per-iter sync) and
+            # all stats come home in one device_get
+            cdev = jnp.asarray(centroids)
+            per_iter = []
+            for _ in range(self.cp.niter):
+                key, sub = jax.random.split(key)
+                cdev, obj_d, ss_d, tt_d, ns_d, counts_last = (
+                    _ko.kmeans_fused_iter(
+                        xd, cdev, sub, wd,
+                        chunk=min(chunk, 1 << 17),
+                        spherical=self.cp.spherical,
+                        int_centroids=self.cp.int_centroids,
+                        frozen=self.cp.frozen_centroids,
+                        weighted=wd is not None,
+                    )
+                )
+                per_iter.append((obj_d, ss_d, tt_d, ns_d))
             centroids = np.asarray(cdev)
-            objs = np.asarray(objs)
-            sumsq = np.asarray(sumsq, np.float64)
-            tots = np.asarray(tots, np.float64)
-            nsplits = np.asarray(nsplits)
+            stats_host = jax.device_get(per_iter)
+            objs = np.array([float(p[0]) for p in stats_host])
+            sumsq = np.array([float(p[1]) for p in stats_host], np.float64)
+            tots = np.array([float(p[2]) for p in stats_host], np.float64)
+            nsplits = np.array([int(p[3]) for p in stats_host])
             t_total = time.time() - t0
             stats = [
                 ClusteringIterationStats(

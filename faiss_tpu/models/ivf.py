@@ -130,7 +130,18 @@ class IndexIVF(Index, Level1Quantizer):
     def train(self, x) -> None:
         x = self._check_input(x)
         self.train_q1(x, self.verbose, self.metric_type)
-        _, assign = self.quantizer.search(x, 1)
+        if isinstance(self.quantizer, IndexFlat):
+            # top-1 assignment via the chunked assign GEMM — the same
+            # program shape the bulk-add path uses, so a cold process
+            # compiles ONE assignment program instead of also paying the
+            # fused flat-knn kernel's remote compile
+            _, assign = dops.assign_flat(
+                jnp.asarray(x), self.quantizer._consolidate(),
+                metric=self.quantizer.metric_type,
+            )
+            assign = np.asarray(assign)
+        else:
+            _, assign = self.quantizer.search(x, 1)
         self.train_encoder(x, assign.ravel())
         self.is_trained = True
 
@@ -618,6 +629,11 @@ class IndexIVFFlat(IndexIVF):
     dyn_msteps = 0
     _dyn_bucket = None
     dyn_engage_frac = 0.08
+    # soft probing (see IndexIVFPQ.strict_probe): worklist chunks scanned
+    # without the {0,1e9} penalty — recall >= the strict scan at the same
+    # worklists, and the dyn path engages up to soft_engage_frac
+    strict_probe = True
+    soft_engage_frac = 0.7
 
     def _dyn_bucket_for(self, xq_dev, br, nprobe, qt):
         from .ivf_pq import _dyn_probe_counts
@@ -657,6 +673,7 @@ class IndexIVFFlat(IndexIVF):
         # dispatch every sub-batch before reading any result (tunnel
         # overlap — same structure as IndexIVFPQ._search_big_batch_refined)
         pending = []
+        carry = None  # single-read chaining across sub-batches
         for start, padded, real in query_buckets(nq, max_batch=4096):
             xq = x[start : start + real]
             if padded != real:
@@ -666,10 +683,12 @@ class IndexIVFFlat(IndexIVF):
             use_dyn = bool(nprobe) and padded >= 128
             if use_dyn:
                 msteps = self._dyn_bucket_for(xq_dev, br, nprobe, qt)
-                # extreme sparsity only — see IndexIVFPQ.dyn_engage_frac
-                use_dyn = msteps <= int(
-                    self.dyn_engage_frac * br["nchunks"]
+                frac = (
+                    self.soft_engage_frac
+                    if not self.strict_probe
+                    else self.dyn_engage_frac
                 )
+                use_dyn = msteps <= int(frac * br["nchunks"])
             if use_dyn:
                 packed = _fused_search_rerank_recon_dyn(
                     xq_dev,
@@ -691,8 +710,11 @@ class IndexIVFFlat(IndexIVF):
                     msteps,
                     br["max_span"],
                     qdepth=self.refined_qdepth,
+                    strict_probe=self.strict_probe,
+                    carry=carry,
                     interpret=self.fused_interpret,
                 )
+                carry = packed
             else:
                 packed = _fused_search_rerank_recon(
                     xq_dev,
@@ -713,11 +735,27 @@ class IndexIVFFlat(IndexIVF):
                     fmax=self.fused_fmax,
                     sort_rot=self.fused_sort_rot,
                     cheap_after=self.fused_cheap_after,
+                    carry=carry,
                     interpret=self.fused_interpret,
                 )
-            pending.append((start, real, packed, use_dyn))
-        for start, real, packed, was_dyn in pending:
-            d, slots, lossy, nd = _unpack_results(packed, k)
+                carry = packed
+            pending.append((start, real, padded, packed, use_dyn))
+        # READ phase: the chained LAST handle holds every row -> one read
+        total_rows = sum(p[2] for p in pending)
+        if len(pending) > 1 and pending[-1][3].shape[0] == total_rows:
+            allp = np.asarray(pending[-1][3])
+        elif len(pending) > 1:
+            allp = np.concatenate(
+                [a[-p[2] :] for a, p in zip(
+                    jax.device_get([p[3] for p in pending]), pending
+                )]
+            )
+        else:
+            allp = np.asarray(pending[0][3])[-pending[0][2] :]
+        po = 0
+        for start, real, padded, packed, was_dyn in pending:
+            d, slots, lossy, nd = _unpack_results(allp[po : po + padded], k)
+            po += padded
             if was_dyn and nd > 0 and not self.dyn_msteps:
                 # worklist overflow: widen this nprobe's bucket next call
                 self._dyn_bucket[nprobe] = min(

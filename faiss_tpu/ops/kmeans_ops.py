@@ -287,6 +287,34 @@ def kmeans_fused_loop(
     return centroids, objs, sumsq, tots, nsplits, counts_all[-1]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "chunk", "spherical", "int_centroids", "frozen", "split", "weighted"
+    ),
+)
+def kmeans_fused_iter(
+    x, c, key, weights=None, *, chunk=DEFAULT_POINT_CHUNK, spherical=False,
+    int_centroids=False, frozen=False, split=True, weighted=False,
+):
+    """ONE Lloyd iteration of kmeans_fused_loop as its own program.
+
+    The whole-loop program gives the fastest warm path but its remote
+    compile costs minutes in a cold process (the driver benchmark runs
+    cold). This single-iteration body compiles fast; the host chains
+    device arrays across iterations WITHOUT syncing (jax async dispatch),
+    so a cold 20-iteration train costs one small compile + ~20 enqueues +
+    one final readback. Returns (new_c, obj, sumsq, tot, nsplit, counts).
+    """
+    out = kmeans_fused_loop.__wrapped__(
+        x, c, key, weights, niter=1, chunk=chunk, spherical=spherical,
+        int_centroids=int_centroids, frozen=frozen, split=split,
+        weighted=weighted,
+    )
+    centroids, objs, sumsq, tots, nsplits, counts = out
+    return centroids, objs[0], sumsq[0], tots[0], nsplits[0], counts
+
+
 @functools.partial(jax.jit, static_argnames=("p", "keep", "chunk"))
 def superkm_assign_update(
     x: jax.Array,  # [n, d] f32 (randomly rotated — ADSampling assumption)
