@@ -1,0 +1,173 @@
+"""Deep10M-scale realistic-data benchmark (BASELINE.json config 4 analogue).
+
+Generates a strongly-CLUSTERED 10M x 96 dataset shaped like Deep1B's
+descriptors (row-normalized CNN embeddings, hierarchical cluster
+structure — contrib/datasets.py:155 DatasetDeep1B is the loader the
+reference uses; no network egress here, so the distribution is synthetic:
+a two-level mixture with anisotropic within-cluster scales, rows
+L2-normalized like the real set).
+
+Configs measured (committed to NOTES.md):
+  1. OPQ32,IVF8192,PQ32x4fs,RFlat  (the Deep10M OPQ32 m=32 FastScan row)
+  2. IVF8192,Flat soft-probe big batch
+  3. Flat exact k=1024 on the 10M set
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchs/bench_deep10m.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(m):
+    print(f"[deep10m] {m}", file=sys.stderr, flush=True)
+
+
+D, NB, NQ, NT = 96, 10_000_000, 8192, 500_000
+NCOARSE, NSUB = 1024, 64  # two-level mixture: 65536 effective modes
+
+
+def gen_deep(n, seed, coarse, subdirs, scales):
+    """Rows from the two-level mixture, L2-normalized (Deep1B-style)."""
+    r = np.random.RandomState(seed)
+    out = np.empty((n, D), np.float32)
+    bs = 1_000_000
+    for s in range(0, n, bs):
+        m = min(bs, n - s)
+        ci = r.randint(NCOARSE, size=m)
+        si = r.randint(NSUB, size=m)
+        x = (
+            coarse[ci]
+            + 0.25 * subdirs[ci, si]
+            + r.randn(m, D).astype(np.float32) * scales[None, :] * 0.05
+        )
+        x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-9
+        out[s : s + m] = x
+    return out
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    import faiss_tpu as ft
+    from faiss_tpu.utils.evaluation import recall_at_k
+
+    rs = np.random.RandomState(7)
+    coarse = rs.randn(NCOARSE, D).astype(np.float32)
+    coarse /= np.linalg.norm(coarse, axis=1, keepdims=True)
+    subdirs = rs.randn(NCOARSE, NSUB, D).astype(np.float32) * 0.3
+    scales = (1.0 / np.sqrt(np.arange(D) + 1.0)).astype(np.float32)
+
+    log("generating Deep10M-like data (10M x 96, two-level mixture)")
+    t0 = time.time()
+    xb = gen_deep(NB, 1, coarse, subdirs, scales)
+    xt = gen_deep(NT, 2, coarse, subdirs, scales)
+    xq = gen_deep(NQ, 3, coarse, subdirs, scales)
+    log(f"data in {time.time()-t0:.0f}s")
+
+    gt_cache = "/root/repo/.deep10m_gt.npz"
+    flat = None
+    if os.path.exists(gt_cache):
+        with np.load(gt_cache) as z:
+            gt = z["gt"]
+        log("gt loaded from cache")
+    else:
+        log("exact GT via IndexFlatL2 on TPU (one compile + 3.8GB upload)")
+        t0 = time.time()
+        flat = ft.IndexFlatL2(D)
+        flat.add(xb)
+        _, gt = flat.search(xq, 100)
+        log(f"gt in {time.time()-t0:.0f}s")
+        np.savez_compressed(gt_cache, gt=gt)
+
+    results = {}
+
+    # ---- config 1: OPQ32,IVF8192,PQ32x4fs,RFlat ------------------------
+    log("building OPQ32,IVF8192,PQ32x4fs,RFlat")
+    t0 = time.time()
+    base = ft.IndexIVFPQFastScan(None, D, 8192, 32, 4)
+    base.cp.niter = 20
+    base.nprobe = 8
+    base.strict_probe = False
+    refine = ft.IndexRefineFlat(base, store_float16=True)
+    refine.k_factor = 12
+    opq = ft.OPQMatrix(D, 32)
+    index = ft.IndexPreTransform(opq, refine)
+    index.train(xt)
+    t_train = time.time() - t0
+    t0 = time.time()
+    index.add(xb)
+    base._build_brute()
+    t_add = time.time() - t0
+    log(f"train {t_train:.0f}s add+stage {t_add:.0f}s")
+    _, I = index.search(xq, 10)  # compile
+    nrep = 3
+    t0 = time.time()
+    for _ in range(nrep):
+        _, I = index.search(xq, 10)
+    dt = (time.time() - t0) / nrep
+    r = recall_at_k(I, gt[:, :10], 10)
+    results["deep10m_opq_ivfpq_fs"] = dict(
+        qps=round(NQ / dt), ms=round(dt * 1000, 1),
+        recall10=round(float(r), 4), train_s=round(t_train, 1),
+        add_s=round(t_add, 1), nprobe=base.nprobe,
+    )
+    log(f"OPQ-IVFPQ-fs: {json.dumps(results['deep10m_opq_ivfpq_fs'])}")
+
+    # free the PQ index's device stores before the next config
+    del index, base, refine
+    import gc
+
+    gc.collect()
+
+    # ---- config 2: IVF8192,Flat soft-probe -----------------------------
+    log("building IVF8192,Flat")
+    t0 = time.time()
+    ivf = ft.IndexIVFFlat(None, D, 8192)
+    ivf.cp.niter = 20
+    ivf.nprobe = 8
+    ivf.strict_probe = False
+    ivf.train(xt)
+    ivf.add(xb)
+    log(f"ivf-flat build {time.time()-t0:.0f}s")
+    _, I = ivf.search(xq, 10)
+    t0 = time.time()
+    for _ in range(nrep):
+        _, I = ivf.search(xq, 10)
+    dt = (time.time() - t0) / nrep
+    r = recall_at_k(I, gt[:, :10], 10)
+    results["deep10m_ivf_flat"] = dict(
+        qps=round(NQ / dt), ms=round(dt * 1000, 1),
+        recall10=round(float(r), 4), nprobe=ivf.nprobe,
+    )
+    log(f"IVF-Flat: {json.dumps(results['deep10m_ivf_flat'])}")
+    del ivf
+    gc.collect()
+
+    # ---- config 3: flat exact k=1024 -----------------------------------
+    log("flat exact k=1024")
+    if flat is None:
+        flat = ft.IndexFlatL2(D)
+        flat.add(xb)
+    _, I = flat.search(xq[:2048], 1024)
+    t0 = time.time()
+    _, I = flat.search(xq[:2048], 1024)
+    dt = time.time() - t0
+    results["deep10m_flat_k1024"] = dict(
+        s_per_2048q=round(dt, 2), qps=round(2048 / dt)
+    )
+    log(f"flat k=1024: {json.dumps(results['deep10m_flat_k1024'])}")
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

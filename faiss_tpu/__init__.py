@@ -73,6 +73,7 @@ from .models.hnsw import (  # noqa: F401
     IndexHNSW,
     IndexHNSW2Level,
     IndexHNSWFlat,
+    IndexHNSWFlatPanorama,
     IndexHNSWPQ,
     IndexHNSWSQ,
     SearchParametersHNSW,

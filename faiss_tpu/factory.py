@@ -322,6 +322,11 @@ def _parse_graph_index(kind: str, gM: int, suffix, d: int, metric):
             (IndexHNSWFlat if hnsw else IndexNSGFlat)(d, gM, metric),
             True,
         )
+    if hnsw and (m := re.fullmatch(r"FlatPanorama(\d+)?", suffix)):
+        from .models.hnsw import IndexHNSWFlatPanorama
+
+        nlevels = int(m.group(1)) if m.group(1) else 8
+        return IndexHNSWFlatPanorama(d, gM, nlevels, metric), True
     if m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:np)?", suffix):
         pm = int(m.group(1))
         nbit = int(m.group(2)) if m.group(2) else 8

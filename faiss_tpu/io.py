@@ -111,6 +111,8 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
                 k: state[k]
                 for k in ("entry_point", "max_level", "M", "efConstruction", "efSearch")
             }
+            if "pano_levels" in state:  # IndexHNSWFlatPanorama
+                meta["hnsw"]["pano_levels"] = state["pano_levels"]
         meta["storage"] = _dump(index.storage, arrays, f"{path}/storage")
         return meta
 
@@ -441,7 +443,10 @@ def _load(meta, arrays, path: str):
         index.ntotal = base.ntotal
         return index
 
-    if cls in ("IndexHNSW", "IndexHNSWFlat", "IndexHNSWPQ", "IndexHNSWSQ"):
+    if cls in ("IndexHNSW", "IndexHNSWFlat", "IndexHNSWPQ", "IndexHNSWSQ",
+               "IndexHNSW2Level", "IndexHNSWFlatPanorama"):
+        from .models.hnsw import IndexHNSW2Level, IndexHNSWFlatPanorama
+
         storage = _load(meta["storage"], arrays, f"{path}/storage")
         index = IndexHNSW(storage, meta["M"])
         index.__class__ = {
@@ -449,7 +454,13 @@ def _load(meta, arrays, path: str):
             "IndexHNSWFlat": IndexHNSWFlat,
             "IndexHNSWPQ": IndexHNSWPQ,
             "IndexHNSWSQ": IndexHNSWSQ,
+            "IndexHNSW2Level": IndexHNSW2Level,
+            "IndexHNSWFlatPanorama": IndexHNSWFlatPanorama,
         }[cls]
+        if cls == "IndexHNSWFlatPanorama":
+            index.num_panorama_levels = int(
+                meta.get("hnsw", {}).get("pano_levels", 8)
+            )
         if meta["has_graph"]:
             state = dict(meta["hnsw"])
             state["levels"] = arrays[f"{path}/hnsw/levels"]

@@ -77,6 +77,7 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int,
     ]
+    lib.hnsw_set_pano.argtypes = [ctypes.c_void_p, ctypes.c_int]
     _LIB = lib
     return lib
 
@@ -290,6 +291,40 @@ class IndexHNSWFlat(IndexHNSW):
         from .flat import IndexFlat
 
         super().__init__(IndexFlat(d, metric), M)
+
+
+class IndexHNSWFlatPanorama(IndexHNSWFlat):
+    """HNSW with Panorama progressive distance refinement
+    (reference: IndexHNSW.h:171 IndexHNSWFlatPanorama).
+
+    Level-0 beam distances evaluate dimension blocks progressively and
+    prune a candidate as soon as the Cauchy-Schwarz lower bound on its
+    remaining dimensions exceeds the beam threshold — effective when the
+    data concentrates energy in early dimensions (post-PCA, high d). As
+    the reference documents, recall is not guaranteed identical to vanilla
+    HNSW (pruned candidates also leave the traversal beam)."""
+
+    def __init__(self, d: int, M: int = 32, num_panorama_levels: int = 8,
+                 metric=MetricType.L2):
+        super().__init__(d, M, metric)
+        self.num_panorama_levels = int(num_panorama_levels)
+
+    def _ensure_graph(self):
+        fresh = self._graph is None
+        g = super()._ensure_graph()
+        if fresh:
+            self._lib.hnsw_set_pano(g, self.num_panorama_levels)
+        return g
+
+    def graph_state(self):
+        state = super().graph_state()
+        if state is not None:
+            state["pano_levels"] = self.num_panorama_levels
+        return state
+
+    def restore_graph(self, state, xb) -> None:
+        self.num_panorama_levels = int(state.get("pano_levels", 8))
+        super().restore_graph(state, xb)
 
 
 class IndexHNSWPQ(IndexHNSW):

@@ -391,19 +391,37 @@ def _dyn_probe_bitmap(
         preferred_element_type=jnp.float32,
     )
     key = cn2g[None, :] + cm2
-    if approx:
+    if approx and nprobe <= 4:
+        # iterative argmin: for tiny nprobe, nprobe dense select passes
+        # over [nq, G*128] beat a top-k sort network (and unlike
+        # approx_max_k they are exact)
+        cols = []
+        kw = key
+        liota = jnp.arange(key.shape[1], dtype=jnp.int32)[None, :]
+        for _ in range(nprobe):
+            c = jnp.argmin(kw, axis=1).astype(jnp.int32)
+            cols.append(c)
+            kw = jnp.where(liota == c[:, None], jnp.inf, kw)
+        pcols = jnp.stack(cols, axis=1)
+    elif approx:
         _, pcols = jax.lax.approx_max_k(-key, nprobe)
     else:
         _, pcols = jax.lax.top_k(-key, nprobe)
     perm = jnp.argsort(pcols[:, 0] // 128, stable=True)
     pcols_s = pcols[perm]
-    tile_of = jnp.repeat(jnp.arange(T, dtype=jnp.int32), qt)[:, None]
-    tile_of = jnp.broadcast_to(tile_of, pcols_s.shape)
-    cf = chunk_first[pcols_s]
+    cf = chunk_first[pcols_s]  # [nq, nprobe]
     clast = chunk_last[pcols_s]
-    bitmap = jnp.zeros((T, nchunks + 1), jnp.bool_)
+    # scatter-free bitmap: chunk ids visited per (query, probe, span) ->
+    # dense one-hot compare + per-tile any-reduce (TPU scatters serialize;
+    # this is all VPU compares and a reshape reduction). Folded over the
+    # span axis to bound the [nq, nprobe, nchunks] intermediate.
+    ciota = jnp.arange(nchunks + 1, dtype=jnp.int32)
+    q2c = None
     for s in range(max_span):
-        bitmap = bitmap.at[tile_of, jnp.minimum(cf + s, clast)].set(True)
+        cs = jnp.minimum(cf + s, clast)  # [nq, nprobe]
+        m = (cs[:, :, None] == ciota).any(axis=1)  # [nq, nchunks+1]
+        q2c = m if q2c is None else (q2c | m)
+    bitmap = q2c.reshape(T, qt, nchunks + 1).any(axis=1)
     bitmap = bitmap.at[:, nchunks].set(False)
     return perm, pcols_s, cm2, bitmap
 
@@ -493,15 +511,22 @@ def _fused_search_rerank_dyn(
     return _pack_results(D[inv], I[inv], lossy[inv], ndropped)
 
 
+_RR_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+}
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "kc", "qt", "ct", "nprobe", "qdepth",
                               "lossy_rank", "fmax", "sort_rot",
-                              "cheap_after", "interpret")
+                              "cheap_after", "rr_prec", "interpret")
 )
 def _fused_search_rerank_recon(
     xq, centroids_g, cn2g, yT, n2s, lid, slot_map, xb,
     k, kc, qt, ct, nprobe, qdepth=3, lossy_rank=None, fmax=16,
-    sort_rot=False, cheap_after=0, carry=None, interpret=False,
+    sort_rot=False, cheap_after=0, carry=None, xb_n2=None,
+    rr_prec="highest", interpret=False,
 ):
     """One-dispatch big-batch IVF search + exact re-rank, scoring against
     the DECODED reconstruction store (ivf_recon_fused_pallas) instead of
@@ -551,7 +576,10 @@ def _fused_search_rerank_recon(
     slots = jnp.where(
         slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
     )[:, :kc]
-    D, I = rerank_exact(xq[:, : xb.shape[1]], xb, slots, k)
+    D, I = rerank_exact(
+        xq[:, : xb.shape[1]], xb, slots, k, xb_n2=xb_n2,
+        precision=_RR_PREC[rr_prec],
+    )
     lossy = jnp.min(ev, -1) < v[:, kc - 1 if lossy_rank is None else lossy_rank]
     if inv is not None:
         D, I, lossy = D[inv], I[inv], lossy[inv]
@@ -579,14 +607,14 @@ def _probe_penalty(xq, centroids_g, cn2g, nprobe):
     jax.jit,
     static_argnames=(
         "k", "kc", "qt", "ct", "nprobe", "msteps", "max_span", "qdepth",
-        "strict_probe", "interpret",
+        "strict_probe", "rr_prec", "interpret",
     ),
 )
 def _fused_search_rerank_recon_dyn(
     xq, centroids_g, cn2g, yT, n2s, lid, slot_map, xb,
     chunk_first, chunk_last, cgroup,
     k, kc, qt, ct, nprobe, msteps, max_span, qdepth=3, strict_probe=True,
-    carry=None, interpret=False,
+    carry=None, xb_n2=None, rr_prec="highest", interpret=False,
 ):
     """nprobe-sparse recon-GEMM big-batch search + exact re-rank (one
     dispatch): the dyn-chunk worklist flow of _fused_search_rerank_dyn
@@ -643,7 +671,9 @@ def _fused_search_rerank_recon_dyn(
     slots = jnp.where(
         slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
     )[:, :kc]
-    D, I = rerank_exact(xq_s, xb, slots, k)
+    D, I = rerank_exact(
+        xq_s, xb, slots, k, xb_n2=xb_n2, precision=_RR_PREC[rr_prec]
+    )
     lossy = jnp.min(ev, -1) < v[:, kc - 1]
     inv = jnp.argsort(perm, stable=True)
     out = _pack_results(D[inv], I[inv], lossy[inv], ndropped)
@@ -1079,6 +1109,18 @@ class IndexIVFPQ(IndexIVF):
         kc = min(kc, 128)
         if nprobe >= self.nlist:
             nprobe = 0
+        # store norms for the exact re-rank, computed ONCE per refine
+        # buffer (saves a full pass over the gathered candidate block per
+        # batch); an f16 store needs only 3-pass dot precision
+        if getattr(self, "_refine_n2_key", None) != id(refine_xb):
+            self._refine_n2 = jnp.sum(
+                jnp.square(refine_xb.astype(jnp.float32)), axis=1
+            )
+            self._refine_n2_key = id(refine_xb)
+        rr_kw = dict(
+            xb_n2=self._refine_n2,
+            rr_prec="high" if refine_xb.dtype == jnp.float16 else "highest",
+        )
         # DISPATCH phase: enqueue every sub-batch before reading any result,
         # so the tunnel overlaps batch i+1's upload/compute with batch i's
         # compute/readback (jax async dispatch; the per-batch read is the
@@ -1149,6 +1191,7 @@ class IndexIVFPQ(IndexIVF):
                     strict_probe=self.strict_probe,
                     carry=carry,
                     interpret=self.fused_interpret,
+                    **rr_kw,
                 )
                 carry = packed
             elif use_dyn:
@@ -1196,6 +1239,7 @@ class IndexIVFPQ(IndexIVF):
                     cheap_after=self.fused_cheap_after,
                     carry=carry,
                     interpret=self.fused_interpret,
+                    **rr_kw,
                 )
                 carry = packed
             else:

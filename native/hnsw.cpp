@@ -52,6 +52,38 @@ struct HNSW {
   // layout: offsets[node] .. per-level contiguous
   std::vector<std::vector<idx_t>> neighbors;  // [node][level concat]
 
+  // Panorama progressive-refinement state (reference: IndexHNSW.h:171
+  // IndexHNSWFlatPanorama): per-node SUFFIX norms at pano_levels+1
+  // dimension boundaries; level-0 beam distances evaluate block-by-block
+  // and prune when the Cauchy-Schwarz lower bound on the remaining
+  // dimensions already exceeds the beam threshold.
+  int pano_levels = 0;
+  std::vector<float> cum_sums;  // [ntotal, pano_levels+1]
+
+  int pano_boundary(int l) const {
+    return (int)(((int64_t)l * d) / pano_levels);
+  }
+
+  void pano_suffix_norms(const float* v, float* out) const {
+    // out[l] = ||v[b_l:]|| for l = 0..pano_levels
+    int L = pano_levels;
+    out[L] = 0.f;
+    for (int l = L - 1; l >= 0; --l) {
+      float s = out[l + 1] * out[l + 1];
+      for (int i = pano_boundary(l); i < pano_boundary(l + 1); ++i)
+        s += v[i] * v[i];
+      out[l] = std::sqrt(s);
+    }
+  }
+
+  void pano_update_cum_sums(idx_t from) {
+    if (!pano_levels) return;
+    cum_sums.resize((size_t)ntotal * (pano_levels + 1));
+    for (idx_t i = from; i < ntotal; ++i)
+      pano_suffix_norms(vecs.data() + (size_t)i * d,
+                        cum_sums.data() + (size_t)i * (pano_levels + 1));
+  }
+
   int nb_per_level(int level) const { return level == 0 ? 2 * M : M; }
 
   idx_t* neigh(idx_t node, int level) {
@@ -75,6 +107,29 @@ struct HNSW {
 
   float dist_id(const float* q, idx_t id) const {
     return dist(q, vecs.data() + (size_t)id * d);
+  }
+
+  // Progressive L2 with early exit: evaluates dimension blocks in order;
+  // after each block the remaining distance is lower-bounded by
+  // (||q_rest|| - ||y_rest||)^2 (Cauchy-Schwarz), and evaluation stops as
+  // soon as the bound exceeds ``thresh`` (returns a value > thresh).
+  // qcs holds the query's suffix norms (pano_suffix_norms of q).
+  float dist_pano(const float* q, idx_t id, const float* qcs,
+                  float thresh) const {
+    const float* y = vecs.data() + (size_t)id * d;
+    const float* ycs = cum_sums.data() + (size_t)id * (pano_levels + 1);
+    float s = 0.f;
+    for (int l = 0; l < pano_levels; ++l) {
+      for (int i = pano_boundary(l); i < pano_boundary(l + 1); ++i) {
+        float t = q[i] - y[i];
+        s += t * t;
+      }
+      float rq = qcs[l + 1], ry = ycs[l + 1];
+      float rd = rq - ry;
+      float lb = s + rd * rd;
+      if (lb > thresh) return lb;
+    }
+    return s;
   }
 
   int random_level() {
@@ -111,7 +166,11 @@ idx_t greedy_step(HNSW& h, const float* q, idx_t start, int level, float& dcur) 
 // beam search on one level; returns up to ef closest as max-heap contents
 std::vector<PairDI> search_level(
     HNSW& h, const float* q, idx_t entry, float dentry, int level, int ef,
-    std::vector<uint8_t>& visited, std::vector<idx_t>& visited_list) {
+    std::vector<uint8_t>& visited, std::vector<idx_t>& visited_list,
+    const float* qcs = nullptr) {
+  // qcs != nullptr engages Panorama progressive pruning on this level
+  // (level-0 search only; upper-level greedy descent stays exact)
+  const bool pano = qcs != nullptr && h.pano_levels > 0 && h.metric == 1;
   // visited is a byte map reused across calls; visited_list records touches
   std::priority_queue<PairDI> results;                       // max-heap (worst on top)
   std::priority_queue<PairDI, std::vector<PairDI>, std::greater<PairDI>> cands;
@@ -134,8 +193,17 @@ std::vector<PairDI> search_level(
       if (visited[v]) continue;
       visited[v] = 1;
       visited_list.push_back(v);
-      float dv = h.dist_id(q, v);
-      if ((idx_t)results.size() < ef || dv < results.top().first) {
+      bool full = (idx_t)results.size() >= ef;
+      float dv;
+      if (pano) {
+        float thresh = full ? results.top().first : INFINITY;
+        dv = h.dist_pano(q, v, qcs, thresh);
+        // a pruned candidate returned its lower bound > thresh: skip
+        if (full && dv >= thresh) continue;
+      } else {
+        dv = h.dist_id(q, v);
+      }
+      if (!full || dv < results.top().first) {
         results.emplace(dv, v);
         cands.emplace(dv, v);
         if ((idx_t)results.size() > ef) results.pop();
@@ -276,6 +344,7 @@ int64_t hnsw_add(void* ptr, const float* x, int64_t n) {
     h.neighbors[base + i].assign(tot, -1);
   }
   h.ntotal += n;
+  h.pano_update_cum_sums(base);
   std::vector<uint8_t> visited(h.ntotal, 0);
   std::vector<idx_t> vlist;
   for (idx_t i = 0; i < n; ++i) {
@@ -285,11 +354,21 @@ int64_t hnsw_add(void* ptr, const float* x, int64_t n) {
       h.vecs.resize((size_t)h.ntotal * h.d);
       h.levels.resize(h.ntotal);
       h.neighbors.resize(h.ntotal);
+      h.pano_update_cum_sums(h.ntotal);
       return i;
     }
     insert_node(h, base + i, visited, vlist);
   }
   return n;
+}
+
+// Panorama progressive refinement (IndexHNSW.h:171): levels > 0 switches
+// level-0 beam distances to block-progressive evaluation with
+// Cauchy-Schwarz pruning against the beam threshold.
+void hnsw_set_pano(void* ptr, int levels) {
+  auto& h = *static_cast<HNSW*>(ptr);
+  h.pano_levels = std::max(0, levels);
+  h.pano_update_cum_sums(0);
 }
 
 // stats + cancellation C ABI (HNSWStats analogue)
@@ -312,6 +391,7 @@ void hnsw_search(void* ptr, const float* xq, int64_t nq, int64_t k,
   {
     std::vector<uint8_t> visited(h.ntotal, 0);
     std::vector<idx_t> vlist;
+    std::vector<float> qcs(h.pano_levels ? h.pano_levels + 1 : 0);
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 16)
 #endif
@@ -328,7 +408,12 @@ void hnsw_search(void* ptr, const float* xq, int64_t nq, int64_t k,
       float dcur = h.dist_id(q, cur);
       for (int l = h.max_level; l > 0; --l)
         cur = greedy_step(h, q, cur, l, dcur);
-      auto res = search_level(h, q, cur, dcur, 0, ef, visited, vlist);
+      const float* qcs_p = nullptr;
+      if (h.pano_levels && h.metric == 1) {
+        h.pano_suffix_norms(q, qcs.data());
+        qcs_p = qcs.data();
+      }
+      auto res = search_level(h, q, cur, dcur, 0, ef, visited, vlist, qcs_p);
       for (idx_t v : vlist) visited[v] = 0;
       vlist.clear();
       int64_t m = std::min<int64_t>(k, res.size());
@@ -388,6 +473,7 @@ void hnsw_import(void* ptr, const float* vecs, int64_t n, const int* levels,
   }
   h.entry_point = entry_point;
   h.max_level = max_level;
+  h.pano_update_cum_sums(0);
 }
 
 }  // extern "C"

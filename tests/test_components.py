@@ -149,6 +149,48 @@ def test_hnsw_flat(ds):
             np.testing.assert_allclose(D[q, j], dref, rtol=1e-4)
 
 
+def test_hnsw_flat_panorama(ds):
+    """Panorama progressive pruning (reference: IndexHNSW.h:171): recall
+    close to vanilla HNSW, exact distances on survivors, io round-trip,
+    factory token."""
+    rs = np.random.RandomState(5)
+    # energy concentrated in early dims (post-PCA-like) — the regime the
+    # Cauchy-Schwarz suffix bound is built for
+    scale = (1.0 / (1.0 + np.arange(32))).astype(np.float32)
+    xb = rs.randn(3000, 32).astype(np.float32) * scale
+    xq = rs.randn(100, 32).astype(np.float32) * scale
+    d2 = ((xq[:, None, :] - xb[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :10]
+
+    index = ft.IndexHNSWFlatPanorama(32, 16, 8)
+    index.hnsw.efConstruction = 60
+    index.add(xb)
+    index.hnsw.efSearch = 64
+    D, I = index.search(xq, 10)
+    r = recall_at_k(I, gt, 10)
+    assert r > 0.85, r
+    # survivors carry their exact L2
+    for q in range(5):
+        dref = ((xq[q] - xb[I[q, 0]]) ** 2).sum()
+        np.testing.assert_allclose(D[q, 0], dref, rtol=1e-4)
+
+    # io round-trip preserves the graph and the panorama levels
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        ft.write_index(index, f.name)
+        back = ft.read_index(f.name)
+    assert isinstance(back, ft.IndexHNSWFlatPanorama)
+    assert back.num_panorama_levels == 8
+    D2, I2 = back.search(xq, 10)
+    r2 = recall_at_k(I2, gt, 10)
+    assert r2 > 0.85, r2
+
+    idx = ft.index_factory(32, "HNSW16,FlatPanorama4")
+    assert isinstance(idx, ft.IndexHNSWFlatPanorama)
+    assert idx.num_panorama_levels == 4
+
+
 def test_hnsw_params(ds):
     index = ft.IndexHNSWFlat(32, 16)
     index.add(ds.get_database())

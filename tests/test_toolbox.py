@@ -224,6 +224,80 @@ def test_invlists_views(ds):
     np.testing.assert_array_equal(np.sort(I1, 1), np.sort(I2, 1))
 
 
+def test_ondisk_invlists(ds, tmp_path):
+    """OnDiskInvertedLists: slot allocator growth, resize, compact merge,
+    prefetch, crop (reference: invlists/OnDiskInvertedLists.h:34-136)."""
+    from faiss_tpu.invlists import OnDiskInvertedLists
+
+    rs = np.random.RandomState(7)
+    od = OnDiskInvertedLists(8, 4, str(tmp_path / "lists.ivfdata"))
+
+    # incremental adds grow capacities by powers of two through the slot
+    # allocator
+    ids0 = np.arange(5, dtype=np.int64)
+    codes0 = rs.randint(0, 255, (5, 4)).astype(np.uint8)
+    assert od.add_entries(0, ids0, codes0) == 5
+    assert od.caps[0] == 8  # rounded up
+    np.testing.assert_array_equal(od.get_ids(0), ids0)
+    np.testing.assert_array_equal(od.get_codes(0), codes0)
+
+    ids1 = np.arange(100, 103, dtype=np.int64)
+    codes1 = rs.randint(0, 255, (3, 4)).astype(np.uint8)
+    od.add_entries(0, ids1, codes1)  # fills capacity exactly
+    assert od.list_size(0) == 8 and od.caps[0] == 8
+    od.add_entries(0, ids1, codes1)  # forces a relocation to cap 16
+    assert od.caps[0] == 16
+    np.testing.assert_array_equal(
+        od.get_codes(0), np.concatenate([codes0, codes1, codes1])
+    )
+
+    # resize down past half-capacity reallocates; freed slot is reusable
+    od.resize(0, 2)
+    assert od.list_size(0) == 2 and od.caps[0] == 2
+    np.testing.assert_array_equal(od.get_ids(0), ids0[:2])
+    od.add_entries(1, ids0, codes0)  # should reuse freed space
+    np.testing.assert_array_equal(od.get_ids(1), ids0)
+
+    # update_entries overwrites in place
+    od.update_entries(1, 1, ids1[:2], codes1[:2])
+    np.testing.assert_array_equal(od.get_ids(1)[1:3], ids1[:2])
+
+    # compact merge from Array lists built off real indexes
+    xt, xb = ds.get_train(), ds.get_database()
+    a = ft.index_factory(32, "IVF8,PQ4")
+    a.train(xt)
+    b = ft.clone_index(a)
+    a.add_with_ids(xb[:1500], np.arange(1500, dtype=np.int64))
+    b.add_with_ids(xb[1500:], np.arange(1500, len(xb), dtype=np.int64))
+    ila = ft.ArrayInvertedLists.from_index(a)
+    ilb = ft.ArrayInvertedLists.from_index(b)
+    od2 = OnDiskInvertedLists(8, ila.code_size, str(tmp_path / "m.ivfdata"))
+    assert od2.merge_from_multiple([ila, ilb]) == len(xb)
+    assert od2.is_compact
+    for l in range(8):
+        np.testing.assert_array_equal(
+            od2.get_ids(l), np.concatenate([ila.get_ids(l), ilb.get_ids(l)])
+        )
+
+    # attaching the on-disk lists to an index == merged index results
+    od2.prefetch_lists(np.arange(8))
+    merged = ft.clone_index(a)
+    ft.replace_invlists(merged, od2)
+    merged.nprobe = 8
+    ref = ft.clone_index(a)
+    ref.merge_from(ft.clone_index(b))
+    ref.nprobe = 8
+    D1, I1 = merged.search(ds.get_queries(), 5)
+    _, I2 = ref.search(ds.get_queries(), 5)
+    np.testing.assert_array_equal(np.sort(I1, 1), np.sort(I2, 1))
+
+    # crop keeps a view of lists [2, 6)
+    sz = [od2.list_size(l) for l in range(2, 6)]
+    od2.crop_invlists(2, 6)
+    assert od2.nlist == 4
+    assert [od2.list_size(l) for l in range(4)] == sz
+
+
 def test_sliding_index_window(ds):
     """SlidingIndexWindow: step() appends new slices and drops the oldest
     (reference: IVFlib.h:86)."""
