@@ -125,12 +125,14 @@ class Benchmark:
 
     def __init__(self, dataset: DatasetDescriptor,
                  indexes: List[IndexDescriptor], k: int = 10,
-                 nrun: int = 1, verbose: bool = False):
+                 nrun: int = 1, verbose: bool = False,
+                 io: Optional["BenchmarkIO"] = None):
         self.dataset = dataset
         self.indexes = indexes
         self.k = int(k)
         self.nrun = int(nrun)
         self.verbose = verbose
+        self.io = io
 
     def _log(self, msg):
         if self.verbose:
@@ -150,7 +152,15 @@ class Benchmark:
         for desc in self.indexes:
             self._log(f"building {desc.label()}")
             d = xb.shape[1]
-            if desc.path:
+            cached = (
+                self.io.load_index(self.dataset.label(), desc)
+                if self.io is not None and not desc.path
+                else None
+            )
+            if cached is not None:
+                index = cached
+                t_train = t_add = 0.0
+            elif desc.path:
                 index = read_index(desc.path)
                 t_train = t_add = 0.0
             else:
@@ -169,6 +179,11 @@ class Benchmark:
                 t0 = time.time()
                 index.add(xb)
                 t_add = time.time() - t0
+                if self.io is not None:
+                    try:
+                        self.io.save_index(index, self.dataset.label(), desc)
+                    except NotImplementedError:
+                        pass  # index family without io support yet
             ops = OperatingPoints()
             rows = []
             for combo in _param_grid(desc.search_params):
@@ -211,14 +226,148 @@ class Benchmark:
         return out
 
 
+class BenchmarkIO:
+    """File-backed artifact cache (reference: bench_fw/benchmark_io.py).
+
+    Built indexes and sweep results are cached in ``basedir`` keyed by a
+    hash of (dataset label, factory, construction params): re-running a
+    benchmark config skips training/building anything already on disk,
+    and result JSONs accumulate per config for later aggregation."""
+
+    def __init__(self, basedir: str):
+        import os
+
+        self.basedir = basedir
+        os.makedirs(basedir, exist_ok=True)
+
+    def _key(self, ds_label: str, desc: "IndexDescriptor") -> str:
+        import hashlib
+
+        blob = json.dumps(
+            [ds_label, desc.factory or desc.path,
+             desc.construction_params, desc.training_size],
+            sort_keys=True,
+        )
+        return hashlib.sha1(blob.encode()).hexdigest()[:16]
+
+    def index_path(self, ds_label, desc):
+        import os
+
+        return os.path.join(self.basedir, f"idx_{self._key(ds_label, desc)}.npz")
+
+    def load_index(self, ds_label, desc):
+        import os
+
+        p = self.index_path(ds_label, desc)
+        return read_index(p) if os.path.exists(p) else None
+
+    def save_index(self, index, ds_label, desc):
+        from .io import write_index
+
+        write_index(index, self.index_path(ds_label, desc))
+
+    def write_result(self, result: Dict[str, Any], name: str):
+        import os
+
+        with open(os.path.join(self.basedir, f"{name}.json"), "w") as f:
+            json.dump(result, f, indent=2)
+
+    def read_result(self, name: str):
+        import os
+
+        p = os.path.join(self.basedir, f"{name}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+
+@dataclass
+class Optimizer:
+    """Two-stage factory exploration (reference: bench_fw/optimize.py).
+
+    Stage 1 sweeps every candidate factory's search grid on the dataset;
+    stage 2 keeps the candidates that hit ``min_accuracy`` and are
+    Pareto-optimal in (accuracy, time) across ALL candidates — the
+    reference's benchmark_and_filter_candidates flow."""
+
+    k: int = 10
+    nrun: int = 1
+    min_accuracy: float = 0.0
+    io: Optional[BenchmarkIO] = None
+    verbose: bool = False
+
+    def optimize(
+        self, dataset: DatasetDescriptor, candidates: List[IndexDescriptor]
+    ) -> Dict[str, Any]:
+        bench = Benchmark(
+            dataset, candidates, k=self.k, nrun=self.nrun,
+            verbose=self.verbose, io=self.io,
+        )
+        results = bench.run()
+        # global Pareto filter over every (factory, params) point
+        ops = OperatingPoints()
+        pts = []
+        for entry in results["indexes"]:
+            for row in entry["points"]:
+                if row["recall"] < self.min_accuracy:
+                    continue
+                key = json.dumps(
+                    {"factory": entry["factory"], "params": row["params"]},
+                    sort_keys=True,
+                )
+                ops.add(row["recall"], row["time_s"], key)
+                pts.append((entry["factory"], row))
+        winners = [json.loads(p.key) for p in ops.optimal_pts]
+        keep = {w["factory"] for w in winners}
+        return {
+            "dataset": results["dataset"],
+            "all": results,
+            "pareto": winners,
+            "filtered_candidates": [
+                d for d in candidates if (d.factory or d.path) in keep
+            ],
+        }
+
+
 def run_benchmark(config: Dict[str, Any]) -> Dict[str, Any]:
     """Config-file entry point (the bench_fw CLI analogue): a dict with
     "dataset" (DatasetDescriptor fields) and "indexes" (list of
-    IndexDescriptor fields), e.g. parsed from JSON."""
+    IndexDescriptor fields), e.g. parsed from JSON. Optional "basedir"
+    engages the BenchmarkIO artifact cache; "min_accuracy" switches to the
+    Optimizer flow and adds a global Pareto filter."""
     ds = DatasetDescriptor(**config["dataset"])
     idxs = [IndexDescriptor(**ic) for ic in config["indexes"]]
+    io = BenchmarkIO(config["basedir"]) if config.get("basedir") else None
+    if "min_accuracy" in config:
+        opt = Optimizer(
+            k=config.get("k", 10), nrun=config.get("nrun", 1),
+            min_accuracy=config["min_accuracy"], io=io,
+            verbose=config.get("verbose", False),
+        )
+        return opt.optimize(ds, idxs)
     bench = Benchmark(
         ds, idxs, k=config.get("k", 10), nrun=config.get("nrun", 1),
-        verbose=config.get("verbose", False),
+        verbose=config.get("verbose", False), io=io,
     )
     return bench.run()
+
+
+def main(argv=None):
+    """CLI: python -m faiss_tpu.bench_fw CONFIG.json [OUT.json]"""
+    import sys
+
+    argv = argv if argv is not None else sys.argv[1:]
+    with open(argv[0]) as f:
+        config = json.load(f)
+    result = run_benchmark(config)
+    blob = json.dumps(result, indent=2)
+    if len(argv) > 1:
+        with open(argv[1], "w") as f:
+            f.write(blob)
+    else:
+        print(blob)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,8 @@ def _stage_flat_screen(xb, d_pad, nbp, metric_l2):
     jax.jit, static_argnames=("k", "qt", "ct", "metric_l2", "interpret")
 )
 def _flat_screen_program(
-    xq, yT_hi, yT_lo, n2s, xb, ymax, k, qt, ct, metric_l2, interpret=False
+    xq, yT_hi, yT_lo, n2s, xb, ymax, k, qt, ct, metric_l2, carry=None,
+    interpret=False,
 ):
     """bf16 screen + EXACT re-rank + per-row exactness certificate, one
     device program. The screen is the recon-GEMM kernel (hi/lo bf16 query
@@ -90,10 +91,16 @@ def _flat_screen_program(
         key_k > v[:, LANES - 1] - delta,
         jnp.min(ev, -1) < key_k + delta,
     )
-    return jnp.concatenate(
+    out = jnp.concatenate(
         [D, I.astype(jnp.float32), flag.astype(jnp.float32)[:, None]],
         axis=1,
     )
+    if carry is not None:
+        # chain the previous sub-batch's packed rows through this program
+        # so ALL sub-batches come home in ONE device->host read (each read
+        # costs a ~38 ms tunnel round trip — the ivf_pq.py carry pattern)
+        out = jnp.concatenate([carry, out], axis=0)
+    return out
 
 
 class IndexFlat(Index):
@@ -362,21 +369,23 @@ class IndexFlat(Index):
         # query uploads and multi-MB packed readbacks overlap other
         # sub-batches' compute on the tunnel
         pending = []
+        carry = None
         for start, padded, real in query_buckets(nq, max_batch=4096):
             xq = x[start : start + real]
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
             qt = min(padded, 256)
-            pending.append((
-                start,
-                real,
-                _flat_screen_program(
-                    jnp.asarray(xq), yT_hi, yT_lo, n2s, xb, ymax, k, qt,
-                    1024, metric_l2,
-                ),
-            ))
-        for start, real, packed_dev in pending:
-            packed = np.asarray(packed_dev)
+            carry = _flat_screen_program(
+                jnp.asarray(xq), yT_hi, yT_lo, n2s, xb, ymax, k, qt,
+                1024, metric_l2, carry=carry,
+            )
+            pending.append((start, padded, real))
+        # ONE packed read brings every sub-batch home (carry chaining)
+        allp = np.asarray(carry)
+        po = 0
+        for start, padded, real in pending:
+            packed = allp[po : po + padded]
+            po += padded
             d = np.array(packed[:real, :k])  # writable: repairs below
             i = np.rint(packed[:real, k : 2 * k]).astype(np.int64)
             flag = packed[:real, 2 * k] != 0.0

@@ -223,6 +223,112 @@ std::vector<PairDI> search_level(
   return out;
 }
 
+// Query-path beam search with the reference's bounded-queue discipline
+// (impl/HNSW.cpp search_from_candidates + hnsw/MinimaxHeap.h): candidates
+// live in an ef-capacity max-heap where pop_min marks a hole but leaves
+// the distance in the array, every evaluated neighbor is pushed
+// unconditionally (the heap evicts the worst), results go to a separate
+// k-heap, and expansion stops only when ef tracked distances are already
+// below the popped candidate. Explores more than the classic hnswlib
+// termination at equal ef — measurably higher recall per efSearch.
+struct MinimaxHeap {
+  int cap, k = 0, nvalid = 0;
+  std::vector<PairDI> a;  // max-heap by distance; id -1 marks a popped hole
+  explicit MinimaxHeap(int c) : cap(c) { a.reserve(c); }
+  void push(idx_t id, float d) {
+    if (k == cap) {
+      if (d >= a.front().first) return;
+      std::pop_heap(a.begin(), a.end());
+      if (a.back().second != -1) --nvalid;
+      a.pop_back();
+      --k;
+    }
+    a.emplace_back(d, id);
+    std::push_heap(a.begin(), a.end());
+    ++k;
+    ++nvalid;
+  }
+  idx_t pop_min(float* dout) {
+    int imin = -1;
+    float dmin = INFINITY;
+    for (int i = 0; i < k; ++i)
+      if (a[i].second != -1 && a[i].first < dmin) {
+        dmin = a[i].first;
+        imin = i;
+      }
+    if (imin < 0) return -1;
+    *dout = dmin;
+    idx_t id = a[imin].second;
+    a[imin].second = -1;  // hole: distance stays for count_below
+    --nvalid;
+    return id;
+  }
+  int count_below(float t) const {
+    int c = 0;
+    for (int i = 0; i < k; ++i) c += a[i].first < t;
+    return c;
+  }
+};
+
+std::vector<PairDI> search_level0_bounded(
+    HNSW& h, const float* q, idx_t entry, float dentry, int k, int ef,
+    std::vector<uint8_t>& visited, std::vector<idx_t>& visited_list,
+    const float* qcs = nullptr) {
+  const bool pano = qcs != nullptr && h.pano_levels > 0 && h.metric == 1;
+  std::priority_queue<PairDI> results;  // k-heap (worst on top)
+  MinimaxHeap cands(ef);
+  results.emplace(dentry, entry);
+  cands.push(entry, dentry);
+  visited[entry] = 1;
+  visited_list.push_back(entry);
+
+  long long hops = 0;
+  for (;;) {
+    float d0;
+    idx_t c = cands.pop_min(&d0);
+    if (c < 0) break;
+    if (cands.count_below(d0) >= ef) break;
+    ++hops;
+    idx_t* nb = h.neigh(c, 0);
+    int nn = h.nb_per_level(0);
+    for (int i = 0; i < nn; ++i) {
+      idx_t v = nb[i];
+      if (v < 0) break;
+      if (visited[v]) continue;
+      visited[v] = 1;
+      visited_list.push_back(v);
+      float dv;
+      if (pano) {
+        // prune against the k-th result (the result heap's threshold);
+        // a pruned bound still enters the candidate heap — it only loses
+        // its result-heap slot, mirroring the reference where Panorama
+        // thresholds on the result handler
+        float thresh =
+            (idx_t)results.size() >= k ? results.top().first : INFINITY;
+        dv = h.dist_pano(q, v, qcs, thresh);
+      } else {
+        dv = h.dist_id(q, v);
+      }
+      if ((idx_t)results.size() < k || dv < results.top().first) {
+        results.emplace(dv, v);
+        if ((idx_t)results.size() > k) results.pop();
+      }
+      cands.push(v, dv);
+    }
+  }
+  g_nhops.fetch_add(hops, std::memory_order_relaxed);
+  g_ndis.fetch_add((long long)visited_list.size(),
+                   std::memory_order_relaxed);
+  std::vector<PairDI> out;
+  out.reserve(results.size());
+  while (!results.empty()) {
+    out.push_back(results.top());
+    results.pop();
+  }
+  std::reverse(out.begin(), out.end());
+  return out;
+}
+
 // neighbor selection: distance-domination shrink heuristic
 void shrink_neighbors(HNSW& h, std::vector<PairDI>& cand, int max_size) {
   if ((int)cand.size() <= max_size) return;
@@ -345,19 +451,53 @@ int64_t hnsw_add(void* ptr, const float* x, int64_t n) {
   }
   h.ntotal += n;
   h.pano_update_cum_sums(base);
+  // Insertion order: bucket-sort the batch by level, HIGHEST level first,
+  // with a random shuffle inside each bucket (reference
+  // IndexHNSW.cpp:97-146 hnsw_add_vertices): hub nodes exist before the
+  // level-0 mass links in, which measurably improves recall at equal
+  // efConstruction vs arrival-order insertion.
+  int max_lv = 0;
+  for (idx_t i = 0; i < n; ++i) max_lv = std::max(max_lv, h.levels[base + i]);
+  std::vector<idx_t> order;
+  order.reserve(n);
+  for (int lv = max_lv; lv >= 0; --lv) {
+    size_t b0 = order.size();
+    for (idx_t i = 0; i < n; ++i)
+      if (h.levels[base + i] == lv) order.push_back(base + i);
+    for (size_t j = b0; j + 1 < order.size(); ++j) {
+      std::uniform_int_distribution<size_t> u(j, order.size() - 1);
+      std::swap(order[j], order[u(h.rng)]);
+    }
+  }
+  idx_t prev_entry = h.entry_point;
+  int prev_max = h.max_level;
   std::vector<uint8_t> visited(h.ntotal, 0);
   std::vector<idx_t> vlist;
   for (idx_t i = 0; i < n; ++i) {
     if (g_stop.load(std::memory_order_relaxed)) {
-      // roll back the unlinked tail so the graph stays consistent
-      h.ntotal = base + i;
-      h.vecs.resize((size_t)h.ntotal * h.d);
-      h.levels.resize(h.ntotal);
-      h.neighbors.resize(h.ntotal);
-      h.pano_update_cum_sums(h.ntotal);
-      return i;
+      // linked nodes are scattered through the id range (level-ordered
+      // insertion), so roll back the WHOLE batch: strip backlinks into
+      // [base, base+n) from the pre-existing nodes and restore the entry
+      // point. The caller sees 0 added and re-raises.
+      for (idx_t v = 0; v < base; ++v) {
+        for (int l = 0; l <= h.levels[v]; ++l) {
+          idx_t* nb = h.neigh(v, l);
+          int nn = h.nb_per_level(l), w = 0;
+          for (int t = 0; t < nn && nb[t] >= 0; ++t)
+            if (nb[t] < base) nb[w++] = nb[t];
+          for (; w < nn; ++w) nb[w] = -1;
+        }
+      }
+      h.ntotal = base;
+      h.vecs.resize((size_t)base * h.d);
+      h.levels.resize(base);
+      h.neighbors.resize(base);
+      h.entry_point = prev_entry;
+      h.max_level = prev_max;
+      h.pano_update_cum_sums(base);
+      return 0;
     }
-    insert_node(h, base + i, visited, vlist);
+    insert_node(h, order[i], visited, vlist);
   }
   return n;
 }
@@ -413,7 +553,8 @@ void hnsw_search(void* ptr, const float* xq, int64_t nq, int64_t k,
         h.pano_suffix_norms(q, qcs.data());
         qcs_p = qcs.data();
       }
-      auto res = search_level(h, q, cur, dcur, 0, ef, visited, vlist, qcs_p);
+      auto res = search_level0_bounded(h, q, cur, dcur, (int)k, ef, visited,
+                                       vlist, qcs_p);
       for (idx_t v : vlist) visited[v] = 0;
       vlist.clear();
       int64_t m = std::min<int64_t>(k, res.size());

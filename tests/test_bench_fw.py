@@ -54,3 +54,45 @@ def test_run_benchmark_config_and_wrappers():
     (entry,) = res["indexes"]
     assert len(entry["points"]) == 2
     assert entry["train_s"] >= 0 and entry["add_s"] > 0
+
+
+def test_optimizer_and_io_cache(tmp_path):
+    """Optimizer two-stage flow + BenchmarkIO artifact cache (reference:
+    bench_fw/optimize.py benchmark_and_filter_candidates,
+    bench_fw/benchmark_io.py)."""
+    from faiss_tpu.bench_fw import BenchmarkIO, Optimizer
+
+    ds = DatasetDescriptor(d=16, nb=2000, nq=50, nt=1500)
+    cands = [
+        IndexDescriptor("IVF16,Flat", search_params={"nprobe": [1, 16]}),
+        IndexDescriptor("IVF16,SQ8", search_params={"nprobe": [1, 16]}),
+    ]
+    io = BenchmarkIO(str(tmp_path))
+    opt = Optimizer(k=5, min_accuracy=0.5, io=io, verbose=False)
+    res = opt.optimize(ds, cands)
+    # every pareto point clears the accuracy floor and is globally optimal
+    assert res["pareto"]
+    flat_pts = {
+        (e["factory"], json.dumps(r["params"], sort_keys=True)): r
+        for e in res["all"]["indexes"] for r in e["points"]
+    }
+    for w in res["pareto"]:
+        row = flat_pts[(w["factory"], json.dumps(w["params"], sort_keys=True))]
+        assert row["recall"] >= 0.5
+    assert res["filtered_candidates"]
+    # second run hits the index cache: train/add cost is skipped
+    res2 = Benchmark(ds, cands, k=5, io=io).run()
+    for entry in res2["indexes"]:
+        assert entry["train_s"] == 0.0 and entry["add_s"] == 0.0
+
+
+def test_run_benchmark_optimizer_config(tmp_path):
+    cfg = {
+        "dataset": {"d": 16, "nb": 1000, "nq": 30, "nt": 800},
+        "indexes": [{"factory": "Flat", "search_params": {}}],
+        "k": 5,
+        "min_accuracy": 0.9,
+        "basedir": str(tmp_path),
+    }
+    res = run_benchmark(cfg)
+    assert res["pareto"] and res["pareto"][0]["factory"] == "Flat"

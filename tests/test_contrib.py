@@ -202,3 +202,57 @@ def test_torch_monkey_patch(ds):
     np.testing.assert_array_equal(I3.numpy(), I.numpy())
     c, a = tu.torch_kmeans(xb, 8, niter=4)
     assert torch.is_tensor(c) and tuple(c.shape) == (8, d)
+
+
+def test_offline_ivf_pipeline(tmp_path):
+    """Config-driven offline IVF pipeline end to end (reference:
+    demos/offline_ivf/offline_ivf.py + run.py command flow)."""
+    import json
+
+    from faiss_tpu.contrib.offline_ivf import OfflineIVF, main
+
+    rs = np.random.RandomState(5)
+    d, per_shard, nshard, nq = 16, 1500, 3, 64
+    root = tmp_path / "data"
+    root.mkdir()
+    xb_all = []
+    files = []
+    for s in range(nshard):
+        x = rs.randn(per_shard, d).astype(np.float32)
+        np.save(root / f"xb_{s}.npy", x)
+        xb_all.append(x)
+        files.append(f"xb_{s}.npy")
+    xb = np.concatenate(xb_all)
+    xq = xb[rs.choice(len(xb), nq, replace=False)] + 0.01 * rs.randn(
+        nq, d
+    ).astype(np.float32)
+    np.save(root / "xq.npy", xq.astype(np.float32))
+
+    cfg = {
+        "d": d,
+        "output": str(tmp_path / "out"),
+        "index": "IVF16,Flat",
+        "nprobe": 16,
+        "k": 5,
+        "training_sample": 2000,
+        "datasets": {
+            "db": {"root": str(root), "files": files},
+            "queries": {"root": str(root), "files": ["xq.npy"]},
+        },
+    }
+    oivf = OfflineIVF(cfg)
+    oivf.train_index()
+    written = oivf.index_shard()
+    assert len(written) == nshard
+    oivf.merge_index()
+    oivf.consistency_check()
+    stats = oivf.index_stats()
+    assert stats["ntotal"] == nshard * per_shard
+    D, I = oivf.search()
+    assert I.shape == (nq, 5)
+    rec = oivf.evaluate(sample=nq)
+    assert rec > 0.95  # nprobe=nlist: exact within quantization
+    # CLI dispatch round-trip on one command
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    main([str(cfg_path), "index_stats"])
