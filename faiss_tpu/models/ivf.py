@@ -512,6 +512,14 @@ class IndexIVFFlat(IndexIVF):
     # big_batch_threshold = 0 disables the fused bf16-screen path entirely
     FUSED_CT = 1024
     big_batch_threshold = 128
+    pipeline_batch = 4096  # sub-batch size for tunnel-overlap pipelining
+    # Optional query-transfer compression for the big-batch path
+    # (GpuIndexConfig-style opt-in knob: None = exact f32 — the IVFFlat
+    # contract; "float16" halves the H2D bytes, every distance then sees
+    # the f16-rounded query, ~6e-4 relative). The tunnel moves ~45 MB/s,
+    # so the 4 MB f32 upload for 8192 queries costs ~90 ms of a ~345 ms
+    # batch — set this where that trade is right.
+    query_h2d_dtype = None
     recon_scan_max_bytes = 4 << 30
     refined_qdepth = 3  # candidates are near-results: keep the deep queue
     fused_interpret = False  # CPU interpret-mode testing knob
@@ -668,18 +676,25 @@ class IndexIVFFlat(IndexIVF):
         I = np.full((nq, k), -1, np.int64)
         if nprobe >= self.nlist:
             nprobe = 0
-        # queries cross as f32 (int8 staging would break IVFFlat's
-        # exact-distance contract)
+        # queries cross as f32 by default (compressed staging would break
+        # IVFFlat's exact-distance contract; query_h2d_dtype opts in)
         # dispatch every sub-batch before reading any result (tunnel
         # overlap — same structure as IndexIVFPQ._search_big_batch_refined)
         pending = []
         carry = None  # single-read chaining across sub-batches
-        for start, padded, real in query_buckets(nq, max_batch=4096):
+        for start, padded, real in query_buckets(
+            nq, max_batch=self.pipeline_batch
+        ):
             xq = x[start : start + real]
             if padded != real:
                 xq = np.pad(xq, ((0, padded - real), (0, 0)))
             qt = min(padded, 256)
-            xq_dev = jnp.asarray(xq)
+            if self.query_h2d_dtype == "float16":
+                xq_dev = jnp.asarray(xq.astype(np.float16)).astype(
+                    jnp.float32
+                )
+            else:
+                xq_dev = jnp.asarray(xq)
             use_dyn = bool(nprobe) and padded >= 128
             if use_dyn:
                 msteps = self._dyn_bucket_for(xq_dev, br, nprobe, qt)
