@@ -10,12 +10,17 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchs/exp_server.py
 Stop: touch /tmp/exp_stop
 """
 
+import faulthandler
 import os
+import signal
 import sys
 import time
 import traceback
 
 import numpy as np
+
+# kill -USR1 <pid> dumps all thread stacks to stderr (tunnel-hang triage)
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

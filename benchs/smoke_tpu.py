@@ -121,6 +121,70 @@ def main():
         assert (err < 1e-2 * np.maximum(np.abs(keys), 1)).all()
     log(f"ADC kernel exact on {clean.sum()}/{len(sub)} sampled rows "
         f"({int(lossy.sum())} flagged)")
+
+    # ---- 3. k=1024 chained-rank-buffer cascade vs numpy ------------------
+    t0 = time.time()
+    v, i, ev = knn_fused_pallas(
+        jnp.asarray(xq[:256]), jnp.asarray(yT), np.int32(nb),
+        qt=256, ct=1024, k_lanes=1024,
+    )
+    v, i, ev = np.asarray(v), np.asarray(i), np.asarray(ev)
+    log(f"k=1024 cascade ran in {time.time()-t0:.1f}s (incl compile)")
+    ref = np.sort(dist[:256], 1)[:, :1024]
+    lossy = ev.min(1) < v[:, 1023]
+    clean = ~lossy
+    err = np.abs(np.maximum(ref[clean], 0) - v[clean]) / np.maximum(
+        ref[clean], 1e-6
+    )
+    assert (err < 1e-4).all(), f"cascade mismatch: max rel {err.max()}"
+    assert lossy.mean() < 0.10, f"cascade lossy rate {lossy.mean()}"
+    log(f"k=1024 cascade exact on {clean.sum()}/256 rows")
+
+    # ---- 4+5. recon-GEMM + dyn-chunk kernels through the index API ------
+    # (the serving-path kernels: exhaustive recon scan, then the
+    # scalar-prefetch dynamic-chunk scan with a selective nprobe)
+    import faiss_tpu as ft
+    from faiss_tpu.models.ivf_pq import ivf_fast_scan_stats
+
+    d2, nb2, nq3, nlist2 = 64, 1 << 16, 256, 256
+    xb2 = rs.rand(nb2, d2).astype(np.float32)
+    xq3 = rs.rand(nq3, d2).astype(np.float32)
+    base = ft.IndexIVFPQFastScan(None, d2, nlist2, 16, 4)
+    base.FUSED_CT = 1024
+    base.big_batch_threshold = 1
+    base.cp.niter = 4
+    index = ft.IndexRefineFlat(base)
+    index.k_factor = 8
+    index.train(xb2[: 1 << 14])
+    index.add(xb2)
+    d_exact = (
+        (xq3**2).sum(1)[:, None] + (xb2**2).sum(1)[None, :]
+        - 2 * xq3 @ xb2.T
+    )
+    gt10 = np.argsort(d_exact, 1)[:, :10]
+
+    def check(tag, nprobe, strict, min_recall):
+        base.nprobe = nprobe
+        base.strict_probe = strict
+        t0 = time.time()
+        D, I = index.search(xq3, 10)
+        log(f"{tag} ran in {time.time()-t0:.1f}s (incl compile)")
+        # re-rank contract: D must be the EXACT distance of each result
+        got = d_exact[np.arange(nq3)[:, None], I]
+        err = np.abs(np.maximum(got, 0) - D) / np.maximum(got, 1e-5)
+        assert (err < 1e-3).all(), f"{tag} rerank mismatch {err.max()}"
+        rec = np.mean(
+            [len(set(I[q]) & set(gt10[q])) / 10.0 for q in range(nq3)]
+        )
+        assert rec >= min_recall, f"{tag} recall {rec:.4f} < {min_recall}"
+        log(f"{tag}: recall@10 {rec:.4f}, rerank exact")
+
+    check("recon-GEMM kernel (exhaustive)", nlist2, True, 0.85)
+    ivf_fast_scan_stats.reset()
+    check("dyn-chunk kernel (soft nprobe=2)", 2, False, 0.55)
+    assert ivf_fast_scan_stats.chunks_skipped > 0, "dyn path not engaged"
+    log(f"dyn-chunk: {ivf_fast_scan_stats.chunks_scanned} scanned / "
+        f"{ivf_fast_scan_stats.chunks_skipped} skipped chunks")
     log("ALL SMOKE CHECKS PASSED")
 
 

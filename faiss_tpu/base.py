@@ -138,6 +138,23 @@ class Index:
         _, ids = self.search(x, k)
         return ids
 
+    def search_submit(self, x, k: int, *, params=None):
+        """Enqueue a search without blocking on its results; pair with
+        :meth:`search_collect`. A serving loop that submits batch i+1
+        before collecting batch i overlaps the device link's readback,
+        upload, and compute across batches (steady-state throughput
+        approaches max(wire, compute) instead of their sum). Indexes with
+        a fused device path override this; the base implementation is an
+        eager fallback with identical results."""
+        return ("eager", self.search(x, k, params=params))
+
+    def search_collect(self, handle):
+        """Block on and return (D, I) for a :meth:`search_submit` handle."""
+        tag, st = handle
+        if tag == "eager":
+            return st
+        return self._sbbr_collect(st)
+
     def range_search(self, x, radius: float, *, params=None):
         """Two-pass static-shape range search; see impl in subclasses."""
         raise NotImplementedError

@@ -659,12 +659,59 @@ class IndexIVFFlat(IndexIVF):
             self._dyn_bucket[nprobe] = min(br["nchunks"], -(-m // 64) * 64)
         return self._dyn_bucket[nprobe]
 
+    def search_submit(self, x, k, *, params=None):
+        """Non-blocking dispatch of the fused big-batch flat search (see
+        Index.search_submit); eager fallback otherwise."""
+        x = self._check_input(x)
+        nprobe = self.nprobe
+        max_codes = self.max_codes
+        if params is not None:
+            if getattr(params, "nprobe", 0):
+                nprobe = params.nprobe
+            if getattr(params, "max_codes", 0):
+                max_codes = params.max_codes
+        d_pad = -(-self.d // 128) * 128
+        import jax as _jax
+
+        use_big = (
+            self.big_batch_threshold
+            and len(x) >= self.big_batch_threshold
+            and self.metric_type == MetricType.L2
+            and (params is None or params.sel is None)
+            and not max_codes
+            and k <= 64
+            and self.ntotal > 0
+            and (self.ntotal + 2 * self.FUSED_CT) * 2 * d_pad * 2
+            <= self.recon_scan_max_bytes
+            and (_jax.default_backend() not in ("cpu",)
+                 or self.fused_interpret)
+        )
+        if not use_big:
+            return ("eager", self.search(x, k, params=params))
+        self._check_trained()
+        return (
+            "fused",
+            self._sbbf_submit(
+                x, k, min(max(1, nprobe), self.nlist), params
+            ),
+        )
+
+    def search_collect(self, handle):
+        tag, st = handle
+        if tag == "eager":
+            return st
+        return self._sbbf_collect(st)
+
     def _search_big_batch_flat(self, x, k, nprobe, params):
+        return self._sbbf_collect(self._sbbf_submit(x, k, nprobe, params))
+
+    def _sbbf_submit(self, x, k, nprobe, params):
+        """DISPATCH phase (async, nothing blocks on the device link); see
+        IndexIVFPQ._sbbr_submit for the submit/collect streaming design."""
         from ..base import query_buckets
         from .ivf_pq import (
             _fused_search_rerank_recon,
             _fused_search_rerank_recon_dyn,
-            _unpack_results,
         )
 
         nq = len(x)
@@ -672,8 +719,6 @@ class IndexIVFFlat(IndexIVF):
         # candidate margin over k absorbs bf16 ranking noise before the
         # exact re-rank; eviction-floor flags at rank k trigger repair
         kc = min(128, max(2 * k, k + 32))
-        D = np.full((nq, k), np.inf, np.float32)
-        I = np.full((nq, k), -1, np.int64)
         if nprobe >= self.nlist:
             nprobe = 0
         # queries cross as f32 by default (compressed staging would break
@@ -755,7 +800,21 @@ class IndexIVFFlat(IndexIVF):
                 )
                 carry = packed
             pending.append((start, real, padded, packed, use_dyn))
-        # READ phase: the chained LAST handle holds every row -> one read
+        return {
+            "pending": pending, "nq": nq, "k": k, "nprobe": nprobe,
+            "br": br, "x": x, "params": params,
+        }
+
+    def _sbbf_collect(self, st):
+        """READ phase: the chained LAST handle holds every row -> one read."""
+        from .ivf_pq import _unpack_results
+
+        pending, nq, k, nprobe, br, x, params = (
+            st["pending"], st["nq"], st["k"], st["nprobe"], st["br"],
+            st["x"], st["params"],
+        )
+        D = np.full((nq, k), np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
         total_rows = sum(p[2] for p in pending)
         if len(pending) > 1 and pending[-1][3].shape[0] == total_rows:
             allp = np.asarray(pending[-1][3])

@@ -1082,6 +1082,19 @@ class IndexIVFPQ(IndexIVF):
         ``nprobe == 0`` scans everything; a selective nprobe additionally
         routes through the dynamic-chunk kernel, which scans only the
         probed chunks (implem_12 semantics, IndexIVFFastScan.cpp:1166)."""
+        return self._sbbr_collect(
+            self._sbbr_submit(x, k, kc, refine_xb, nprobe)
+        )
+
+    def _sbbr_submit(self, x, k, kc, refine_xb, nprobe=0):
+        """DISPATCH phase of the refined big-batch search: stage + enqueue
+        every sub-batch program WITHOUT blocking on results (jax async
+        dispatch — nothing here waits on the device link). Returns an
+        opaque state for :meth:`_sbbr_collect`. Splitting submit/collect
+        lets a serving loop overlap batch i's readback with batch i+1's
+        upload/compute across *separate* search calls — the same
+        double-buffering the reference GPU layer gets from its paged
+        bfKnn pipeline (gpu/GpuDistance.cu paged copies)."""
         from ..base import query_buckets
 
         nq = len(x)
@@ -1103,9 +1116,7 @@ class IndexIVFPQ(IndexIVF):
             # rerank_exact returns packed slot positions; translate to the
             # stored user ids like every other _big_batch consumer does
             I = np.where(I >= 0, self._ids_host[np.maximum(I, 0)], -1)
-            return D, I.astype(np.int64)
-        D = np.full((nq, k), np.inf, np.float32)
-        I = np.full((nq, k), -1, np.int64)
+            return {"eager": (D, I.astype(np.int64))}
         kc = min(kc, 128)
         if nprobe >= self.nlist:
             nprobe = 0
@@ -1269,12 +1280,26 @@ class IndexIVFPQ(IndexIVF):
             ivf_fast_scan_stats.chunks_scanned += nscan
             ivf_fast_scan_stats.chunks_skipped += nch - nscan
             pending.append((start, real, padded, packed, use_dyn))
-        # READ phase. Preferred: the dispatch loop CHAINED each sub-batch's
-        # packed rows through the next program (carry), so the LAST handle
-        # holds every row and ONE host read (~38 ms tunnel RT each) fetches
-        # all of them. Fallbacks: rt_econ device concat, batched
-        # device_get, or per-batch reads (a chained mid-stream packed
-        # carries its predecessors — its own rows are the tail slice).
+        return {
+            "pending": pending, "nq": nq, "k": k, "nprobe": nprobe,
+            "br": br,
+        }
+
+    def _sbbr_collect(self, st):
+        """READ phase of the refined big-batch search. Preferred: the
+        dispatch loop CHAINED each sub-batch's packed rows through the next
+        program (carry), so the LAST handle holds every row and ONE host
+        read (~38 ms tunnel RT each) fetches all of them. Fallbacks:
+        rt_econ device concat, batched device_get, or per-batch reads (a
+        chained mid-stream packed carries its predecessors — its own rows
+        are the tail slice)."""
+        if "eager" in st:
+            return st["eager"]
+        pending, nq, k, nprobe, br = (
+            st["pending"], st["nq"], st["k"], st["nprobe"], st["br"],
+        )
+        D = np.full((nq, k), np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
         t_read0 = time.perf_counter()
         total_rows = sum(p[2] for p in pending)
         if len(pending) > 1 and pending[-1][3].shape[0] == total_rows:

@@ -263,16 +263,13 @@ class IndexRefine(Index):
         self.refine_index.reset()
         self.ntotal = 0
 
-    def search(self, x, k, *, params=None):
-        x = self._check_input(x)
-        kc = max(k, int(round(k * self.k_factor)))
-        largest = is_similarity_metric(self.metric_type)
-        nq = len(x)
-
+    def _fused_refined_nprobe(self, x, k, kc, params):
+        """nprobe for the single-dispatch fused search+re-rank path, or
+        None when that path is not engaged for this call."""
         from .flat import IndexFlat
         from .ivf_pq import IndexIVFPQ
 
-        if (
+        if not (
             isinstance(self.refine_index, IndexFlat)
             and isinstance(self.base_index, IndexIVFPQ)
             and self.base_index.big_batch_threshold
@@ -283,18 +280,55 @@ class IndexRefine(Index):
             and (params is None or params.sel is None)
             and self.refine_index.ntotal
         ):
-            import jax
+            return None
+        import jax
 
-            if jax.default_backend() not in ("cpu",):
-                # single-dispatch fused search + re-rank (the base search
-                # happens INSIDE this program — do not search twice)
-                nprobe = self.base_index.nprobe
-                if params is not None and getattr(params, "nprobe", 0):
-                    nprobe = params.nprobe
-                return self.base_index._search_big_batch_refined(
-                    x, k, kc, self.refine_index._consolidate(),
-                    min(nprobe, self.base_index.nlist),
-                )
+        if jax.default_backend() in ("cpu",) and not getattr(
+            self.base_index, "fused_interpret", False
+        ):
+            return None
+        nprobe = self.base_index.nprobe
+        if params is not None and getattr(params, "nprobe", 0):
+            nprobe = params.nprobe
+        return min(nprobe, self.base_index.nlist)
+
+    def search_submit(self, x, k, *, params=None):
+        """Non-blocking search dispatch (see Index.search_submit). When the
+        fused big-batch path is engaged, every sub-batch program is enqueued
+        and the handle's collect does the single packed read."""
+        x = self._check_input(x)
+        kc = max(k, int(round(k * self.k_factor)))
+        nprobe = self._fused_refined_nprobe(x, k, kc, params)
+        if nprobe is None:
+            return ("eager", self.search(x, k, params=params))
+        return (
+            "fused",
+            self.base_index._sbbr_submit(
+                x, k, kc, self.refine_index._consolidate(), nprobe
+            ),
+        )
+
+    def search_collect(self, handle):
+        tag, st = handle
+        if tag == "eager":
+            return st
+        return self.base_index._sbbr_collect(st)
+
+    def search(self, x, k, *, params=None):
+        x = self._check_input(x)
+        kc = max(k, int(round(k * self.k_factor)))
+        largest = is_similarity_metric(self.metric_type)
+        nq = len(x)
+
+        from .flat import IndexFlat
+
+        nprobe = self._fused_refined_nprobe(x, k, kc, params)
+        if nprobe is not None:
+            # single-dispatch fused search + re-rank (the base search
+            # happens INSIDE this program — do not search twice)
+            return self.base_index._search_big_batch_refined(
+                x, k, kc, self.refine_index._consolidate(), nprobe
+            )
 
         _, Ic = self.base_index.search(x, kc, params=params)
 

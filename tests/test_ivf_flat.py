@@ -188,3 +188,36 @@ def test_ivfflat_fused_big_batch_interpret():
     assert agree > 0.97, agree
     same = I0 == I1
     np.testing.assert_allclose(D0[same], d1[same], rtol=1e-4, atol=1e-4)
+
+
+def test_ivfflat_search_submit_collect_equivalence():
+    """IVF-Flat streaming submit/collect must match the blocking search()
+    through the fused big-batch path (interpret mode) and fall back to
+    eager below the big-batch threshold."""
+    rs = np.random.RandomState(31)
+    d, nlist, nb, nq = 16, 32, 2000, 128
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    index = ft.IndexIVFFlat(None, d, nlist)
+    index.FUSED_CT = 256
+    index.fused_interpret = True
+    index.big_batch_threshold = 64
+    index.nprobe = nlist
+    index.cp.niter = 4
+    index.cp.min_points_per_centroid = 1
+    index.train(xb)
+    index.add(xb)
+    D0, I0 = index.search(xq, 10)
+    h0 = index.search_submit(xq, 10)
+    h1 = index.search_submit(xq, 10)  # two in flight
+    assert h0[0] == "fused"
+    Ds0, Is0 = index.search_collect(h0)
+    Ds1, Is1 = index.search_collect(h1)
+    np.testing.assert_array_equal(I0, Is0)
+    np.testing.assert_array_equal(I0, Is1)
+    np.testing.assert_allclose(D0, Ds0, rtol=1e-5, atol=1e-5)
+    h = index.search_submit(xq[:32], 10)
+    assert h[0] == "eager"
+    De, Ie = index.search_collect(h)
+    Dr, Ir = index.search(xq[:32], 10)
+    np.testing.assert_array_equal(Ie, Ir)

@@ -763,3 +763,51 @@ def test_dyn_soft_probe_interpret():
     ])
     assert inter_soft >= inter_strict - 1e-9, (inter_soft, inter_strict)
     assert inter_soft > 0.9
+
+
+def test_search_submit_collect_streaming_equivalence():
+    """search_submit/search_collect (the cross-batch streaming API) must
+    return exactly what a blocking search() returns, both through the
+    fused refined path (interpret mode) and the eager fallback, including
+    two in-flight handles at once (serving-loop double buffering)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    rs = np.random.RandomState(21)
+    d, nlist, nb, nq = 16, 32, 2000, 128
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(2 * nq, d).astype(np.float32)
+    base = ft.IndexIVFPQFastScan(None, d, nlist, 4, 4)
+    base.FUSED_CT = 256
+    base.fused_interpret = True
+    base.big_batch_threshold = 64
+    base.nprobe = nlist
+    base.cp.niter = 4
+    base.cp.min_points_per_centroid = 1
+    index = ft.IndexRefineFlat(base)
+    index.k_factor = 4
+    index.train(xb)
+    index.add(xb)
+    D0, I0 = index.search(xq[:nq], 10)
+    D1, I1 = index.search(xq[nq:], 10)
+    # two handles in flight, collected in submit order
+    h0 = index.search_submit(xq[:nq], 10)
+    h1 = index.search_submit(xq[nq:], 10)
+    assert h0[0] == "fused"
+    Ds0, Is0 = index.search_collect(h0)
+    Ds1, Is1 = index.search_collect(h1)
+    np.testing.assert_array_equal(I0, Is0)
+    np.testing.assert_array_equal(I1, Is1)
+    np.testing.assert_allclose(D0, Ds0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(D1, Ds1, rtol=1e-5, atol=1e-5)
+    # eager fallback (small nq under the big-batch threshold) matches too
+    h = index.search_submit(xq[:32], 10)
+    assert h[0] == "eager"
+    De, Ie = index.search_collect(h)
+    Dr, Ir = index.search(xq[:32], 10)
+    np.testing.assert_array_equal(Ie, Ir)
+    # base Index default submit/collect (no fused path at all)
+    flat = ft.IndexFlatL2(d)
+    flat.add(xb)
+    Df, If = flat.search_collect(flat.search_submit(xq[:64], 5))
+    Dg, Ig = flat.search(xq[:64], 5)
+    np.testing.assert_array_equal(If, Ig)
