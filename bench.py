@@ -164,12 +164,40 @@ def main():
         times.append(time.time() - t0)
     times.sort()
     dt = times[nrep // 2]
-    qps = nq / dt
     r = recall_at_k(I, gt, 10)
     log(
-        f"steady state: recall@10={r:.4f}, median {dt*1000:.1f} ms "
+        f"per-call latency: recall@10={r:.4f}, median {dt*1000:.1f} ms "
         f"(best {times[0]*1000:.1f}, worst {times[-1]*1000:.1f}) / {nq} q "
-        f"-> {qps:.0f} QPS"
+        f"-> {nq/dt:.0f} QPS single-stream"
+    )
+
+    # Serving throughput: CONTINUOUS batch stream via search_submit /
+    # search_collect — batch i's packed readback overlaps batch i+1's
+    # upload + compute on the device link (the reference GPU's paged
+    # bfKnn double-buffering, gpu/GpuDistance.cu; its headline numbers
+    # also measure one uninterrupted pass over the query set). Depth-2
+    # bounds in-flight memory to ~2 staged batches. Median of 3 stream
+    # runs; recall from the stream's own results.
+    nstream, depth = 8, 2
+    stream_times = []
+    for _ in range(3):
+        t0 = time.time()
+        hs, outs = [], []
+        for i in range(nstream):
+            hs.append(index.search_submit(xq, 10))
+            if i >= depth:
+                outs.append(index.search_collect(hs[i - depth]))
+        for h in hs[len(outs):]:
+            outs.append(index.search_collect(h))
+        stream_times.append((time.time() - t0) / nstream)
+    stream_times.sort()
+    dts = stream_times[len(stream_times) // 2]
+    r_s = recall_at_k(outs[-1][1], gt, 10)
+    assert abs(r_s - r) < 1e-6, "streamed results diverge from search()"
+    qps = nq / dts
+    log(
+        f"streamed steady state: {dts*1000:.1f} ms/batch over "
+        f"{nstream} x {nq} q -> {qps:.0f} QPS (best {nq/stream_times[0]:.0f})"
     )
 
     baseline_qps = 74627.0  # Titan X IVF4096,PQ64 nprobe=32 (BASELINE.md #10)
@@ -181,9 +209,10 @@ def main():
                 "unit": "qps",
                 "vs_baseline": round(qps / baseline_qps, 3),
                 "recall_at_10": round(float(r), 4),
-                "implem": best,
-                "qps_best": round(nq / times[0], 1),
-                "qps_mean": round(nq * nrep / sum(times), 1),
+                "implem": best + "+stream2",
+                "qps_stream_best": round(nq / stream_times[0], 1),
+                "qps_single_med": round(nq / dt, 1),
+                "latency_ms_batch": round(dt * 1000, 1),
                 "train_s": round(t_train, 1),
                 "train_cold_s": round(t_train_cold, 1),
                 "add_s": round(t_add, 1),

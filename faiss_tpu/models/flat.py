@@ -354,6 +354,27 @@ class IndexFlat(Index):
             )
         return self._screen
 
+    def search_submit(self, x, k, *, params=None):
+        """Non-blocking dispatch of the screened flat search (see
+        Index.search_submit); eager fallback for every other path."""
+        x = self._check_input(x)
+        if (
+            k >= 1
+            and len(x) > 0
+            and (params is None or params.sel is None)
+            and self._consolidate() is not None
+            and self._use_fused_kernel(k)
+            and self._screen_ok(k)
+        ):
+            return ("flat_screen", self._screen_submit(x, k))
+        return ("eager", self.search(x, k, params=params))
+
+    def search_collect(self, handle):
+        tag, st = handle
+        if tag == "eager":
+            return st
+        return self._screen_collect(st)
+
     def _search_screened(self, x, k, D, I):
         """bf16 screen + exact re-rank (_flat_screen_program); rows whose
         exactness certificate fails re-run through the exact XLA path.
@@ -361,6 +382,12 @@ class IndexFlat(Index):
         distance-concentrated data: rank-k and rank-128 keys inside the
         bf16 error band), the screen stops paying — disable it for this
         index and serve everything from the f32 kernel."""
+        st = self._screen_submit(x, k)
+        return self._screen_collect(st, D, I)
+
+    def _screen_submit(self, x, k):
+        """DISPATCH phase: every sub-batch enqueued, nothing read (jax
+        async dispatch) — see Index.search_submit for the streaming use."""
         nq = len(x)
         metric_l2 = self.metric_type == MetricType.L2
         yT_hi, yT_lo, n2s, ymax = self._screen_dev()
@@ -380,7 +407,20 @@ class IndexFlat(Index):
                 1024, metric_l2, carry=carry,
             )
             pending.append((start, padded, real))
-        # ONE packed read brings every sub-batch home (carry chaining)
+        return {"carry": carry, "pending": pending, "x": x, "k": k,
+                "nq": nq}
+
+    def _screen_collect(self, st, D=None, I=None):
+        """READ phase: ONE packed read brings every sub-batch home (carry
+        chaining), then certificate repairs."""
+        carry, pending, x, k, nq = (
+            st["carry"], st["pending"], st["x"], st["k"], st["nq"],
+        )
+        largest = is_similarity_metric(self.metric_type)
+        if D is None:
+            D = np.full((nq, k), -np.inf if largest else np.inf, np.float32)
+            I = np.full((nq, k), -1, np.int64)
+        xb = self._consolidate()
         allp = np.asarray(carry)
         po = 0
         for start, padded, real in pending:

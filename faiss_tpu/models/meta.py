@@ -94,6 +94,15 @@ class IndexPreTransform(Index):
     def search(self, x, k, *, params=None):
         return self.index.search(self.apply_chain(self._check_input(x)), k, params=params)
 
+    def search_submit(self, x, k, *, params=None):
+        # apply the transform chain on host, delegate the streaming handle
+        return self.index.search_submit(
+            self.apply_chain(self._check_input(x)), k, params=params
+        )
+
+    def search_collect(self, handle):
+        return self.index.search_collect(handle)
+
     def range_search(self, x, radius, *, params=None):
         return self.index.range_search(
             self.apply_chain(self._check_input(x)), radius, params=params
