@@ -811,3 +811,31 @@ def test_search_submit_collect_streaming_equivalence():
     Df, If = flat.search_collect(flat.search_submit(xq[:64], 5))
     Dg, Ig = flat.search(xq[:64], 5)
     np.testing.assert_array_equal(If, Ig)
+
+
+def test_pretransform_search_submit_collect():
+    """IndexPreTransform forwards the streaming API through its chain."""
+    import faiss_tpu as ft
+
+    rs = np.random.RandomState(22)
+    d, nb, nq = 16, 1500, 128
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    base = ft.IndexIVFPQFastScan(None, d, 32, 4, 4)
+    base.FUSED_CT = 256
+    base.fused_interpret = True
+    base.big_batch_threshold = 64
+    base.nprobe = 32
+    base.cp.niter = 4
+    base.cp.min_points_per_centroid = 1
+    idx = ft.IndexRefineFlat(base)
+    idx.k_factor = 4
+    pre = ft.IndexPreTransform(ft.OPQMatrix(d, 4), idx)
+    pre.train(xb)
+    pre.add(xb)
+    h = pre.search_submit(xq, 10)
+    assert h[0] == "fused"
+    Ds, Is = pre.search_collect(h)
+    Dr, Ir = pre.search(xq, 10)
+    np.testing.assert_array_equal(Is, Ir)
+    np.testing.assert_allclose(Ds, Dr, rtol=1e-5, atol=1e-5)
