@@ -153,6 +153,10 @@ from .extra import (  # noqa: F401
     randn,
     unpack_bitstrings,
 )
+from .ops.partitioning import (  # noqa: F401
+    histogram_shifted,
+    partition_fuzzy,
+)
 from .autotune import (  # noqa: F401
     AutoTuneCriterion,
     IntersectionCriterion,
