@@ -342,12 +342,16 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
         meta["has_graph"] = state is not None
         if state is not None:
             arrays[f"{path}/graph"] = state["graph"]
-            arrays[f"{path}/xb"] = index._xb
             meta["nsg"] = {
                 "enterpoint": state["enterpoint"],
                 "R": state["R"],
                 "search_L": state["search_L"],
             }
+        storage = getattr(index, "storage", None)
+        if storage is not None:  # IndexNSGPQ / IndexNSGSQ: codes + graph
+            meta["storage"] = _dump(storage, arrays, f"{path}/storage")
+        elif state is not None:  # flat: the graph vectors ARE the storage
+            arrays[f"{path}/xb"] = index._xb
         return meta
 
     raise TypeError(f"don't know how to serialize {type(index).__name__}")
@@ -845,9 +849,32 @@ def _load(meta, arrays, path: str):
             index.ntotal = len(index._codes)
         return index
 
-    if cls in ("IndexNSGFlat", "IndexNNDescentFlat"):
-        from .models.nsg import IndexNNDescentFlat, IndexNSGFlat
+    if cls in ("IndexNSGFlat", "IndexNNDescentFlat", "IndexNSGPQ", "IndexNSGSQ"):
+        from .models.nsg import (
+            IndexNNDescentFlat,
+            IndexNSGFlat,
+            IndexNSGPQ,
+            IndexNSGSQ,
+        )
 
+        if cls in ("IndexNSGPQ", "IndexNSGSQ"):
+            storage = _load(meta["storage"], arrays, f"{path}/storage")
+            kls = IndexNSGPQ if cls == "IndexNSGPQ" else IndexNSGSQ
+            index = kls.__new__(kls)
+            IndexNSGFlat.__init__(
+                index, meta["d"], meta["R"], MetricType(storage.metric_type)
+            )
+            index.storage = storage
+            index.is_trained = storage.is_trained
+            index.GK = meta["GK"]
+            if meta["has_graph"]:
+                state = dict(meta["nsg"])
+                state["graph"] = arrays[f"{path}/graph"]
+                xb = storage.reconstruct_n(0, storage.ntotal)
+                index.restore_graph(
+                    state, np.ascontiguousarray(xb, np.float32)
+                )
+            return index
         kls = IndexNNDescentFlat if cls == "IndexNNDescentFlat" else IndexNSGFlat
         index = kls(meta["d"], meta["R"])
         index.GK = meta["GK"]

@@ -230,6 +230,14 @@ class IndexHNSW(Index):
     def reconstruct_n(self, n0, ni):
         return self.storage.reconstruct_n(n0, ni)
 
+    def vectors(self) -> np.ndarray:
+        """Stored vectors (decoded). Lets an IndexHNSW serve as an IVF
+        coarse quantizer (reference factory `IVFx_HNSWy` grammar,
+        index_factory.cpp parse_coarse_quantizer)."""
+        return np.ascontiguousarray(
+            self.reconstruct_n(0, self.ntotal), np.float32
+        )
+
     def reset(self) -> None:
         if self._graph is not None:
             self._lib.hnsw_free(self._graph)

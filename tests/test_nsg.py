@@ -71,3 +71,41 @@ def test_nsg_pq_sq_variants():
         np.testing.assert_allclose(
             D[:, 0], ((xq - recon) ** 2).sum(1), rtol=1e-3, atol=1e-3
         )
+
+
+def test_nsg_pq_sq_io_roundtrip(tmp_path):
+    """write_index/read_index for the codec-storage NSG variants: codes +
+    graph persist; reloaded search is identical (graph is not rebuilt)."""
+    import faiss_tpu as ft
+
+    rs = np.random.RandomState(1)
+    xb = rs.randn(1500, 32).astype(np.float32)
+    for fstr in ("NSG24,PQ4x8", "NSG24,SQ8"):
+        index = ft.index_factory(32, fstr)
+        index.train(xb)
+        index.add(xb)
+        p = str(tmp_path / "nsg.npz")
+        ft.write_index(index, p)
+        index2 = ft.read_index(p)
+        assert type(index2) is type(index)
+        D1, I1 = index.search(xb[:16], 5)
+        D2, I2 = index2.search(xb[:16], 5)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
+
+
+def test_ivf_with_hnsw_coarse_quantizer():
+    """Reference factory grammar IVFx_HNSWy (index_factory.cpp
+    parse_coarse_quantizer): the coarse quantizer is a graph index; the
+    IVF staging paths read its centroids via vectors()/reconstruct."""
+    import faiss_tpu as ft
+
+    rs = np.random.RandomState(2)
+    xb = rs.randn(4000, 32).astype(np.float32)
+    for fstr in ("IVF16_HNSW8,Flat", "IVF16_HNSW8,PQ4", "IVF16_HNSW8,SQ8"):
+        index = ft.index_factory(32, fstr)
+        index.train(xb)
+        index.add(xb)
+        index.nprobe = 4
+        _, I = index.search(xb[:8], 1)
+        assert (I[:, 0] == np.arange(8)).mean() >= 0.75, fstr
