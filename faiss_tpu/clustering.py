@@ -458,16 +458,29 @@ def kmeans1d(x, k: int):
         return s2 - s * s / m
 
     INF = np.inf
-    D = np.full((k + 1, n + 1), INF)
     B = np.zeros((k + 1, n + 1), np.int64)
-    D[0, 0] = 0.0
+    # layer-by-layer DP, vectorized over (i, j) in column chunks:
+    # D[c, j] = min_{c-1 <= i < j} D[c-1, i] + cost(i, j)
+    ii = np.arange(n + 1)
+    Dprev = np.full(n + 1, INF)
+    Dprev[0] = 0.0
+    chunk = max(1, (1 << 22) // (n + 1))  # ~32 MB of doubles per tile
     for c in range(1, k + 1):
-        for j in range(1, n + 1):
-            for i in range(c - 1, j):
-                v = D[c - 1, i] + cost(i, j)
-                if v < D[c, j]:
-                    D[c, j] = v
-                    B[c, j] = i
+        Dcur = np.full(n + 1, INF)
+        lo = c - 1  # smallest admissible split point
+        for j0 in range(1, n + 1, chunk):
+            js = np.arange(j0, min(j0 + chunk, n + 1))
+            m = js[None, :] - ii[lo:, None]
+            s = ps[js][None, :] - ps[ii[lo:]][:, None]
+            s2 = ps2[js][None, :] - ps2[ii[lo:]][:, None]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cst = s2 - s * s / m
+            tot = np.where(m > 0, Dprev[lo:, None] + cst, INF)
+            amin = np.argmin(tot, axis=0)
+            Dcur[js] = tot[amin, np.arange(len(js))]
+            B[c, js] = amin + lo
+        Dprev = Dcur
+    D = None  # layers folded into Dprev; only B is needed below
     # backtrack
     bounds = [n]
     for c in range(k, 0, -1):

@@ -115,10 +115,24 @@ def _decode_dev(codes, codebooks):
 class AdditiveQuantizer(Quantizer):
     """Base sum-of-codebooks codec (reference: AdditiveQuantizer.h:26)."""
 
-    # search_type values (AdditiveQuantizer.h:57)
+    # search_type values (AdditiveQuantizer.h:57 Search_type_t; numeric
+    # values diverge from the reference enum — ST_norm_float predates the
+    # rest here and is pinned by serialized indexes)
     ST_decompress = 0
     ST_LUT_nonorm = 1
+    ST_norm_from_LUT = 2
     ST_norm_float = 4
+    ST_norm_qint8 = 5
+    ST_norm_qint4 = 6
+    ST_norm_cqint8 = 7
+    ST_norm_cqint4 = 8
+    ST_norm_lsq2x4 = 9
+    ST_norm_rq2x4 = 10
+
+    # bytes appended to the packed code for the stored norm (the reference
+    # bit-packs 4-bit norms into the code bitstream; here norm storage is
+    # byte-aligned for array-sliceable decode)
+    _NORM_BYTES = {0: 0, 1: 0, 2: 0, 4: 4, 5: 1, 6: 1, 7: 1, 8: 1, 9: 1, 10: 1}
 
     def __init__(self, d: int, M: int, nbits: int = 8):
         self.M = int(M)
@@ -127,11 +141,96 @@ class AdditiveQuantizer(Quantizer):
         super().__init__(d, (M * nbits + 7) // 8 + 4)  # + float32 norm
         self.codebooks: Optional[np.ndarray] = None  # [M, K, d]
         self.search_type = self.ST_norm_float
+        self.norm_min = self.norm_max = float("nan")
+        self.qnorm: Optional[np.ndarray] = None  # cqint / lsq2x4 / rq2x4
+        self.norm_tabs: Optional[np.ndarray] = None  # [2,16] fastscan tables
         self.verbose = False
 
     @property
     def is_trained(self) -> bool:
         return self.codebooks is not None
+
+    def set_search_type(self, st: int) -> None:
+        """Select the norm storage mode (AdditiveQuantizer.h:72); resizes
+        code_size accordingly. Call before train()."""
+        if st not in self._NORM_BYTES:
+            raise ValueError(f"unknown search_type {st}")
+        self.search_type = st
+        self.code_size = (self.M * self.nbits + 7) // 8 + self._NORM_BYTES[st]
+
+    # -- norm storage (AdditiveQuantizer.cpp train_norm/encode_norm) -------
+    def train_norm(self, norms: np.ndarray) -> None:
+        norms = np.ascontiguousarray(norms, np.float32).ravel()
+        self.norm_min = float(norms.min())
+        self.norm_max = float(norms.max())
+        st = self.search_type
+        if st in (self.ST_norm_cqint8, self.ST_norm_cqint4):
+            k = 256 if st == self.ST_norm_cqint8 else 16
+            # the reference trains the norm codebook with an exact 1-D DP
+            # (Clustering1D::train_exact); quantile-initialized 1-D Lloyd
+            # converges to the same codebook here at O(n log k)/iter —
+            # clustering.kmeans1d remains the exact-DP utility
+            sub = np.sort(norms[: 1 << 16])
+            uniq = np.unique(sub)
+            if len(uniq) <= k:
+                self.qnorm = np.resize(uniq, k).astype(np.float32)
+                return
+            cents = np.quantile(sub, (np.arange(k) + 0.5) / k)
+            for _ in range(25):
+                bounds = (cents[1:] + cents[:-1]) / 2
+                a = np.searchsorted(bounds, sub)
+                sums = np.bincount(a, weights=sub, minlength=k)
+                cnts = np.bincount(a, minlength=k)
+                nz = cnts > 0
+                cents[nz] = sums[nz] / cnts[nz]
+            self.qnorm = cents.astype(np.float32)
+        elif st in (self.ST_norm_lsq2x4, self.ST_norm_rq2x4):
+            sub_cls = (
+                LocalSearchQuantizer
+                if st == self.ST_norm_lsq2x4
+                else ResidualQuantizer
+            )
+            sub = sub_cls(1, 2, 4)
+            sub.train(norms[: 1 << 16, None])
+            c = sub.codebooks[:, :, 0]  # [2, 16]
+            self.norm_tabs = c.astype(np.float32)
+            # flat 256-entry table: entry i*16+j reconstructs c0[j] + c1[i]
+            self.qnorm = (c[1][:, None] + c[0][None, :]).ravel().astype(
+                np.float32
+            )
+
+    def encode_norms(self, norms: np.ndarray) -> np.ndarray:
+        """uint8 [n, norm_bytes] norm payload for the packed codes."""
+        norms = np.ascontiguousarray(norms, np.float32).ravel()
+        st = self.search_type
+        if st == self.ST_norm_float:
+            return norms[:, None].view(np.uint8)
+        if st in (self.ST_norm_qint8, self.ST_norm_qint4):
+            scale = 256 if st == self.ST_norm_qint8 else 16
+            span = max(self.norm_max - self.norm_min, 1e-20)
+            i = np.floor((norms - self.norm_min) / span * scale)
+            return np.clip(i, 0, scale - 1).astype(np.uint8)[:, None]
+        if self.qnorm is not None:  # cqint / lsq2x4 / rq2x4: nearest entry
+            i = np.abs(norms[:, None] - self.qnorm[None, :]).argmin(1)
+            return i.astype(np.uint8)[:, None]
+        return np.zeros((len(norms), 0), np.uint8)
+
+    def decode_norms(self, codes: np.ndarray) -> Optional[np.ndarray]:
+        """Stored reconstruction norms from packed codes (f32 [n])."""
+        st = self.search_type
+        nb = self._NORM_BYTES[st]
+        if nb == 0:
+            return None
+        tail = np.ascontiguousarray(codes[:, codes.shape[1] - nb :])
+        if st == self.ST_norm_float:
+            return tail.view(np.float32).ravel()
+        i = tail[:, 0].astype(np.float32)
+        if st in (self.ST_norm_qint8, self.ST_norm_qint4):
+            scale = 256 if st == self.ST_norm_qint8 else 16
+            return (i + 0.5) / scale * (self.norm_max - self.norm_min) + (
+                self.norm_min
+            )
+        return self.qnorm[tail[:, 0]]
 
     def _dev(self):
         return jnp.asarray(self.codebooks)
@@ -140,10 +239,8 @@ class AdditiveQuantizer(Quantizer):
         raise NotImplementedError
 
     def compute_codes(self, x) -> np.ndarray:
-        """Packed codes + trailing fp32 reconstruction norm."""
+        """Packed codes + trailing stored norm (format per search_type)."""
         codes_int = self.compute_codes_int(x)
-        recon = self.decode_int(codes_int)
-        norms = (recon**2).sum(1).astype(np.float32)
         from .pq import ProductQuantizer
 
         helper = ProductQuantizer.__new__(ProductQuantizer)
@@ -153,7 +250,11 @@ class AdditiveQuantizer(Quantizer):
             (self.M * self.nbits + 7) // 8,
         )
         packed = ProductQuantizer.pack_codes(helper, codes_int)
-        return np.concatenate([packed, norms[:, None].view(np.uint8)], axis=1)
+        if self._NORM_BYTES[self.search_type] == 0:
+            return packed
+        recon = self.decode_int(codes_int)
+        norms = (recon**2).sum(1).astype(np.float32)
+        return np.concatenate([packed, self.encode_norms(norms)], axis=1)
 
     def unpack_codes(self, codes) -> np.ndarray:
         from .pq import ProductQuantizer
@@ -175,6 +276,18 @@ class AdditiveQuantizer(Quantizer):
 
     def decode(self, codes) -> np.ndarray:
         return self.decode_int(self.unpack_codes(np.ascontiguousarray(codes, np.uint8)))
+
+    def _maybe_train_norm(self, x) -> None:
+        """After codebook training: fit the norm quantizer on the
+        reconstruction norms of a training subsample
+        (AdditiveQuantizer.cpp train_norm callers)."""
+        if self.search_type in (
+            self.ST_norm_qint8, self.ST_norm_qint4, self.ST_norm_cqint8,
+            self.ST_norm_cqint4, self.ST_norm_lsq2x4, self.ST_norm_rq2x4,
+        ):
+            sub = np.ascontiguousarray(x[:8192], np.float32)
+            recon = self.decode_int(self.compute_codes_int(sub))
+            self.train_norm((recon**2).sum(1))
 
     def compute_LUT(self, xq) -> np.ndarray:
         """Per-query IP tables [nq, M, K] (AdditiveQuantizer::compute_LUT)."""
@@ -221,6 +334,7 @@ class ResidualQuantizer(AdditiveQuantizer):
             assign = d2.argmin(1)
             res = res - cb[assign]
         self.codebooks = codebooks
+        self._maybe_train_norm(x)
 
     def compute_codes_int(self, x) -> np.ndarray:
         x = np.ascontiguousarray(x, np.float32)
@@ -264,6 +378,7 @@ class LocalSearchQuantizer(AdditiveQuantizer):
             rhs = onehot.T @ x
             sol = np.linalg.solve(gram, rhs)
             self.codebooks = sol.reshape(self.M, self.K, self.d).astype(np.float32)
+        self._maybe_train_norm(x)
 
     def compute_codes_int(self, x) -> np.ndarray:
         x = np.ascontiguousarray(x, np.float32)
@@ -333,6 +448,7 @@ class ProductAdditiveQuantizer(AdditiveQuantizer):
                 s * self.dsub : (s + 1) * self.dsub,
             ] = sub.codebooks
         self.codebooks = codebooks
+        self._maybe_train_norm(x)
 
     def compute_codes_int(self, x) -> np.ndarray:
         x = np.ascontiguousarray(x, np.float32)

@@ -37,6 +37,28 @@ _SQ_TYPES = {
 }
 
 
+def _strip_aq_norm_suffix(tok: str):
+    """Split the AQ norm-storage suffix off an RQ/LSQ/PRQ/PLSQ token
+    (reference grammar index_factory.cpp:193 aq_norm_pattern). Returns
+    (base_token, search_type or None)."""
+    from .codecs.aq import AdditiveQuantizer as AQ
+
+    suffixes = {
+        "_Nfloat": AQ.ST_norm_float,
+        "_Nnone": AQ.ST_LUT_nonorm,
+        "_Nqint8": AQ.ST_norm_qint8,
+        "_Nqint4": AQ.ST_norm_qint4,
+        "_Ncqint8": AQ.ST_norm_cqint8,
+        "_Ncqint4": AQ.ST_norm_cqint4,
+        "_Nlsq2x4": AQ.ST_norm_lsq2x4,
+        "_Nrq2x4": AQ.ST_norm_rq2x4,
+    }
+    for s, st in suffixes.items():
+        if tok.endswith(s):
+            return tok[: -len(s)], st
+    return tok, None
+
+
 def _parse_transform(tok: str, d: int):
     """Pretransform tokens (index_factory.cpp:226 parse_VectorTransform)."""
     if m := re.fullmatch(r"PCA(R|W|WR)?(\d+)", tok):
@@ -93,6 +115,13 @@ def _parse_coarse(tok: str, d: int, metric):
 
 def _parse_ivf_encoding(tok: str, quantizer, d: int, nlist: int, metric):
     """Encoding inside IVF (index_factory.cpp:367 parse_IndexIVF)."""
+    base_tok, aq_st = _strip_aq_norm_suffix(tok)
+    if aq_st is not None and re.fullmatch(
+        r"(RQ|LSQ)\d+x\d+|(PRQ|PLSQ)\d+x\d+x\d+", base_tok
+    ):
+        idx = _parse_ivf_encoding(base_tok, quantizer, d, nlist, metric)
+        idx.aq.set_search_type(aq_st)
+        return idx
     from .models.aq import (
         IndexIVFLocalSearchQuantizer,
         IndexIVFResidualQuantizer,
@@ -203,6 +232,13 @@ def _parse_ivf_encoding(tok: str, quantizer, d: int, nlist: int, metric):
 
 def _parse_flat_encoding(tok: str, d: int, metric):
     """Standalone encodings (index_factory.cpp parse_other_indexes)."""
+    base_tok, aq_st = _strip_aq_norm_suffix(tok)
+    if aq_st is not None and re.fullmatch(
+        r"(RQ|LSQ)\d+x\d+|(PRQ|PLSQ)\d+x\d+x\d+", base_tok
+    ):
+        idx = _parse_flat_encoding(base_tok, d, metric)
+        idx.aq.set_search_type(aq_st)
+        return idx
     from .models.aq import (
         IndexLocalSearchQuantizer,
         IndexProductLocalSearchQuantizer,

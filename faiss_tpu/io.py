@@ -33,6 +33,29 @@ def _pq_meta(pq):
     return {"d": pq.d, "M": pq.M, "nbits": pq.nbits}
 
 
+def _dump_aq_norm(aq, meta, arrays, path):
+    """AQ norm-quantizer state (search_type + qint range / cqint table)."""
+    meta["search_type"] = int(aq.search_type)
+    if aq.norm_min == aq.norm_min:  # not NaN
+        meta["norm_min"], meta["norm_max"] = aq.norm_min, aq.norm_max
+    if aq.qnorm is not None:
+        arrays[f"{path}/aq_qnorm"] = aq.qnorm
+    if aq.norm_tabs is not None:
+        arrays[f"{path}/aq_norm_tabs"] = aq.norm_tabs
+
+
+def _load_aq_norm(aq, meta, arrays, path):
+    if "search_type" in meta:
+        aq.set_search_type(int(meta["search_type"]))
+    if "norm_min" in meta:
+        aq.norm_min = float(meta["norm_min"])
+        aq.norm_max = float(meta["norm_max"])
+    if f"{path}/aq_qnorm" in arrays:
+        aq.qnorm = arrays[f"{path}/aq_qnorm"]
+    if f"{path}/aq_norm_tabs" in arrays:
+        aq.norm_tabs = arrays[f"{path}/aq_norm_tabs"]
+
+
 def _dump(index, arrays: Dict[str, np.ndarray], path: str):
     """Recursively extract (meta_tree, arrays)."""
     from .models import binary as B
@@ -196,6 +219,7 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
                 meta["aq"]["nsplits"] = index.aq.nsplits
             if index.aq.codebooks is not None:
                 arrays[f"{path}/aq_codebooks"] = index.aq.codebooks
+            _dump_aq_norm(index.aq, meta["aq"], arrays, path)
             if hasattr(index, "bbs"):
                 meta["bbs"] = index.bbs
         return meta
@@ -300,6 +324,7 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
             meta["bbs"] = index.bbs
         if index.aq.codebooks is not None:
             arrays[f"{path}/codebooks"] = index.aq.codebooks
+        _dump_aq_norm(index.aq, meta, arrays, path)
         if index._codes_int is not None:
             arrays[f"{path}/codes"] = index._codes_int
             arrays[f"{path}/norms"] = index._norms
@@ -599,6 +624,7 @@ def _load(meta, arrays, path: str):
                         Ma // aqmeta["nsplits"], nba, metric, bbs),
             }[cls]
             index = ctor()
+            _load_aq_norm(index.aq, aqmeta, arrays, path)
             if f"{path}/aq_codebooks" in arrays:
                 index.aq.codebooks = arrays[f"{path}/aq_codebooks"]
                 if hasattr(index.aq, "nsplits"):
@@ -773,6 +799,7 @@ def _load(meta, arrays, path: str):
                         d, ns, M // ns, nbits, metric, bbs),
             }[cls]
             index = ctor()
+        _load_aq_norm(index.aq, meta, arrays, path)
         if f"{path}/codebooks" in arrays:
             index.aq.codebooks = arrays[f"{path}/codebooks"]
             if hasattr(index.aq, "nsplits"):

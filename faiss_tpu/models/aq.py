@@ -104,6 +104,12 @@ class IndexAdditiveQuantizer(Index):
         codes = self.aq.compute_codes_int(x)
         recon = self.aq.decode_int(codes)
         norms = (recon**2).sum(1).astype(np.float32)
+        if self.aq._NORM_BYTES.get(self.aq.search_type, 0) == 1:
+            # quantized norm storage (ST_norm_qint8/…): search must rank
+            # with the SAME norm the code stores (AdditiveQuantizer.h:78)
+            norms = self.aq.decode_norms(
+                self.aq.encode_norms(norms)
+            ).astype(np.float32)
         self._codes_int = (
             codes if self._codes_int is None
             else np.concatenate([self._codes_int, codes])

@@ -181,3 +181,79 @@ def test_lsq_ils_perturbations_improve():
     codes0 = lsq.compute_codes_int(x[1000:])
     mse_icm = ((lsq.decode_int(codes0) - x[1000:]) ** 2).mean()
     assert mse_ils <= mse_icm + 1e-7
+
+
+def test_aq_norm_storage_variants():
+    """AQ norm-quantized search types (AdditiveQuantizer.h:72 Search_type_t,
+    factory grammar index_factory.cpp:193 aq_norm_pattern): code sizes,
+    ranking quality parity with ST_norm_float, io round-trips."""
+    import tempfile
+
+    import faiss_tpu as ft
+
+    rs = np.random.RandomState(5)
+    # clustered data so recall is meaningful for a 2x4-bit code
+    cents = rs.randn(32, 16).astype(np.float32) * 3
+    xb = (cents[rs.randint(32, size=2000)]
+          + 0.3 * rs.randn(2000, 16)).astype(np.float32)
+    xq = (cents[rs.randint(32, size=64)]
+          + 0.3 * rs.randn(64, 16)).astype(np.float32)
+    gt = np.argsort(
+        ((xq[:, None, :] - xb[None, :, :]) ** 2).sum(-1), axis=1
+    )[:, :10]
+
+    def inter(I):
+        return np.mean(
+            [len(np.intersect1d(I[i], gt[i])) for i in range(len(I))]
+        ) / 10
+
+    base = None
+    expected_cs = {  # RQ4x4 packs to 2 code bytes + norm payload
+        "_Nfloat": 6, "_Nnone": 2, "_Nqint8": 3, "_Nqint4": 3,
+        "_Ncqint8": 3, "_Ncqint4": 3, "_Nlsq2x4": 3, "_Nrq2x4": 3,
+    }
+    for suf, cs in expected_cs.items():
+        index = ft.index_factory(16, f"RQ4x4{suf}")
+        index.train(xb)
+        index.add(xb)
+        assert index.sa_code_size() == cs, (suf, index.sa_code_size())
+        _, I = index.search(xq, 10)
+        r = inter(I)
+        if suf == "_Nfloat":
+            base = r
+        else:
+            # quantized norms cost recall in proportion to their step
+            # size (span/2^bits); 4-bit uniform is the lossiest
+            tol = 0.25 if suf in ("_Nqint4", "_Ncqint4") else 0.08
+            assert r >= base - tol, (suf, r, base)
+        with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+            ft.write_index(index, f.name)
+            index2 = ft.read_index(f.name)
+            assert index2.aq.search_type == index.aq.search_type
+            assert index2.sa_code_size() == cs
+            _, I2 = index2.search(xq, 10)
+            np.testing.assert_array_equal(np.asarray(I), np.asarray(I2))
+
+
+def test_aq_norm_encode_decode_bounds():
+    """decode(encode(norm)) error bounded by the quantizer's step size."""
+    from faiss_tpu.codecs.aq import ResidualQuantizer
+
+    rs = np.random.RandomState(3)
+    norms = np.abs(rs.randn(4000).astype(np.float32)) * 10 + 1
+    for st, steps in ((ResidualQuantizer.ST_norm_qint8, 256),
+                      (ResidualQuantizer.ST_norm_qint4, 16),
+                      (ResidualQuantizer.ST_norm_cqint8, 256),
+                      (ResidualQuantizer.ST_norm_cqint4, 16)):
+        aq = ResidualQuantizer(8, 2, 4)
+        aq.set_search_type(st)
+        aq.train_norm(norms)
+        dec = aq.decode_norms(aq.encode_norms(norms))
+        span = norms.max() - norms.min()
+        err = np.abs(dec - norms)
+        if st in (aq.ST_norm_qint8, aq.ST_norm_qint4):
+            # uniform: hard per-value bound of half a step
+            assert err.max() <= span / steps * 0.51, (st, err.max())
+        else:
+            # k-means codebooks have wide tail cells: bound the MEAN
+            assert err.mean() <= span / steps, (st, err.mean())
