@@ -47,7 +47,62 @@ def numpy_gt(xq, xb, k, chunk=200_000):
     return D, I
 
 
+def wait_for_backend(budget_s=2400, probe_timeout_s=240):
+    """Probe the TPU backend in a timeout-bounded subprocess.
+
+    When the axon tunnel is down, jax backend init HANGS rather than
+    failing fast — a bare run would stall the driver forever. Retry
+    within a budget (the tunnel weather recovers on minute timescales),
+    then let the caller emit a parseable failure line.
+    """
+    import os
+    import subprocess
+    import time
+
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                timeout=probe_timeout_s,
+                capture_output=True,
+                text=True,
+                env=dict(os.environ),
+            )
+            if res.returncode == 0 and res.stdout.strip():
+                log(f"TPU backend up ({res.stdout.strip()} device(s))")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        rem = budget_s - (time.time() - t0)
+        log(
+            f"TPU backend unavailable (probe attempt {attempt}); "
+            f"{max(rem, 0):.0f}s left in wait budget"
+        )
+        if rem <= 0:
+            return False
+        time.sleep(min(60.0, max(1.0, rem)))
+
+
 def main():
+    if not wait_for_backend():
+        # Emit ONE parseable JSON line even when the hardware is gone so
+        # the driver records an explained failure, not a hung process.
+        print(
+            json.dumps(
+                {
+                    "metric": "sift1m_ivfpq32x4fs_rflat_qps_at_recall10_0.95",
+                    "value": 0.0,
+                    "unit": "qps",
+                    "vs_baseline": 0.0,
+                    "error": "TPU tunnel unavailable after 40min of probes",
+                }
+            )
+        )
+        return
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
