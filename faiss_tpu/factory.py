@@ -34,7 +34,19 @@ _SQ_TYPES = {
     "SQ6": QuantizerType.QT_6bit,
     "SQfp16": QuantizerType.QT_fp16,
     "SQbf16": QuantizerType.QT_bf16,
-}
+    "SQ8_direct_signed": QuantizerType.QT_8bit_direct_signed,
+    "SQ8_direct": QuantizerType.QT_8bit_direct,
+    "SQ0": QuantizerType.QT_0bit,
+    "SQtqmse1": QuantizerType.QT_1bit_tqmse,
+    "SQtqmse2": QuantizerType.QT_2bit_tqmse,
+    "SQtqmse3": QuantizerType.QT_3bit_tqmse,
+    "SQtqmse4": QuantizerType.QT_4bit_tqmse,
+    "SQtqmse8": QuantizerType.QT_8bit_tqmse,
+    "SQtq2": QuantizerType.QT_2bit_tq,
+    "SQtq3": QuantizerType.QT_3bit_tq,
+    "SQtq4": QuantizerType.QT_4bit_tq,
+    "SQtq5": QuantizerType.QT_5bit_tq,
+}  # token table: index_factory.cpp:160-179 sq_types
 
 
 def _strip_aq_norm_suffix(tok: str):

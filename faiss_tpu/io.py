@@ -185,6 +185,8 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
                 meta["bbs"] = index.bbs
         if isinstance(index, IndexIVFScalarQuantizer):
             meta["qtype"] = int(index.sq.qtype)
+            meta["sq_by_residual"] = bool(index.by_residual)
+            meta["tq_seed"] = int(index.sq.tq_seed)
             if index.sq.trained is not None:
                 arrays[f"{path}/sq_trained"] = index.sq.trained
         from .models.eden import IndexIVFEDEN
@@ -230,6 +232,7 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
             metric=int(index.metric_type),
             qtype=int(index.sq.qtype),
             is_trained=index.is_trained,
+            tq_seed=int(index.sq.tq_seed),
         )
         if index.sq.trained is not None:
             arrays[f"{path}/sq_trained"] = index.sq.trained
@@ -568,8 +571,10 @@ def _load(meta, arrays, path: str):
             )
         elif cls == "IndexIVFScalarQuantizer":
             index = IndexIVFScalarQuantizer(
-                quantizer, d, nlist, QuantizerType(meta["qtype"]), metric
+                quantizer, d, nlist, QuantizerType(meta["qtype"]), metric,
+                by_residual=bool(meta.get("sq_by_residual", False)),
             )
+            index.sq.tq_seed = int(meta.get("tq_seed", 123))
             if f"{path}/sq_trained" in arrays:
                 index.sq.trained = arrays[f"{path}/sq_trained"]
         elif "Quantizer" in cls and "Scalar" not in cls:  # IVF AQ family
@@ -674,6 +679,7 @@ def _load(meta, arrays, path: str):
         index = IndexScalarQuantizer(
             meta["d"], QuantizerType(meta["qtype"]), MetricType(meta["metric"])
         )
+        index.sq.tq_seed = int(meta.get("tq_seed", 123))
         if f"{path}/sq_trained" in arrays:
             index.sq.trained = arrays[f"{path}/sq_trained"]
         index.is_trained = meta["is_trained"]

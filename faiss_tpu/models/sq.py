@@ -25,6 +25,12 @@ class IndexScalarQuantizer(IndexFlat):
     """Flat SQ index (reference: IndexScalarQuantizer.h:26)."""
 
     def __init__(self, d: int, qtype=QuantizerType.QT_8bit, metric=MetricType.L2):
+        if QuantizerType(qtype) == QuantizerType.QT_0bit:
+            # sq-dispatch.h:408: centroid-only distance needs an IVF around it
+            raise ValueError(
+                "QT_0bit does not support standalone quantization, "
+                "use IndexIVFScalarQuantizer"
+            )
         super().__init__(d, metric)
         self.sq = ScalarQuantizer(d, qtype)
         self.is_trained = self.sq.is_trained
@@ -77,7 +83,11 @@ class IndexIVFScalarQuantizer(IndexIVF):
     ):
         super().__init__(quantizer, d, nlist, metric)
         self.sq = ScalarQuantizer(d, qtype)
-        self.by_residual = by_residual
+        # QT_0bit reconstructs each vector as its list centroid — only
+        # meaningful with residual coding (scanners.h:162)
+        self.by_residual = (
+            True if self.sq.qtype == QuantizerType.QT_0bit else by_residual
+        )
         self.code_size = self.sq.code_size
 
     def train_encoder(self, x, assign) -> None:
