@@ -40,6 +40,24 @@ def sync(a):
 
 
 def main():
+    # Probe the tunnel in a KILLABLE subprocess first: axon init inside
+    # this process would hang unrecoverably when the tunnel is down, and
+    # the retry wrapper can only restart us after an exit.
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            timeout=240,
+            capture_output=True,
+        )
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        log("server: TPU tunnel down (probe failed) — exiting for retry")
+        sys.exit(3)
+
     import jax
     import jax.numpy as jnp
 
