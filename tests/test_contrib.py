@@ -256,3 +256,32 @@ def test_offline_ivf_pipeline(tmp_path):
     cfg_path = tmp_path / "cfg.json"
     cfg_path.write_text(json.dumps(cfg))
     main([str(cfg_path), "index_stats"])
+
+
+def test_kvstore_invlists(tmp_path):
+    """Pluggable KV-store inverted lists (demos/demo_kvstore_ivf.py, the
+    reference demos/rocksdb_ivf analogue): build into sqlite, cold-reload,
+    search parity with the in-RAM twin."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/demos")
+    import numpy as np
+
+    import faiss_tpu as ft
+    from demo_kvstore_ivf import build, load
+    from faiss_tpu.utils.datasets import SyntheticDataset
+
+    ds = SyntheticDataset(16, 2000, 8000, 30)
+    trained = ft.index_factory(16, "IVF32,SQ8")
+    trained.train(ds.get_train())
+    db = str(tmp_path / "kv.sqlite")
+    build(ft.clone_index(trained), ds.get_database(),
+          np.arange(8000, dtype=np.int64), db)
+    index = load(ft.clone_index(trained), db)
+    index.nprobe = 32
+    _, I = index.search(ds.get_queries(), 5)
+    ref = ft.clone_index(trained)
+    ref.add(ds.get_database())
+    ref.nprobe = 32
+    _, Iref = ref.search(ds.get_queries(), 5)
+    assert (np.asarray(I) == np.asarray(Iref)).mean() > 0.99
