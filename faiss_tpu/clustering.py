@@ -334,13 +334,30 @@ class SuperKMeans:
         xd = jnp.asarray(xr)
 
         centroids = base._init_centroids(xr, rs)
+        key = jax.random.PRNGKey(cp.seed)
+        if weights is not None:
+            # the ADSampling-pruned update has no weighted reduction:
+            # weighted training runs the exact fused loop for ALL
+            # iterations rather than silently dropping the weights after
+            # iteration 0
+            cdev, objs, _, _, _, _ = kmeans_fused_loop(
+                xd, jnp.asarray(centroids), key, jnp.asarray(weights),
+                niter=cp.niter, spherical=cp.spherical, weighted=True,
+            )
+            self.iteration_stats = [
+                ClusteringIterationStats(
+                    obj=float(o), time=0.0, time_search=0.0,
+                    imbalance_factor=0.0, nsplit=0,
+                )
+                for o in np.asarray(objs)
+            ]
+            self.centroids = rot.reverse_transform(np.asarray(cdev))
+            return float(np.asarray(objs)[-1])
         # iteration 0: one exact full-d Lloyd step (SuperKMeans.cpp:66
         # "iter 0 computes exact assignments"; seeds tau for the bound)
-        key = jax.random.PRNGKey(cp.seed)
         cdev, objs0, _, _, _, _ = kmeans_fused_loop(
-            xd, jnp.asarray(centroids), key,
-            jnp.asarray(weights) if weights is not None else None,
-            niter=1, spherical=cp.spherical, weighted=weights is not None,
+            xd, jnp.asarray(centroids), key, None,
+            niter=1, spherical=cp.spherical, weighted=False,
         )
         coeffs = precompute_ad_thresholds(self.d, cp.epsilon)
         d_prime = max(cp.d_prime_min, int(self.d * cp.d_prime_fraction))

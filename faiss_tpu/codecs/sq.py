@@ -57,6 +57,12 @@ _BITS = {
     QuantizerType.QT_6bit: 6,
 }
 
+# NOTE on contract: tqmse types quantize RAW components against the fixed
+# N(0,1) Lloyd-Max table — no per-vector or trained normalization (the
+# reference QuantizerLloydMax does exactly this, quantizers.h:205
+# encode_vector). Data far from unit scale clips to the extreme centroids;
+# standardize first (or use the QT_*bit_tq types, which normalize rows and
+# store the norm). train() is a no-op for these types by design.
 _TQMSE_BITS = {
     QuantizerType.QT_1bit_tqmse: 1,
     QuantizerType.QT_2bit_tqmse: 2,

@@ -127,6 +127,10 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
         meta["M"] = index.hnsw.M
         state = index.graph_state()
         meta["has_graph"] = state is not None
+        if hasattr(index, "num_panorama_levels"):
+            # top-level too: a graphless (empty) Panorama index must keep a
+            # non-default level count through a round-trip
+            meta["pano_levels"] = int(index.num_panorama_levels)
         if state is not None:
             for key in ("vecs", "levels", "neighbors"):
                 arrays[f"{path}/hnsw/{key}"] = state[key]
@@ -491,7 +495,10 @@ def _load(meta, arrays, path: str):
         }[cls]
         if cls == "IndexHNSWFlatPanorama":
             index.num_panorama_levels = int(
-                meta.get("hnsw", {}).get("pano_levels", 8)
+                meta.get(
+                    "pano_levels",
+                    meta.get("hnsw", {}).get("pano_levels", 8),
+                )
             )
         if meta["has_graph"]:
             state = dict(meta["hnsw"])

@@ -88,6 +88,16 @@ class Index2Layer(Index):
         self._codes = None
         self.ntotal = 0
 
+    def _truncate(self, n: int) -> None:
+        """Drop rows n.. (interrupt rollback for graph wrappers that must
+        add storage before building graph nodes)."""
+        if n <= 0:
+            self.reset()
+            return
+        self._listnos = self._listnos[:n]
+        self._codes = self._codes[:n]
+        self.ntotal = n
+
 
 class IndexIVFFlatDedup(IndexIVFFlat):
     """IVFFlat that deduplicates identical vectors

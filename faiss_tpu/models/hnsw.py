@@ -394,9 +394,13 @@ class IndexHNSW2Level(IndexHNSW):
         if added < len(xr):
             from ..callbacks import InterruptedException
 
+            # roll storage back to the graph's prefix: graph node ids ARE
+            # storage row numbers, so leaving the full batch in storage
+            # would desynchronize every later add
+            self.storage._truncate(n0 + added)
             raise InterruptedException(
                 f"HNSW2Level add interrupted after {added}/{len(xr)} nodes"
-                " (storage holds the full batch; graph holds the prefix)"
+                " (storage rolled back to the graph prefix)"
             )
 
     def flip_to_ivf(self):

@@ -601,8 +601,10 @@ class IndexIVFFlat(IndexIVF):
         }
         return self._brute
 
-    def search(self, x, k: int, *, params=None):
-        x = self._check_input(x)
+    def _big_batch_gate(self, x, k, params):
+        """(nprobe, use_big): the ONE fused big-batch eligibility test —
+        search() and search_submit() must agree or the same query diverges
+        between the eager and streamed entry points."""
         nprobe = self.nprobe
         max_codes = self.max_codes
         if params is not None:
@@ -611,7 +613,9 @@ class IndexIVFFlat(IndexIVF):
             if getattr(params, "max_codes", 0):
                 max_codes = params.max_codes
         d_pad = -(-self.d // 128) * 128
-        use_big = (
+        import jax as _jax
+
+        use_big = bool(
             self.big_batch_threshold
             and len(x) >= self.big_batch_threshold
             and self.metric_type == MetricType.L2
@@ -621,15 +625,19 @@ class IndexIVFFlat(IndexIVF):
             and self.ntotal > 0
             and (self.ntotal + 2 * self.FUSED_CT) * 2 * d_pad * 2
             <= self.recon_scan_max_bytes
+            and (_jax.default_backend() not in ("cpu",)
+                 or self.fused_interpret)
         )
-        if use_big:
-            import jax as _jax
+        return nprobe, use_big
 
-            if _jax.default_backend() not in ("cpu",):
-                self._check_trained()
-                return self._search_big_batch_flat(
-                    x, k, min(max(1, nprobe), self.nlist), params
-                )
+    def search(self, x, k: int, *, params=None):
+        x = self._check_input(x)
+        nprobe, use_big = self._big_batch_gate(x, k, params)
+        if use_big:
+            self._check_trained()
+            return self._search_big_batch_flat(
+                x, k, min(max(1, nprobe), self.nlist), params
+            )
         return super().search(x, k, params=params)
 
     # dyn-chunk worklist cap (shared semantics with IndexIVFPQ; the
@@ -663,29 +671,7 @@ class IndexIVFFlat(IndexIVF):
         """Non-blocking dispatch of the fused big-batch flat search (see
         Index.search_submit); eager fallback otherwise."""
         x = self._check_input(x)
-        nprobe = self.nprobe
-        max_codes = self.max_codes
-        if params is not None:
-            if getattr(params, "nprobe", 0):
-                nprobe = params.nprobe
-            if getattr(params, "max_codes", 0):
-                max_codes = params.max_codes
-        d_pad = -(-self.d // 128) * 128
-        import jax as _jax
-
-        use_big = (
-            self.big_batch_threshold
-            and len(x) >= self.big_batch_threshold
-            and self.metric_type == MetricType.L2
-            and (params is None or params.sel is None)
-            and not max_codes
-            and k <= 64
-            and self.ntotal > 0
-            and (self.ntotal + 2 * self.FUSED_CT) * 2 * d_pad * 2
-            <= self.recon_scan_max_bytes
-            and (_jax.default_backend() not in ("cpu",)
-                 or self.fused_interpret)
-        )
+        nprobe, use_big = self._big_batch_gate(x, k, params)
         if not use_big:
             return ("eager", self.search(x, k, params=params))
         self._check_trained()

@@ -1076,17 +1076,19 @@ class IndexIVFPQ(IndexIVF):
             self._dyn_bucket[nprobe] = min(br["nchunks"], -(-m // 64) * 64)
         return self._dyn_bucket[nprobe]
 
-    def _search_big_batch_refined(self, x, k, kc, refine_xb, nprobe=0):
+    def _search_big_batch_refined(
+        self, x, k, kc, refine_xb, nprobe=0, refine_n2=None
+    ):
         """Big-batch search + exact re-rank in one device program
         (used by IndexRefineFlat when wrapping this index).
         ``nprobe == 0`` scans everything; a selective nprobe additionally
         routes through the dynamic-chunk kernel, which scans only the
         probed chunks (implem_12 semantics, IndexIVFFastScan.cpp:1166)."""
         return self._sbbr_collect(
-            self._sbbr_submit(x, k, kc, refine_xb, nprobe)
+            self._sbbr_submit(x, k, kc, refine_xb, nprobe, refine_n2)
         )
 
-    def _sbbr_submit(self, x, k, kc, refine_xb, nprobe=0):
+    def _sbbr_submit(self, x, k, kc, refine_xb, nprobe=0, refine_n2=None):
         """DISPATCH phase of the refined big-batch search: stage + enqueue
         every sub-batch program WITHOUT blocking on results (jax async
         dispatch — nothing here waits on the device link). Returns an
@@ -1120,16 +1122,17 @@ class IndexIVFPQ(IndexIVF):
         kc = min(kc, 128)
         if nprobe >= self.nlist:
             nprobe = 0
-        # store norms for the exact re-rank, computed ONCE per refine
-        # buffer (saves a full pass over the gathered candidate block per
-        # batch); an f16 store needs only 3-pass dot precision
-        if getattr(self, "_refine_n2_key", None) != id(refine_xb):
-            self._refine_n2 = jnp.sum(
+        # store norms for the exact re-rank: the refine IndexFlat caches
+        # them per buffer (_consolidate) and invalidates on add/reset —
+        # callers pass them down; only compute here when not provided
+        # (never cache by id(refine_xb): CPython id reuse after a buffer
+        # rebuild would validate stale norms)
+        if refine_n2 is None:
+            refine_n2 = jnp.sum(
                 jnp.square(refine_xb.astype(jnp.float32)), axis=1
             )
-            self._refine_n2_key = id(refine_xb)
         rr_kw = dict(
-            xb_n2=self._refine_n2,
+            xb_n2=refine_n2,
             rr_prec="high" if refine_xb.dtype == jnp.float16 else "highest",
         )
         # DISPATCH phase: enqueue every sub-batch before reading any result,
@@ -1276,7 +1279,9 @@ class IndexIVFPQ(IndexIVF):
             nch = br["nchunks"]
             nscan = msteps if use_dyn else nch
             ivf_fast_scan_stats.nq += real
-            ivf_fast_scan_stats.ndis += (padded // qt) * nscan * self.FUSED_CT
+            # per-QUERY keys: every query in a tile scores every slot the
+            # tile streams (tiles = padded // qt, qt queries each)
+            ivf_fast_scan_stats.ndis += padded * nscan * self.FUSED_CT
             ivf_fast_scan_stats.chunks_scanned += nscan
             ivf_fast_scan_stats.chunks_skipped += nch - nscan
             pending.append((start, real, padded, packed, use_dyn))

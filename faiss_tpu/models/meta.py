@@ -313,7 +313,8 @@ class IndexRefine(Index):
         return (
             "fused",
             self.base_index._sbbr_submit(
-                x, k, kc, self.refine_index._consolidate(), nprobe
+                x, k, kc, self.refine_index._consolidate(), nprobe,
+                self.refine_index._norms,
             ),
         )
 
@@ -336,7 +337,8 @@ class IndexRefine(Index):
             # single-dispatch fused search + re-rank (the base search
             # happens INSIDE this program — do not search twice)
             return self.base_index._search_big_batch_refined(
-                x, k, kc, self.refine_index._consolidate(), nprobe
+                x, k, kc, self.refine_index._consolidate(), nprobe,
+                self.refine_index._norms,
             )
 
         _, Ic = self.base_index.search(x, kc, params=params)

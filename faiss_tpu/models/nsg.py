@@ -251,6 +251,9 @@ class IndexNSGPQ(IndexNSGFlat):
             from ..callbacks import InterruptedException
 
             self.reset()
+            # also drop the encoded batch: the ntotal==0 guard would let a
+            # retry re-encode it on top, duplicating every vector
+            self.storage.reset()
             raise InterruptedException("NSG build interrupted")
         self._xb = xr
         self.ntotal = len(xr)

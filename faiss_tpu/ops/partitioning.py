@@ -30,12 +30,17 @@ _SIGN = jnp.uint32(0x80000000)
 
 def _orderable_key(vals: jax.Array) -> Tuple[jax.Array, int]:
     """Map vals to uint32 keys whose unsigned order matches the value
-    order (classic sign-flip encoding for floats). Returns (keys, nbits)."""
+    order (classic sign-flip encoding for floats; signed ints bias to
+    excess-K so the key stays inside the radix width). Returns
+    (keys, nbits) — every key fits in the low nbits."""
     if jnp.issubdtype(vals.dtype, jnp.floating):
         b = jax.lax.bitcast_convert_type(vals.astype(jnp.float32), jnp.uint32)
         return jnp.where(b >= _SIGN, ~b, b | _SIGN), 32
-    if vals.dtype in (jnp.uint16, jnp.uint8, jnp.int16, jnp.int8):
-        return vals.astype(jnp.int32).astype(jnp.uint32), 16
+    if vals.dtype in (jnp.uint16, jnp.uint8):
+        return vals.astype(jnp.uint32), 16
+    if vals.dtype in (jnp.int16, jnp.int8):
+        bias = 32768 if vals.dtype == jnp.int16 else 128
+        return (vals.astype(jnp.int32) + bias).astype(jnp.uint32), 16
     b = jax.lax.bitcast_convert_type(vals.astype(jnp.int32), jnp.uint32)
     return b ^ _SIGN, 32
 
@@ -71,8 +76,11 @@ def histogram_shifted(
 @partial(jax.jit, static_argnames=("q_min", "q_max", "keep_max"))
 def _partition_device(vals, q_min: int, q_max: int, keep_max: bool):
     keys, nbits = _orderable_key(vals)
+    # invert WITHIN the radix width: ~keys on a 16-bit key would set high
+    # bits the nbits-step descent never probes (keep_max would no-op)
+    inv_mask = jnp.uint32(0xFFFFFFFF if nbits == 32 else (1 << nbits) - 1)
     if keep_max:  # select the q LARGEST: reverse the key order
-        keys = ~keys
+        keys = keys ^ inv_mask
 
     # Bitwise radix descent for the q_min-th smallest key: grow t from the
     # MSB, keeping the invariant count(keys < t) < q_min; the maximal such
@@ -99,11 +107,14 @@ def _partition_device(vals, q_min: int, q_max: int, keep_max: bool):
 
     tk = thresh_key.squeeze(-1)
     if keep_max:
-        tk = ~tk
+        tk = tk ^ inv_mask
     if jnp.issubdtype(vals.dtype, jnp.floating):
         thresh = _decode_float(tk).astype(vals.dtype)
-    elif vals.dtype in (jnp.uint16, jnp.uint8, jnp.int16, jnp.int8):
+    elif vals.dtype in (jnp.uint16, jnp.uint8):
         thresh = tk.astype(vals.dtype)
+    elif vals.dtype in (jnp.int16, jnp.int8):
+        bias = 32768 if vals.dtype == jnp.int16 else 128
+        thresh = (tk.astype(jnp.int32) - bias).astype(vals.dtype)
     else:
         thresh = jax.lax.bitcast_convert_type(tk ^ _SIGN, jnp.int32).astype(
             vals.dtype

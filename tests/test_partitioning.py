@@ -91,3 +91,25 @@ def test_histogram_shifted():
                 bins[(bins >= 0) & (bins < nbins)], minlength=nbins
             )
             np.testing.assert_array_equal(h[r], ref)
+
+
+def test_partition_fuzzy_uint16_keep_max():
+    """keep_max over uint16 keys (the reference's primary CMax-over-uint16
+    use, partitioning.h:25): the inversion must stay inside the 16-bit
+    radix width or the descent finds nothing."""
+    v = np.array([[5, 1, 9, 3, 7, 2, 8, 4]], np.uint16)
+    out, _, th, q = partition_fuzzy(v, q_min=3, keep_max=True)
+    assert set(np.asarray(out)[0, :3].tolist()) == {9, 8, 7}
+    assert int(np.asarray(th)[0]) == 7
+
+
+def test_partition_fuzzy_signed_ints():
+    """Signed int16/int8 keys order via excess-K bias (negatives must not
+    wrap above positives in the uint32 image)."""
+    v = np.array([[-5, 1, -9, 3]], np.int16)
+    out, _, th, _ = partition_fuzzy(v, q_min=2)
+    assert set(np.asarray(out)[0, :2].tolist()) == {-9, -5}
+    assert int(np.asarray(th)[0]) == -5
+    v8 = np.array([[-5, 1, -9, 3, -1, 2]], np.int8)
+    out, _, _, _ = partition_fuzzy(v8, q_min=3, keep_max=True)
+    assert set(np.asarray(out)[0, :3].tolist()) == {1, 2, 3}
