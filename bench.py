@@ -195,6 +195,12 @@ def main():
     t_add = time.time() - t0
     log(f"add+stage: {t_add:.1f}s")
 
+    if os.environ.get("BENCH_SAVE_INDEX"):
+        # leave the built index behind for benchs/exp_server.py jobs so
+        # follow-up experiments skip the ~2 min train+add staging
+        ft.write_index(index, "/root/repo/.profile_index.npz")
+        log("saved .profile_index.npz for exp_server jobs")
+
     # big-batch implem: exhaustive ADC over all codes via one-hot GEMM
     # (the nq>=threshold dispatch, models/ivf_pq.py _search_big_batch —
     # the TPU analogue of IndexIVFFastScan's batch implems)
