@@ -268,16 +268,28 @@ def main():
                     while len(hq) <= i:
                         cv.wait()
                     h = hq[i]
+                if h is None:  # submit loop failed — unwind
+                    return
                 outs[i] = index.search_collect(h)
 
-        th = threading.Thread(target=collector)
+        # daemon + sentinel: a submit-side exception must not leave the
+        # collector blocked on cv forever (a non-daemon thread would then
+        # hang interpreter exit and the driver would record a stall, not
+        # the fallback JSON line)
+        th = threading.Thread(target=collector, daemon=True)
         t0 = time.time()
         th.start()
-        for i in range(nstream):
-            h = index.search_submit(xq, 10)
+        try:
+            for i in range(nstream):
+                h = index.search_submit(xq, 10)
+                with cv:
+                    hq.append(h)
+                    cv.notify()
+        except BaseException:
             with cv:
-                hq.append(h)
+                hq.extend([None] * (nstream - len(hq)))
                 cv.notify()
+            raise
         th.join()
         return (time.time() - t0) / nstream, outs
 
