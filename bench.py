@@ -261,16 +261,23 @@ def main():
         outs = [None] * nstream
         hq = []
         cv = threading.Condition()
+        collect_err = []
 
         def collector():
-            for i in range(nstream):
-                with cv:
-                    while len(hq) <= i:
-                        cv.wait()
-                    h = hq[i]
-                if h is None:  # submit loop failed — unwind
-                    return
-                outs[i] = index.search_collect(h)
+            try:
+                for i in range(nstream):
+                    with cv:
+                        while len(hq) <= i:
+                            cv.wait()
+                        h = hq[i]
+                    if h is None:  # submit loop failed — unwind
+                        return
+                    outs[i] = index.search_collect(h)
+            except BaseException as e:
+                # record, don't swallow: a collect-side failure must be
+                # attributed here, not as a later None-index TypeError
+                # (and the timing would otherwise spuriously beat seq)
+                collect_err.append(e)
 
         # daemon + sentinel: a submit-side exception must not leave the
         # collector blocked on cv forever (a non-daemon thread would then
@@ -291,6 +298,8 @@ def main():
                 cv.notify()
             raise
         th.join()
+        if collect_err:
+            raise collect_err[0]
         return (time.time() - t0) / nstream, outs
 
     try:

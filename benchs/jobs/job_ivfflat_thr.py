@@ -24,24 +24,38 @@ def stream_threaded(idx, nstream=6):
     outs = [None] * nstream
     hq = []
     cv = threading.Condition()
+    collect_err = []
 
     def collector():
-        for i in range(nstream):
-            with cv:
-                while len(hq) <= i:
-                    cv.wait()
-                h = hq[i]
-            outs[i] = idx.search_collect(h)
+        try:
+            for i in range(nstream):
+                with cv:
+                    while len(hq) <= i:
+                        cv.wait()
+                    h = hq[i]
+                if h is None:  # sentinel: submit loop failed upstream
+                    return
+                outs[i] = idx.search_collect(h)
+        except BaseException as e:  # surface after join, not as None-index
+            collect_err.append(e)
 
-    th = threading.Thread(target=collector)
+    th = threading.Thread(target=collector, daemon=True)
     t0 = time.time()
     th.start()
-    for i in range(nstream):
-        h = idx.search_submit(xq, 10)
-        with cv:
-            hq.append(h)
-            cv.notify()
+    try:
+        for i in range(nstream):
+            h = idx.search_submit(xq, 10)
+            with cv:
+                hq.append(h)
+                cv.notify()
+    except BaseException:
+        with cv:  # unwind collector with sentinels so join() can't hang
+            hq.extend([None] * (nstream - len(hq)))
+            cv.notify_all()
+        raise
     th.join()
+    if collect_err:
+        raise collect_err[0]
     return (time.time() - t0) / nstream, outs
 
 

@@ -26,6 +26,10 @@ def sync(a):
 def main():
     job_path = sys.argv[1]
     import jax
+
+    # mirror bench.py: persistent compile cache so job runs reuse shapes
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     import faiss_tpu as ft
@@ -45,7 +49,16 @@ def main():
         )
 
     xq = gen(nq, 3)
-    with np.load("/root/repo/bench_gt_cache.npz") as z:
+    # NOTE: the gt cache is ONLY valid for xb = gen(1_000_000, 1) (the
+    # bench.py database). Jobs that build a different database must
+    # recompute recall themselves.
+    gt_path = "/root/repo/bench_gt_cache.npz"
+    if not os.path.exists(gt_path):
+        sys.exit(
+            "run_job: missing /root/repo/bench_gt_cache.npz — run "
+            "`python bench.py` once to generate it (gt is for gen(1M, seed=1))"
+        )
+    with np.load(gt_path) as z:
         gt = z["gt"]
 
     g = dict(
