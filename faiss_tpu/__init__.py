@@ -279,7 +279,10 @@ from .models.neuralnet_codec import IndexNeuralNetCodec, IndexQINCo  # noqa: F40
 
 from .models.meta import IndexShardsIVF  # noqa: F401
 
-from .models.imi import MultiIndexQuantizer  # noqa: F401
+from .models.imi import (  # noqa: F401
+    MultiIndexQuantizer,
+    MultiIndexQuantizer2,
+)
 
 from .models.panorama import (  # noqa: F401
     IndexFlatPanorama,

@@ -276,9 +276,14 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
         arrays[f"{path}/xb"] = index.vectors()
         return meta
 
-    from .models.imi import MultiIndexQuantizer
+    from .models.imi import MultiIndexQuantizer, MultiIndexQuantizer2
 
     if isinstance(index, MultiIndexQuantizer):
+        if isinstance(index, MultiIndexQuantizer2):
+            meta["assign"] = [
+                _dump(sub, arrays, f"{path}/assign{m}")
+                for m, sub in enumerate(index.assign_indexes)
+            ]
         meta["pq"] = _pq_meta(index.pq)
         meta["is_trained"] = index.is_trained
         if index.pq.centroids is not None:
@@ -740,11 +745,18 @@ def _load(meta, arrays, path: str):
             index.add(xb)
         return index
 
-    if cls == "MultiIndexQuantizer":
-        from .models.imi import MultiIndexQuantizer
+    if cls in ("MultiIndexQuantizer", "MultiIndexQuantizer2"):
+        from .models.imi import MultiIndexQuantizer, MultiIndexQuantizer2
 
         pq = meta["pq"]
-        index = MultiIndexQuantizer(pq["d"], pq["M"], pq["nbits"])
+        if cls == "MultiIndexQuantizer2":
+            subs = [
+                _load(m, arrays, f"{path}/assign{i}")
+                for i, m in enumerate(meta["assign"])
+            ]
+            index = MultiIndexQuantizer2(pq["d"], pq["nbits"], *subs)
+        else:
+            index = MultiIndexQuantizer(pq["d"], pq["M"], pq["nbits"])
         index.pq.centroids = arrays.get(f"{path}/pq_centroids")
         index.is_trained = meta["is_trained"]
         if index.is_trained:

@@ -1042,10 +1042,16 @@ class IndexIVFPQ(IndexIVF):
     # one sub-batch's upload/readback with another's compute (the
     # dispatch-all-then-read-all structure in _search_big_batch_refined)
     pipeline_batch = 4096
-    # per-index query upload compression ("int8" / "float16" / None=f32);
-    # defaults to the module-level QUERY_H2D_DTYPE ("int8"). All distance
-    # stages (coarse, LUT, exact re-rank) see the dequantized query — set
-    # None for bit-exact f32 semantics at ~4x the query upload cost.
+    # Per-index query upload compression ("int8" / "float16" / None=f32);
+    # defaults to the module-level QUERY_H2D_DTYPE ("int8"). The int8
+    # default is SAFE for this index because the candidate set it affects
+    # is re-ranked with exact f32 distances against the original queries
+    # (the refine stage) — quantization error only perturbs which kc
+    # candidates reach the re-rank, measured <0.001 recall@10 impact at
+    # k_factor>=8 on the bench mixture. All distance stages (coarse, LUT,
+    # exact re-rank) see the dequantized query. Set None for bit-exact f32
+    # upload semantics at ~4x the query H2D cost (45 MB/s tunnel), or
+    # "float16" as the middle ground (used by unrefined IVF-Flat serving).
     query_h2d_dtype = _UNSET
     # run the fused Pallas programs in interpret mode (CPU testing of the
     # full big-batch-refined path, including staging + dyn-bucket logic)

@@ -284,7 +284,7 @@ def knn_fused_pallas(
     assert k_lanes % LANES == 0 and 0 < k_lanes <= 2048
     grid = (nq // qt, nbp // ct)
     kernel = _make_kernel(qt, ct, d, metric_l2, precision, k_lanes)
-    out_v, out_i, out_ev = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -316,7 +316,10 @@ def knn_fused_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(jnp.asarray(nb, jnp.int32).reshape(1), x, yT)
+    )
+    # named_scope -> HLO metadata -> visible as a row in jax.profiler traces
+    with jax.named_scope(f"faiss_tpu.knn_fused[qt={qt},ct={ct},d={d},k={k_lanes}]"):
+        out_v, out_i, out_ev = call(jnp.asarray(nb, jnp.int32).reshape(1), x, yT)
     return out_v, out_i, out_ev
 
 
@@ -1281,7 +1284,7 @@ def ivf_recon_fused_dyn_pallas(
         if penalized
         else (cmap, cgroup, xq, yT, n2)
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
@@ -1293,7 +1296,11 @@ def ivf_recon_fused_dyn_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*operands)
+    )
+    with jax.named_scope(  # jax.profiler trace row
+        f"faiss_tpu.ivf_recon_fused_dyn[qt={qt},ct={ct},d={d}]"
+    ):
+        return call(*operands)
 
 
 @functools.partial(
@@ -1388,7 +1395,7 @@ def ivf_recon_fused_pallas(
                          memory_space=pltpu.VMEM)
         )
         operands.append(lid)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -1415,7 +1422,11 @@ def ivf_recon_fused_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*operands)
+    )
+    scope = (f"faiss_tpu.ivf_recon_fused[qt={qt},ct={ct},d={d},"
+             f"S={S},masked={masked},hilo={db_hilo}]")
+    with jax.named_scope(scope):  # jax.profiler trace row
+        return call(*operands)
 
 
 @functools.partial(
@@ -1455,7 +1466,7 @@ def ivfpq_fused_pallas(
     assert nchunks - cpg * ngroups in (0, 1), (nchunks, ngroups)
     grid = (nq // qt, nchunks)
     kernel = _make_adc_kernel(qt, ct, M, ksub, qdepth)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -1496,4 +1507,8 @@ def ivfpq_fused_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(luts, biasg, codesT, n2, lid)
+    )
+    with jax.named_scope(  # jax.profiler trace row
+        f"faiss_tpu.ivfpq_fused_adc[qt={qt},ct={ct},M={M},ksub={ksub}]"
+    ):
+        return call(luts, biasg, codesT, n2, lid)

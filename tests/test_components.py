@@ -534,6 +534,72 @@ def test_multi_index_quantizer(ds):
     assert knn_intersection_measure(I, iref) > 0.99
 
 
+def test_multi_index_quantizer_generic_m(ds):
+    """Generic-M IMI (M=4): iterated merge == brute force over the full
+    ksub^M product lattice, and id digits follow the reference's
+    low-bits-first numbering (IndexPQ.cpp:872)."""
+    from faiss_tpu.models.imi import MultiIndexQuantizer
+
+    imi = MultiIndexQuantizer(32, 4, 4)  # 16^4 = 65536 virtual centroids
+    imi.train(ds.get_train())
+    assert imi.ntotal == 65536
+    xq = ds.get_queries()[:10]
+    D, I = imi.search(xq, 8)
+    cent = imi.vectors()
+    dref = ((xq[:, None] - cent[None]) ** 2).sum(-1)
+    iref = np.argsort(dref, 1, kind="stable")[:, :8]
+    np.testing.assert_allclose(
+        np.take_along_axis(dref, iref, 1),
+        np.take_along_axis(dref, I.astype(np.int64), 1),
+        rtol=1e-3, atol=1e-3,
+    )
+    # reconstruct agrees with the materialized table for the top hit
+    for q in range(3):
+        np.testing.assert_allclose(
+            imi.reconstruct(int(I[q, 0])), cent[I[q, 0]], rtol=1e-6
+        )
+
+
+def test_multi_index_quantizer2(ds):
+    """MIQ2 with exact Flat assign sub-indexes == plain MIQ; HNSW-assigned
+    variant reaches near-identical cells (IndexPQ.h:170)."""
+    from faiss_tpu.models.imi import MultiIndexQuantizer, MultiIndexQuantizer2
+
+    xt = ds.get_train()
+    xq = ds.get_queries()[:20]
+    imi = MultiIndexQuantizer(32, 2, 5)
+    imi.train(xt)
+
+    m2 = MultiIndexQuantizer2(
+        32, 5, ft.IndexFlatL2(16), ft.IndexFlatL2(16)
+    )
+    m2.pq = imi.pq  # share codebooks so results must match exactly
+    m2.is_trained = True
+    m2.ntotal = imi.ntotal
+    dsub = 16
+    for m, sub in enumerate(m2.assign_indexes):
+        sub.reset()
+        sub.add(imi.pq.centroids[m].reshape(-1, dsub))
+    D1, I1 = imi.search(xq, 4)
+    D2, I2 = m2.search(xq, 4)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
+
+    # io round-trip (Flat assign indexes serialized recursively)
+    r = ft.deserialize_index(ft.serialize_index(m2))
+    D3, I3 = r.search(xq, 4)
+    np.testing.assert_array_equal(I2, I3)
+
+    # approximate assignment path: fresh MIQ2 trained end-to-end
+    m3 = MultiIndexQuantizer2(
+        32, 5, ft.IndexHNSWFlat(16, 16), ft.IndexHNSWFlat(16, 16)
+    )
+    m3.train(xt)
+    _, I4 = m3.search(xq, 4)
+    agree = (I4[:, 0] == I1[:, 0]).mean()
+    assert agree > 0.9, agree
+
+
 def test_imi_ivf_end_to_end(ds):
     """IMI2x4,Flat (256 lists) through the factory."""
     index = ft.index_factory(32, "IMI2x4,Flat")
