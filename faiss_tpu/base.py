@@ -78,6 +78,18 @@ class device_staging:
         return False
 
 
+# Max bytes of one add page's f32 working set. Bulk adds are paged so the
+# device-side encode chain (staged copy + residuals + codes) stays bounded
+# regardless of how many vectors the caller hands to add() — the reference
+# GPU backend pages adds the same way (gpu/GpuIndex.cu:474 kAddPageSize).
+ADD_PAGE_BYTES = 512 << 20
+
+
+def add_page_rows(d: int) -> int:
+    """Rows per add page so one page's f32 copy is <= ADD_PAGE_BYTES."""
+    return max(1 << 10, ADD_PAGE_BYTES // (4 * max(int(d), 1)))
+
+
 def query_buckets(nq: int, max_batch: int = MAX_QUERY_BATCH):
     """Split nq into (start, padded_len, real_len) power-of-two buckets."""
     out = []

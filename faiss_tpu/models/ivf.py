@@ -150,12 +150,22 @@ class IndexIVF(Index, Level1Quantizer):
         self.add_with_ids(x, None)
 
     def add_with_ids(self, x, ids) -> None:
-        from ..base import device_staging
+        from ..base import add_page_rows, device_staging
 
         x = self._check_input(x)
         self._check_trained()
         n = len(x)
         if n == 0:
+            return
+        page = add_page_rows(self.d)
+        if n > page:
+            # paged add (gpu/GpuIndex.cu:474 kAddPageSize analogue): bounds
+            # the staged copy + residual + encode working set on device
+            for s in range(0, n, page):
+                self.add_with_ids(
+                    x[s:s + page],
+                    None if ids is None else np.asarray(ids)[s:s + page],
+                )
             return
         if isinstance(self.quantizer, IndexFlat) and n >= 4096:
             # bulk path: stage x on device ONCE; assignment, residual

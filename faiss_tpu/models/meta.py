@@ -84,11 +84,26 @@ class IndexPreTransform(Index):
         self.is_trained = True
 
     def add(self, x) -> None:
-        self.index.add(self.apply_chain(self._check_input(x)))
+        from ..base import add_page_rows
+
+        x = self._check_input(x)
+        # page through the transform chain so neither the transform GEMM
+        # nor the downstream add ever sees an unbounded batch
+        page = add_page_rows(self.d)
+        for s in range(0, len(x), page):
+            self.index.add(self.apply_chain(x[s:s + page]))
         self.ntotal = self.index.ntotal
 
     def add_with_ids(self, x, ids) -> None:
-        self.index.add_with_ids(self.apply_chain(self._check_input(x)), ids)
+        from ..base import add_page_rows
+
+        x = self._check_input(x)
+        ids = np.asarray(ids)
+        page = add_page_rows(self.d)
+        for s in range(0, len(x), page):
+            self.index.add_with_ids(
+                self.apply_chain(x[s:s + page]), ids[s:s + page]
+            )
         self.ntotal = self.index.ntotal
 
     def search(self, x, k, *, params=None):
@@ -249,9 +264,14 @@ class IndexRefine(Index):
     def add(self, x) -> None:
         import jax
 
-        from ..base import device_staging
+        from ..base import add_page_rows, device_staging
 
         x = self._check_input(x)
+        page = add_page_rows(self.d)
+        if len(x) > page:  # bound the shared staging (kAddPageSize analogue)
+            for s in range(0, len(x), page):
+                self.add(x[s:s + page])
+            return
         if len(x) >= 4096 and jax.default_backend() not in ("cpu",):
             # one H2D upload shared by the base add AND the refine storage;
             # with store_float16 the upload itself is fp16 (half the tunnel

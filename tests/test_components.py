@@ -1023,3 +1023,53 @@ def test_ivf_fast_scan_stats():
     index._search_big_batch_refined(xq, 5, 20, jnp.asarray(xb), 0)
     s = ft.ivf_fast_scan_stats
     assert s.nq == 128 and s.ndis > 0 and s.chunks_scanned > 0
+
+
+def test_paged_add_matches_unpaged():
+    """Bulk adds are paged (gpu/GpuIndex.cu:474 kAddPageSize analogue):
+    forcing a tiny page must give identical results to one-shot add
+    through IVF, PreTransform, and Refine wrappers."""
+    import faiss_tpu as ft
+    from faiss_tpu import base as ftb
+
+    rs = np.random.RandomState(11)
+    xb = rs.randn(3000, 32).astype(np.float32)
+    xq = rs.randn(64, 32).astype(np.float32)
+
+    def build(paged):
+        old = ftb.ADD_PAGE_BYTES
+        ftb.ADD_PAGE_BYTES = (700 * 32 * 4) if paged else old
+        try:
+            ivf = ft.IndexIVFPQ(None, 32, 16, 4, 8)
+            ivf.cp.niter = 4
+            ivf.cp.min_points_per_centroid = 1
+            ivf.nprobe = 16
+            refine = ft.IndexRefineFlat(ivf)
+            refine.k_factor = 4
+            pca = ft.PCAMatrix(32, 32)
+            index = ft.IndexPreTransform(pca, refine)
+            index.train(xb)
+            index.add(xb)
+            return index
+        finally:
+            ftb.ADD_PAGE_BYTES = old
+
+    a, b = build(False), build(True)
+    assert a.ntotal == b.ntotal == 3000
+    Da, Ia = a.search(xq, 5)
+    Db, Ib = b.search(xq, 5)
+    np.testing.assert_array_equal(Ia, Ib)
+    np.testing.assert_allclose(Da, Db, rtol=1e-5)
+    # ids survive paging with explicit ids too
+    ivf2 = ft.IndexIVFFlat(None, 32, 8)
+    ivf2.cp.niter = 4
+    ivf2.cp.min_points_per_centroid = 1
+    ivf2.train(xb)
+    old = ftb.ADD_PAGE_BYTES
+    ftb.ADD_PAGE_BYTES = 700 * 32 * 4
+    try:
+        ivf2.add_with_ids(xb, np.arange(3000)[::-1].copy())
+    finally:
+        ftb.ADD_PAGE_BYTES = old
+    _, I2 = ivf2.search(xb[:8], 1)
+    np.testing.assert_array_equal(I2.ravel(), 2999 - np.arange(8))
