@@ -1,0 +1,141 @@
+# PARETO: QPS-recall operating curve for the serving config
+# (IVF4096,PQ32x4fs,RFlat on the bench distribution) measured at the
+# CURRENT serving path: threaded submit/collect stream with a BOUNDED
+# in-flight depth (VERDICT r3 #3: refresh the stale session-E curve and
+# sweep depth 2->4 + sub-batch size under the threaded collector).
+# Writes benchs/results/qps_recall_sift1m.json.
+import collections
+import json
+import threading
+
+xb = gen(1_000_000, 1)
+xt = gen(200_000, 2)
+base = ft.IndexIVFPQFastScan(None, 128, 4096, 32, 4)
+base.cp.niter = 20
+base.strict_probe = False
+base.pipeline_batch = 2048
+index = ft.IndexRefineFlat(base, store_float16=True)
+index.k_factor = 12
+t0 = time.time()
+index.train(xt)
+log(f"PARETO train {time.time()-t0:.1f}s")
+t0 = time.time()
+index.add(xb)
+base._build_brute()
+log(f"PARETO add+stage {time.time()-t0:.1f}s")
+
+NSTREAM = 8
+
+
+def stream_threaded(idx, depth):
+    """bench.py's threaded pipeline with in-flight depth bounded by a
+    semaphore (depth >= NSTREAM = unbounded)."""
+    outs = [None] * NSTREAM
+    hq = []
+    cv = threading.Condition()
+    slots = threading.Semaphore(depth)
+    collect_err = []
+
+    def collector():
+        try:
+            for i in range(NSTREAM):
+                with cv:
+                    while len(hq) <= i:
+                        cv.wait()
+                    h = hq[i]
+                if h is None:
+                    return
+                outs[i] = idx.search_collect(h)
+                slots.release()
+        except BaseException as e:
+            collect_err.append(e)
+
+    th = threading.Thread(target=collector, daemon=True)
+    t0 = time.time()
+    th.start()
+    try:
+        for i in range(NSTREAM):
+            slots.acquire()
+            h = idx.search_submit(xq, 10)
+            with cv:
+                hq.append(h)
+                cv.notify()
+    except BaseException:
+        with cv:
+            hq.extend([None] * (NSTREAM - len(hq)))
+            cv.notify_all()
+        raise
+    th.join()
+    if collect_err:
+        raise collect_err[0]
+    return (time.time() - t0) / NSTREAM, outs
+
+
+# ---- phase 1: depth sweep at the serving point ------------------------
+base.nprobe = 1
+index.k_factor = 12
+_, I = index.search(xq, 10)  # compile
+r0 = recall_at_k(I, gt, 10)
+log(f"PARETO warm: recall@10={r0:.4f} at nprobe=1/kf=12/pb=2048")
+
+depth_acc = collections.defaultdict(list)
+for rep in range(3):
+    for depth in (2, 3, 4, NSTREAM):
+        dt, outs = stream_threaded(index, depth)
+        depth_acc[depth].append(dt)
+best_depth, best_ms = None, 1e9
+for depth, v in sorted(depth_acc.items()):
+    v = sorted(v)
+    med = v[len(v) // 2]
+    log(f"PARETO depth={depth}: med {med*1000:.1f} ms/batch "
+        f"({8192/med:.0f} QPS), best {8192/v[0]:.0f}")
+    if med < best_ms:
+        best_ms, best_depth = med, depth
+log(f"PARETO best depth = {best_depth}")
+
+# ---- phase 2: operating-point curve at the best depth -----------------
+points = [
+    # (nprobe, k_factor, pipeline_batch)
+    (1, 8, 2048),
+    (1, 12, 2048),
+    (2, 12, 2048),
+    (4, 12, 2048),
+    (2, 12, 4096),
+]
+curve = []
+for npb, kf, pb in points:
+    base.nprobe = npb
+    index.k_factor = kf
+    base.pipeline_batch = pb
+    t0 = time.time()
+    _, I = index.search(xq, 10)  # warm/compile this shape set
+    warm_s = time.time() - t0
+    r = recall_at_k(I, gt, 10)
+    dts = []
+    for rep in range(3):
+        dt, outs = stream_threaded(index, best_depth)
+        dts.append(dt)
+    dts.sort()
+    med = dts[len(dts) // 2]
+    row = dict(
+        nprobe=npb, k_factor=kf, pipeline_batch=pb, depth=best_depth,
+        recall10=round(float(r), 4), qps=round(8192 / med),
+        qps_best=round(8192 / dts[0]), ms_batch=round(med * 1000, 1),
+        warm_first_s=round(warm_s, 1),
+    )
+    curve.append(row)
+    log(f"PARETO point {row}")
+
+out = dict(
+    dataset="bench.py gaussian-mixture 1M x 128, 8192 queries, k=10",
+    config="IVF4096,PQ32x4fs,RFlat fp16 store, soft-probe dyn-chunk",
+    pipeline=f"threaded stream depth={best_depth}, {NSTREAM} batches",
+    depth_sweep={
+        str(k): round(sorted(v)[len(v) // 2] * 1000, 1)
+        for k, v in depth_acc.items()
+    },
+    points=curve,
+)
+with open("/root/repo/benchs/results/qps_recall_sift1m.json", "w") as f:
+    json.dump(out, f, indent=1)
+log("PARETO wrote benchs/results/qps_recall_sift1m.json")

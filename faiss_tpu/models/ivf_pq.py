@@ -725,11 +725,14 @@ def _stage_recon_device(codes, listnos, cent, cbt, slot_map, d_pad, by_residual)
         )  # [ch, d]
         if by_residual:
             dec = dec + cent[ln[s : s + CH]]
-        chunks.append(dec)
+        # bf16 here, not after the gather: the store is bf16 anyway and a
+        # full-database f32 recon + f32 gather is 2x ~4 GB of transient
+        # HBM at 10M x 96 (measured OOM on v5e; rounding is identical)
+        chunks.append(dec.astype(jnp.bfloat16))
     recon = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
     valid = slot_map >= 0
     sm = jnp.maximum(slot_map, 0)
-    y = jnp.where(valid[:, None], recon[sm], 0.0).astype(jnp.bfloat16)
+    y = jnp.where(valid[:, None], recon[sm], jnp.bfloat16(0.0))
     yT = y.T  # [d, S_pad]
     if d_pad > yT.shape[0]:
         yT = jnp.pad(yT, ((0, d_pad - yT.shape[0]), (0, 0)))

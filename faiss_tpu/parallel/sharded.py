@@ -524,24 +524,42 @@ class ShardedIVFPQBuilder:
             else np.asarray(ids, np.int64).ravel()
         )
         cdev = jnp.asarray(self.centroids)
-        gid0 = sum(len(p) for p in self._ids_parts)
-        self._ids_parts.append(ids)
         for c0 in range(0, n, chunk):
             xc = x[c0 : c0 + chunk]
             _, a = dops.assign_flat(
                 jnp.asarray(xc), cdev, metric=self.metric_type
             )
-            a = np.asarray(a)
-            resid = xc - self.centroids[a] if self.by_residual else xc
-            codes = self.pq.compute_codes_int(resid).astype(np.uint8)
-            gids = np.arange(gid0 + c0, gid0 + c0 + len(xc), dtype=np.int64)
-            owner = a // self.lists_per_shard
-            for s in range(self.n_shards):
-                m = owner == s
-                if m.any():
-                    self._codes[s].append(codes[m])
-                    self._listnos[s].append(a[m].astype(np.int32))
-                    self._gids[s].append(gids[m])
+            self.add_preassigned(xc, np.asarray(a), ids[c0 : c0 + chunk])
+
+    def add_preassigned(self, x, assign, ids=None):
+        """Add with a precomputed coarse assignment (the sharded analogue
+        of contrib/ivf_tools.py add_preassigned): rows are PQ-encoded and
+        routed to their owning shard's CSR bucket; the assignment GEMM —
+        the expensive part of add at scale — is the caller's."""
+        if not self.is_trained:
+            raise RuntimeError("train before add")
+        x = np.ascontiguousarray(x, np.float32)
+        n = len(x)
+        a = np.asarray(assign, np.int64).ravel()
+        if len(a) != n:
+            raise ValueError("assign length mismatch")
+        ids = (
+            np.arange(self.ntotal, self.ntotal + n, dtype=np.int64)
+            if ids is None
+            else np.asarray(ids, np.int64).ravel()
+        )
+        gid0 = sum(len(p) for p in self._ids_parts)
+        self._ids_parts.append(ids)
+        resid = x - self.centroids[a] if self.by_residual else x
+        codes = self.pq.compute_codes_int(resid).astype(np.uint8)
+        gids = np.arange(gid0, gid0 + n, dtype=np.int64)
+        owner = a // self.lists_per_shard
+        for s in range(self.n_shards):
+            m = owner == s
+            if m.any():
+                self._codes[s].append(codes[m])
+                self._listnos[s].append(a[m].astype(np.int32))
+                self._gids[s].append(gids[m])
         self.ntotal += n
 
     # -- assembly ----------------------------------------------------------

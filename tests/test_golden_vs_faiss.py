@@ -62,7 +62,8 @@ def _intersection(I, gt, k):
 
 @pytest.mark.parametrize(
     "name",
-    ["ivf_pq_fs", "ivf_sq8", "hnsw32", "opq_ivf_pq", "ivf_flat", "pq_adc"],
+    ["ivf_pq_fs", "ivf_sq8", "hnsw32", "opq_ivf_pq", "ivf_flat", "pq_adc",
+     "ivf_pqr", "rabitq_ivf", "nsg32"],
 )
 def test_golden_recall_parity(name, golden, data):
     xt, xb, xq = data
@@ -83,4 +84,65 @@ def test_golden_recall_parity(name, golden, data):
     assert ours >= ref_inter - TOL, (
         f"{name} ({factory}): ours inter@{K}={ours:.4f} vs reference "
         f"{ref_inter:.4f} (tolerance {TOL})"
+    )
+
+
+def _binarize(x):
+    """Same 2*D-bit sign binarization as make_golden_fixtures.py."""
+    rp = np.random.RandomState(99).randn(D_, 2 * D_).astype(np.float32)
+    return np.packbits((x @ rp > 0).astype(np.uint8), axis=1)
+
+
+@pytest.mark.parametrize("name", ["bin_flat", "bin_ivf"])
+def test_golden_binary_parity(name, golden, data):
+    """Hamming-family parity (reference: tests/test_index_binary.py)."""
+    _, xb, xq = data
+    if f"{name}_I" not in golden:
+        pytest.skip(f"{name} not in fixture")
+    cfgs = {c[0]: c for c in _configs(golden)}
+    _, factory, params, ref_inter = cfgs[name]
+    bb, bq = _binarize(xb), _binarize(xq)
+    bgt = golden["bin_gt"]
+    if name == "bin_flat":
+        index = ft.IndexBinaryFlat(2 * D_)
+    else:
+        index = ft.IndexBinaryIVF(None, 2 * D_, 64)
+        index.train(bb)
+    index.add(bb)
+    for pk, pv in params.items():
+        setattr(index, pk, pv)
+    _, I = index.search(bq, K)
+    ours = _intersection(I, bgt, K)
+    assert ours >= ref_inter - TOL, (
+        f"{name}: ours inter@{K}={ours:.4f} vs reference {ref_inter:.4f}"
+    )
+
+
+def test_golden_range_search_parity(golden, data):
+    """range_search recall parity vs the reference IVF256,Flat at the same
+    radius (reference: contrib/evaluation.py:247 range-result comparison)."""
+    if "range_radius" not in golden:
+        pytest.skip("range fixture missing")
+    xt, xb, xq = data
+    radius = float(golden["range_radius"])
+    ref_recall = float(golden["range_recall"])
+    # exact range GT with our flat index
+    flat = ft.IndexFlatL2(D_)
+    flat.add(xb)
+    res_gt = flat.range_search(xq, radius)
+    index = ft.index_factory(D_, "IVF256,Flat")
+    index.train(xt)
+    index.add(xb)
+    index.nprobe = 8
+    res = index.range_search(xq, radius)
+    recs = []
+    for i in range(len(xq)):
+        g = set(res_gt.labels[res_gt.lims[i]:res_gt.lims[i + 1]].tolist())
+        if not g:
+            continue
+        got = set(res.labels[res.lims[i]:res.lims[i + 1]].tolist())
+        recs.append(len(g & got) / len(g))
+    ours = float(np.mean(recs))
+    assert ours >= ref_recall - TOL, (
+        f"range_search: ours recall={ours:.4f} vs reference {ref_recall:.4f}"
     )
