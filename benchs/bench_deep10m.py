@@ -145,13 +145,19 @@ def main():
         t_add = time.time() - t0
         log(f"train {t_train:.0f}s add+stage {t_add:.0f}s")
         _, I = index.search(xq, 10)  # compile
+        ft.ivf_fast_scan_stats.reset()
         dt, dt_stream, I = timed_stream(index, xq, 10)
+        s = ft.ivf_fast_scan_stats
         r = recall_at_k(I, gt[:, :10], 10)
         results["deep10m_opq_ivfpq_fs"] = dict(
             qps=round(NQ / dt), qps_stream=round(NQ / dt_stream),
             ms=round(dt * 1000, 1),
             recall10=round(float(r), 4), train_s=round(t_train, 1),
             add_s=round(t_add, 1), nprobe=base.nprobe,
+            lossy_row_frac=round(s.lossy_rows / max(1, s.nq), 5),
+            chunk_scan_frac=round(
+                s.chunks_scanned
+                / max(1, s.chunks_scanned + s.chunks_skipped), 4),
         )
         dump()
         log(f"OPQ-IVFPQ-fs: {json.dumps(results['deep10m_opq_ivfpq_fs'])}")
@@ -181,12 +187,20 @@ def main():
         ivf.add(xb)
         log(f"ivf-flat build {time.time()-t0:.0f}s")
         _, I = ivf.search(xq, 10)
+        ft.ivf_fast_scan_stats.reset()
         dt, dt_stream, I = timed_stream(ivf, xq, 10)
+        s = ft.ivf_fast_scan_stats
         r = recall_at_k(I, gt[:, :10], 10)
         results["deep10m_ivf_flat"] = dict(
             qps=round(NQ / dt), qps_stream=round(NQ / dt_stream),
             ms=round(dt * 1000, 1),
             recall10=round(float(r), 4), nprobe=ivf.nprobe,
+            # bf16 selection-margin flag rate on CLUSTERED data (round-3
+            # verdict weak #5: distance concentration is worst here)
+            lossy_row_frac=round(s.lossy_rows / max(1, s.nq), 5),
+            chunk_scan_frac=round(
+                s.chunks_scanned
+                / max(1, s.chunks_scanned + s.chunks_skipped), 4),
         )
         dump()
         log(f"IVF-Flat: {json.dumps(results['deep10m_ivf_flat'])}")

@@ -822,10 +822,14 @@ class IndexIVFFlat(IndexIVF):
             )
         else:
             allp = np.asarray(pending[0][3])[-pending[0][2] :]
+        from .ivf_pq import ivf_fast_scan_stats as _fss
+
         po = 0
         for start, real, padded, packed, was_dyn in pending:
             d, slots, lossy, nd = _unpack_results(allp[po : po + padded], k)
             po += padded
+            _fss.nq += real
+            _fss.lossy_rows += int(lossy[:real].sum())
             if was_dyn and nd > 0 and not self.dyn_msteps:
                 # worklist overflow: widen this nprobe's bucket next call
                 self._dyn_bucket[nprobe] = min(
