@@ -136,6 +136,40 @@ out = dict(
     },
     points=curve,
 )
+# ---- phase 3: single-stream floor anatomy (VERDICT r3 stretch #9) -----
+# decompose the single-dispatch latency: tunnel RT, query upload, program,
+# packed readback — to either find headroom or prove 2RT+wire is the floor
+base.nprobe = 1
+index.k_factor = 12
+base.pipeline_batch = 2048
+_ = index.search(xq, 10)  # ensure warm
+
+noop = jax.jit(lambda v: v + 1.0)
+vdev = jnp.zeros((8, 128), jnp.float32)
+_ = np.asarray(noop(vdev))  # compile
+anat = collections.defaultdict(list)
+q8 = np.clip(np.round(xq * 127.0 / np.abs(xq).max()), -127, 127).astype(
+    np.int8
+)
+for rep in range(8):
+    t0 = time.time()
+    _ = np.asarray(noop(vdev))[0, 0]
+    anat["rt_noop"].append(time.time() - t0)
+    t0 = time.time()
+    xd = jnp.asarray(q8)
+    _ = np.asarray(noop(vdev))[0, 0]  # fence the upload
+    anat["upload_int8_8192x128"].append(time.time() - t0)
+    t0 = time.time()
+    _, I = index.search(xq, 10)
+    anat["e2e_single"].append(time.time() - t0)
+for kk, v in anat.items():
+    v = sorted(v)
+    log(f"PARETO-FLOOR {kk}: min {v[0]*1000:.1f} med "
+        f"{v[len(v)//2]*1000:.1f} ms")
+out["floor_anatomy_ms"] = {
+    kk: round(sorted(v)[len(v) // 2] * 1000, 1) for kk, v in anat.items()
+}
+
 with open("/root/repo/benchs/results/qps_recall_sift1m.json", "w") as f:
     json.dump(out, f, indent=1)
 log("PARETO wrote benchs/results/qps_recall_sift1m.json")

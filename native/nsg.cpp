@@ -107,10 +107,18 @@ void nndescent(const NSG& g, int K, int iters,
   }
 }
 
-// greedy beam search over the (partial) graph
+// greedy beam search over an arbitrary graph (stride ``deg``); defaults
+// used at search time run over the pruned g.graph (deg = g.R), the prune
+// phase passes the FULL-degree knn graph (reference NSG::link searches on
+// knn_graph, not the truncated provisional graph — NSG.cpp:363).
 std::vector<PairDI> search_pool(const NSG& g, const float* q, idx_t entry,
                                 int L, std::vector<uint8_t>& visited,
-                                std::vector<idx_t>& vlist) {
+                                std::vector<idx_t>& vlist,
+                                const idx_t* graph = nullptr, int deg = 0) {
+  if (!graph) {
+    graph = g.graph.data();
+    deg = g.R;
+  }
   std::priority_queue<PairDI> results;
   std::priority_queue<PairDI, std::vector<PairDI>, std::greater<PairDI>> cands;
   float d0 = g.dist(q, g.vec(entry));
@@ -122,8 +130,8 @@ std::vector<PairDI> search_pool(const NSG& g, const float* q, idx_t entry,
     auto [dc, c] = cands.top();
     if ((idx_t)results.size() >= L && dc > results.top().first) break;
     cands.pop();
-    const idx_t* nb = g.graph.data() + (size_t)c * g.R;
-    for (int i = 0; i < g.R; ++i) {
+    const idx_t* nb = graph + (size_t)c * deg;
+    for (int i = 0; i < deg; ++i) {
       idx_t v = nb[i];
       if (v < 0) break;
       if (visited[v]) continue;
@@ -189,11 +197,12 @@ int nsg_build(void* p, const float* x, int64_t n, int K, int nnd_iters,
   }
   g.enterpoint = medoid;
 
-  // provisional graph = knn graph (for candidate pooling during prune)
-  g.graph.assign((size_t)n * g.R, -1);
+  // FULL-degree knn graph for prune-time candidate search (the reference
+  // searches knn_graph, degree GK, not an R-truncated graph — NSG.cpp:363)
+  std::vector<idx_t> knng((size_t)n * K, -1);
   for (idx_t i = 0; i < n; ++i) {
-    int m = std::min<int>(g.R, knn[i].size());
-    for (int j = 0; j < m; ++j) g.graph[(size_t)i * g.R + j] = knn[i][j].second;
+    int m = std::min<int>(K, knn[i].size());
+    for (int j = 0; j < m; ++j) knng[(size_t)i * K + j] = knn[i][j].second;
   }
 
   // MRNG-style prune: candidates = knn ∪ search pool from medoid
@@ -209,7 +218,8 @@ int nsg_build(void* p, const float* x, int64_t n, int K, int nnd_iters,
 #endif
     for (idx_t i = 0; i < n; ++i) {
       if (g_stop.load(std::memory_order_relaxed)) continue;  // drain fast
-      auto pool = search_pool(g, g.vec(i), medoid, L_build, visited, vlist);
+      auto pool = search_pool(g, g.vec(i), medoid, L_build, visited, vlist,
+                              knng.data(), K);
       g_ndis.fetch_add((long long)vlist.size(), std::memory_order_relaxed);
       for (idx_t v : vlist) visited[v] = 0;
       vlist.clear();
@@ -240,6 +250,49 @@ int nsg_build(void* p, const float* x, int64_t n, int K, int nnd_iters,
   for (idx_t i = 0; i < n; ++i)
     for (size_t j = 0; j < pruned[i].size(); ++j)
       g.graph[(size_t)i * g.R + j] = pruned[i][j];
+
+  // reverse-link pass (reference NSG::add_reverse_links, NSG.cpp:455):
+  // every pruned edge i->v also proposes v->i; an overfull destination
+  // re-prunes its list with the same occlusion rule. Without this pass
+  // the digraph has poor navigability (measured inter@10 0.05 vs the
+  // reference's 0.33 on the golden set).
+  for (idx_t i = 0; i < n; ++i) {
+    const idx_t* nbi = g.graph.data() + (size_t)i * g.R;
+    for (int s = 0; s < g.R && nbi[s] >= 0; ++s) {
+      idx_t des = nbi[s];
+      idx_t* nbd = g.graph.data() + (size_t)des * g.R;
+      bool dup = false;
+      int used = 0;
+      for (; used < g.R && nbd[used] >= 0; ++used) dup |= (nbd[used] == i);
+      if (dup) continue;
+      float d_qi = g.dist(g.vec(des), g.vec(i));
+      if (used < g.R) {
+        nbd[used] = i;
+        continue;
+      }
+      // overfull: occlusion-prune {existing ∪ i} back down to R
+      std::vector<PairDI> tmp;
+      tmp.reserve(used + 1);
+      for (int j = 0; j < used; ++j)
+        tmp.emplace_back(g.dist(g.vec(des), g.vec(nbd[j])), nbd[j]);
+      tmp.emplace_back(d_qi, i);
+      std::sort(tmp.begin(), tmp.end());
+      std::vector<idx_t> result{tmp[0].second};
+      for (size_t t = 1; t < tmp.size() && (int)result.size() < g.R; ++t) {
+        bool occlude = false;
+        for (idx_t u : result) {
+          if (u == tmp[t].second ||
+              g.dist(g.vec(u), g.vec(tmp[t].second)) < tmp[t].first) {
+            occlude = true;
+            break;
+          }
+        }
+        if (!occlude) result.push_back(tmp[t].second);
+      }
+      for (int j = 0; j < g.R; ++j)
+        nbd[j] = j < (int)result.size() ? result[j] : -1;
+    }
+  }
 
   // connectivity pass: BFS from medoid, attach unreachable nodes to their
   // nearest reachable neighbor (the reference's tree-spanning step)

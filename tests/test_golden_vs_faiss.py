@@ -111,11 +111,19 @@ def test_golden_binary_parity(name, golden, data):
     index.add(bb)
     for pk, pv in params.items():
         setattr(index, pk, pv)
-    _, I = index.search(bq, K)
-    ours = _intersection(I, bgt, K)
-    assert ours >= ref_inter - TOL, (
-        f"{name}: ours inter@{K}={ours:.4f} vs reference {ref_inter:.4f}"
-    )
+    Dh, I = index.search(bq, K)
+    if name == "bin_flat":
+        # both sides are exact Hamming scans, but 128-bit codes tie
+        # massively at rank 10 (id intersection is meaningless under tie
+        # order): exactness == identical sorted distance rows
+        np.testing.assert_array_equal(
+            np.sort(Dh, 1), np.sort(golden["bin_flat_D"], 1)
+        )
+    else:
+        ours = _intersection(I, bgt, K)
+        assert ours >= ref_inter - TOL, (
+            f"{name}: ours inter@{K}={ours:.4f} vs reference {ref_inter:.4f}"
+        )
 
 
 def test_golden_range_search_parity(golden, data):

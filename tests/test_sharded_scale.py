@@ -54,11 +54,19 @@ def _twin_from_builder(b, xb, ids=None):
 
 
 def test_sharded_build_skewed_nlist4096_100k():
-    """nlist=4096, 120k vectors, zipf-skewed lists (largest list is
-    hundreds of times the mean, half the lists empty): the sharded build
-    path must agree with the single-host index built from the same
-    trained parameters."""
-    d, nlist, n = 32, 4096, 120_000
+    """Zipf-skewed lists (largest list is hundreds of times the mean, half
+    the lists empty): the sharded build path must agree with the
+    single-host index built from the same trained parameters.
+
+    Default CI shape is nlist=1024 / 60k (~2 min on the 1-core CPU mesh);
+    set FAISS_TPU_SCALE_TESTS=1 for the full nlist=4096 / 120k run
+    (passes: round 4, 17 min)."""
+    import os
+
+    if os.environ.get("FAISS_TPU_SCALE_TESTS"):
+        d, nlist, n = 32, 4096, 120_000
+    else:
+        d, nlist, n = 32, 1024, 60_000
     x, cents = _skewed_data(n, d, nlist)
     xq = x[:512] + np.random.RandomState(9).randn(512, d).astype(
         np.float32
