@@ -187,7 +187,9 @@ class IndexFlat(Index):
         if self._xb is not None and self._norms is None and (
             self.metric_type == MetricType.L2
         ):
-            self._norms = dops.l2_norms(self._xb.astype(jnp.float32))
+            # l2_norms handles the f32 upcast chunked (a one-piece upcast
+            # of a 10M-row fp16 store is a 4 GB transient)
+            self._norms = dops.l2_norms(self._xb)
         return self._xb
 
     def vectors(self) -> np.ndarray:

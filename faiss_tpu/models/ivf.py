@@ -485,7 +485,22 @@ def _stage_flat_brute(xb, slot_map, listnos, local_of, d_pad):
     n2 = jnp.sum(jnp.square(xb.astype(jnp.float32)), axis=1)
     valid = slot_map >= 0
     sm = jnp.maximum(slot_map, 0)
-    y = jnp.where(valid[:, None], xb[sm], 0.0).astype(jnp.bfloat16)
+    # chunked gather+round: a one-piece f32 gather of a 10M-slot store is
+    # a ~4 GB transient on top of the store itself (measured OOM on v5e)
+    S = sm.shape[0]
+    CH = 1 << 20
+    nch = -(-S // CH)
+    pad = nch * CH - S
+    smp = (jnp.pad(sm, (0, pad)) if pad else sm).reshape(nch, CH)
+    vp = (jnp.pad(valid, (0, pad)) if pad else valid).reshape(nch, CH)
+
+    def body(_, sv):
+        smc, vc = sv
+        yc = jnp.where(vc[:, None], xb[smc], 0.0).astype(jnp.bfloat16)
+        return None, yc
+
+    _, y = jax.lax.scan(body, None, (smp, vp))
+    y = y.reshape(nch * CH, -1)[:S]
     yT = y.T
     if d_pad > yT.shape[0]:
         yT = jnp.pad(yT, ((0, d_pad - yT.shape[0]), (0, 0)))

@@ -36,8 +36,30 @@ DEFAULT_DB_CHUNK = 1 << 17
 
 
 def l2_norms(x: jax.Array) -> jax.Array:
-    """Row-wise squared L2 norms (reference: fvec_norms_L2sqr)."""
+    """Row-wise squared L2 norms (reference: fvec_norms_L2sqr).
+
+    Chunked under one jit for large 2-D stores: a 10M x 96 fp16 store
+    upcast to f32 in one piece is a ~4 GB transient (measured OOM on v5e
+    with the serving stores resident); the scan bounds it to one chunk."""
+    if x.ndim == 2 and x.shape[0] > (1 << 20):
+        return _l2_norms_chunked(x)
     return jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
+
+
+@jax.jit
+def _l2_norms_chunked(x: jax.Array) -> jax.Array:
+    n = x.shape[0]
+    chunk = 1 << 20
+    nch = -(-n // chunk)
+    pad = nch * chunk - n
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    xp = xp.reshape(nch, chunk, -1)
+
+    def body(_, xc):
+        return None, jnp.sum(jnp.square(xc.astype(jnp.float32)), axis=-1)
+
+    _, out = jax.lax.scan(body, None, xp)
+    return out.reshape(-1)[:n]
 
 
 def pairwise_inner_product(
