@@ -32,6 +32,12 @@ def log(m):
 D, NB, NQ, NT = 96, 10_000_000, 8192, 500_000
 NCOARSE, NSUB = 1024, 64  # two-level mixture: 65536 effective modes
 
+# on-disk data cache: generation is ~45 min on this 1-core host, so every
+# resume/sibling run (operating-point sweep, bench_sharded_10m) loads it
+DATA_XB = "/root/repo/.deep10m_xb.npy"
+DATA_XT = "/root/repo/.deep10m_xt.npy"
+DATA_XQ = "/root/repo/.deep10m_xq.npy"
+
 
 def gen_deep(n, seed, coarse, subdirs, scales):
     """Rows from the two-level mixture, L2-normalized (Deep1B-style)."""
@@ -52,14 +58,15 @@ def gen_deep(n, seed, coarse, subdirs, scales):
     return out
 
 
-def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-
-    import faiss_tpu as ft
-    from faiss_tpu.utils.evaluation import recall_at_k
-
+def load_or_gen_data(log=log):
+    """Cached (xb, xt, xq); xb is memory-mapped (3.8 GB)."""
+    if os.path.exists(DATA_XB):
+        log("loading Deep10M data from .npy cache")
+        return (
+            np.load(DATA_XB, mmap_mode="r"),
+            np.load(DATA_XT),
+            np.load(DATA_XQ),
+        )
     rs = np.random.RandomState(7)
     coarse = rs.randn(NCOARSE, D).astype(np.float32)
     coarse /= np.linalg.norm(coarse, axis=1, keepdims=True)
@@ -72,6 +79,21 @@ def main():
     xt = gen_deep(NT, 2, coarse, subdirs, scales)
     xq = gen_deep(NQ, 3, coarse, subdirs, scales)
     log(f"data in {time.time()-t0:.0f}s")
+    np.save(DATA_XB, xb)
+    np.save(DATA_XT, xt)
+    np.save(DATA_XQ, xq)
+    return xb, xt, xq
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    import faiss_tpu as ft
+    from faiss_tpu.utils.evaluation import recall_at_k
+
+    xb, xt, xq = load_or_gen_data()
 
     gt_cache = "/root/repo/.deep10m_gt.npz"
     flat = None
@@ -121,12 +143,13 @@ def main():
     import gc
 
     # ---- config 1: OPQ32,IVF8192,PQ32x4fs,RFlat ------------------------
-    if "deep10m_opq_ivfpq_fs" in results:
-        log("config 1 cached — skipping")
-        run1 = False
+    run1 = "deep10m_opq_ivfpq_fs" not in results
+    # operating-point re-sweep on the CLUSTERED data (VERDICT r3 #1:
+    # nprobe-soft x k_factor, the SIFT1M-tuned point must re-earn itself)
+    run_sweep = "deep10m_opq_sweep" not in results
+    if not (run1 or run_sweep):
+        log("config 1 + sweep cached — skipping")
     else:
-        run1 = True
-    if run1:
         log("building OPQ32,IVF8192,PQ32x4fs,RFlat")
         t0 = time.time()
         base = ft.IndexIVFPQFastScan(None, D, 8192, 32, 4)
@@ -144,23 +167,50 @@ def main():
         base._build_brute()
         t_add = time.time() - t0
         log(f"train {t_train:.0f}s add+stage {t_add:.0f}s")
-        _, I = index.search(xq, 10)  # compile
-        ft.ivf_fast_scan_stats.reset()
-        dt, dt_stream, I = timed_stream(index, xq, 10)
-        s = ft.ivf_fast_scan_stats
-        r = recall_at_k(I, gt[:, :10], 10)
-        results["deep10m_opq_ivfpq_fs"] = dict(
-            qps=round(NQ / dt), qps_stream=round(NQ / dt_stream),
-            ms=round(dt * 1000, 1),
-            recall10=round(float(r), 4), train_s=round(t_train, 1),
-            add_s=round(t_add, 1), nprobe=base.nprobe,
-            lossy_row_frac=round(s.lossy_rows / max(1, s.nq), 5),
-            chunk_scan_frac=round(
-                s.chunks_scanned
-                / max(1, s.chunks_scanned + s.chunks_skipped), 4),
-        )
-        dump()
-        log(f"OPQ-IVFPQ-fs: {json.dumps(results['deep10m_opq_ivfpq_fs'])}")
+        if run1:
+            _, I = index.search(xq, 10)  # compile
+            ft.ivf_fast_scan_stats.reset()
+            dt, dt_stream, I = timed_stream(index, xq, 10)
+            s = ft.ivf_fast_scan_stats
+            r = recall_at_k(I, gt[:, :10], 10)
+            results["deep10m_opq_ivfpq_fs"] = dict(
+                qps=round(NQ / dt), qps_stream=round(NQ / dt_stream),
+                ms=round(dt * 1000, 1),
+                recall10=round(float(r), 4), train_s=round(t_train, 1),
+                add_s=round(t_add, 1), nprobe=base.nprobe,
+                lossy_row_frac=round(s.lossy_rows / max(1, s.nq), 5),
+                chunk_scan_frac=round(
+                    s.chunks_scanned
+                    / max(1, s.chunks_scanned + s.chunks_skipped), 4),
+            )
+            dump()
+            log("OPQ-IVFPQ-fs: "
+                + json.dumps(results["deep10m_opq_ivfpq_fs"]))
+        if run_sweep:
+            rows = []
+            for npb, kf in ((4, 8), (4, 12), (8, 8), (8, 12), (16, 12)):
+                base.nprobe = npb
+                refine.k_factor = kf
+                t0 = time.time()
+                _, I = index.search(xq, 10)  # warm/compile this shape
+                warm_s = time.time() - t0
+                r = recall_at_k(I, gt[:, :10], 10)
+                ft.ivf_fast_scan_stats.reset()
+                dt, dt_stream, _ = timed_stream(index, xq, 10, nrep=3)
+                s = ft.ivf_fast_scan_stats
+                row = dict(
+                    nprobe=npb, k_factor=kf,
+                    recall10=round(float(r), 4),
+                    qps=round(NQ / dt), qps_stream=round(NQ / dt_stream),
+                    ms=round(dt * 1000, 1), warm_first_s=round(warm_s, 1),
+                    chunk_scan_frac=round(
+                        s.chunks_scanned
+                        / max(1, s.chunks_scanned + s.chunks_skipped), 4),
+                )
+                rows.append(row)
+                log(f"sweep point {json.dumps(row)}")
+            results["deep10m_opq_sweep"] = rows
+            dump()
 
         # free the PQ index's device stores before the next config
         del index, base, refine

@@ -44,7 +44,7 @@ from faiss_tpu.parallel.sharded import (  # noqa: E402
 from faiss_tpu.utils.evaluation import recall_at_k  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from bench_deep10m import D, NCOARSE, NSUB, gen_deep  # noqa: E402
+from bench_deep10m import D, load_or_gen_data  # noqa: E402
 
 
 def log(m):
@@ -82,18 +82,13 @@ def main():
     nmil = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     NB, NT, NQ, NLIST, M = nmil * 1_000_000, 200_000, 1024, 8192, 16
 
-    rs = np.random.RandomState(7)
-    coarse = rs.randn(NCOARSE, D).astype(np.float32)
-    coarse /= np.linalg.norm(coarse, axis=1, keepdims=True)
-    subdirs = rs.randn(NCOARSE, NSUB, D).astype(np.float32) * 0.3
-    scales = (1.0 / np.sqrt(np.arange(D) + 1.0)).astype(np.float32)
-
-    log(f"generating {nmil}M x {D} clustered vectors")
-    t0 = time.time()
-    xb = gen_deep(NB, 1, coarse, subdirs, scales)
-    xt = gen_deep(NT, 2, coarse, subdirs, scales)
-    xq = gen_deep(NQ, 3, coarse, subdirs, scales)
-    log(f"data in {time.time()-t0:.0f}s")
+    # slice the shared Deep10M cache: gen_deep draws in whole-1M blocks, so
+    # a prefix of the 10M xb is bit-identical to gen_deep(NB, 1) for NB a
+    # multiple of 1M; xt/xq subsets are statistically equivalent samples
+    xb_full, xt_full, xq_full = load_or_gen_data(log)
+    xb = xb_full[:NB]
+    xt = np.ascontiguousarray(xt_full[:NT])
+    xq = np.ascontiguousarray(xq_full[:NQ])
 
     mesh = make_mesh(8)
     b = ShardedIVFPQBuilder(D, NLIST, M, 8, mesh)
