@@ -39,10 +39,11 @@ DATA_XT = "/root/repo/.deep10m_xt.npy"
 DATA_XQ = "/root/repo/.deep10m_xq.npy"
 
 
-def gen_deep(n, seed, coarse, subdirs, scales):
+def gen_deep(n, seed, coarse, subdirs, scales, out=None):
     """Rows from the two-level mixture, L2-normalized (Deep1B-style)."""
     r = np.random.RandomState(seed)
-    out = np.empty((n, D), np.float32)
+    if out is None:
+        out = np.empty((n, D), np.float32)
     bs = 1_000_000
     for s in range(0, n, bs):
         m = min(bs, n - s)
@@ -75,14 +76,20 @@ def load_or_gen_data(log=log):
 
     log("generating Deep10M-like data (10M x 96, two-level mixture)")
     t0 = time.time()
-    xb = gen_deep(NB, 1, coarse, subdirs, scales)
+    # xb streams straight into the cache memmap (gen is ~45 min/10M on
+    # this 1-core host; a crash must not lose it)
+    xb = np.lib.format.open_memmap(
+        DATA_XB + ".tmp", mode="w+", dtype=np.float32, shape=(NB, D)
+    )
+    gen_deep(NB, 1, coarse, subdirs, scales, out=xb)
+    xb.flush()
+    os.rename(DATA_XB + ".tmp", DATA_XB)
     xt = gen_deep(NT, 2, coarse, subdirs, scales)
     xq = gen_deep(NQ, 3, coarse, subdirs, scales)
     log(f"data in {time.time()-t0:.0f}s")
-    np.save(DATA_XB, xb)
     np.save(DATA_XT, xt)
     np.save(DATA_XQ, xq)
-    return xb, xt, xq
+    return np.load(DATA_XB, mmap_mode="r"), xt, xq
 
 
 def main():
@@ -121,23 +128,58 @@ def main():
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
 
-    def timed_stream(idx, xq, k, nrep=5, depth=2):
-        """Median per-call latency + streamed steady-state throughput."""
+    import threading
+
+    def timed_stream(idx, xq, k, nrep=5, depth=3):
+        """Median per-call latency + threaded-collector steady-state
+        throughput (bench.py's serving pipeline: collect of batch i rides
+        under submit of batch i+1 on a concurrent tunnel RPC)."""
         times = []
         for _ in range(nrep):
             t0 = time.time()
             _, I = idx.search(xq, k)
             times.append(time.time() - t0)
         times.sort()
+        nstream = max(nrep, 6)
+        outs = [None] * nstream
+        hq = []
+        cv = threading.Condition()
+        slots = threading.Semaphore(depth)
+        collect_err = []
+
+        def collector():
+            try:
+                for i in range(nstream):
+                    with cv:
+                        while len(hq) <= i:
+                            cv.wait()
+                        h = hq[i]
+                    if h is None:
+                        return
+                    outs[i] = idx.search_collect(h)
+                    slots.release()
+            except BaseException as e:
+                collect_err.append(e)
+
+        th = threading.Thread(target=collector, daemon=True)
         t0 = time.time()
-        hs, outs = [], []
-        for i in range(nrep):
-            hs.append(idx.search_submit(xq, k))
-            if i >= depth:
-                outs.append(idx.search_collect(hs[i - depth]))
-        for h in hs[len(outs):]:
-            outs.append(idx.search_collect(h))
-        dt_stream = (time.time() - t0) / nrep
+        th.start()
+        try:
+            for i in range(nstream):
+                slots.acquire()
+                h = idx.search_submit(xq, k)
+                with cv:
+                    hq.append(h)
+                    cv.notify()
+        except BaseException:
+            with cv:
+                hq.extend([None] * (nstream - len(hq)))
+                cv.notify_all()
+            raise
+        th.join()
+        if collect_err:
+            raise collect_err[0]
+        dt_stream = (time.time() - t0) / nstream
         return times[len(times) // 2], dt_stream, outs[-1][1]
 
     import gc
