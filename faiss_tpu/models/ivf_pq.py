@@ -411,15 +411,20 @@ def _dyn_probe_bitmap(
     pcols_s = pcols[perm]
     cf = chunk_first[pcols_s]  # [nq, nprobe]
     clast = chunk_last[pcols_s]
-    # scatter-free bitmap: chunk ids visited per (query, probe, span) ->
-    # dense one-hot compare + per-tile any-reduce (TPU scatters serialize;
-    # this is all VPU compares and a reshape reduction). Folded over the
-    # span axis to bound the [nq, nprobe, nchunks] intermediate.
+    # scatter-free bitmap: a list's chunks are the CONTIGUOUS range
+    # [chunk_first, chunk_last], so membership is two VPU compares per
+    # probe (TPU scatters serialize; max_span enumeration materialized a
+    # [nq, nprobe, nchunks] bool per span step — 670 MB/step at 10M scale,
+    # measured OOM). Folded over the probe axis to bound the transient to
+    # one [nq, nchunks+1] plane. ``max_span`` is kept in the signature as
+    # a compile key only.
+    del max_span
     ciota = jnp.arange(nchunks + 1, dtype=jnp.int32)
     q2c = None
-    for s in range(max_span):
-        cs = jnp.minimum(cf + s, clast)  # [nq, nprobe]
-        m = (cs[:, :, None] == ciota).any(axis=1)  # [nq, nchunks+1]
+    for j in range(nprobe):
+        m = (ciota[None, :] >= cf[:, j, None]) & (
+            ciota[None, :] <= clast[:, j, None]
+        )  # [nq, nchunks+1]
         q2c = m if q2c is None else (q2c | m)
     bitmap = q2c.reshape(T, qt, nchunks + 1).any(axis=1)
     bitmap = bitmap.at[:, nchunks].set(False)
