@@ -485,25 +485,24 @@ def _stage_flat_brute(xb, slot_map, listnos, local_of, d_pad):
     n2 = jnp.sum(jnp.square(xb.astype(jnp.float32)), axis=1)
     valid = slot_map >= 0
     sm = jnp.maximum(slot_map, 0)
-    # chunked gather+round: a one-piece f32 gather of a 10M-slot store is
-    # a ~4 GB transient on top of the store itself (measured OOM on v5e)
+    # chunked gather+round+transpose+pad: a one-piece f32 gather of a
+    # 10M-slot store is a ~4 GB transient on top of the store itself, and
+    # the monolithic y -> y.T -> pad chain keeps three [S, d]-sized bf16
+    # transients live (~6.6 GB at 10M x 96) — both measured OOM on v5e.
+    # Eager per-chunk parts bound the live set to the final store (twice,
+    # at the concatenate) + one ~500 MB part.
     S = sm.shape[0]
-    CH = 1 << 20
-    nch = -(-S // CH)
-    pad = nch * CH - S
-    smp = (jnp.pad(sm, (0, pad)) if pad else sm).reshape(nch, CH)
-    vp = (jnp.pad(valid, (0, pad)) if pad else valid).reshape(nch, CH)
-
-    def body(_, sv):
-        smc, vc = sv
-        yc = jnp.where(vc[:, None], xb[smc], 0.0).astype(jnp.bfloat16)
-        return None, yc
-
-    _, y = jax.lax.scan(body, None, (smp, vp))
-    y = y.reshape(nch * CH, -1)[:S]
-    yT = y.T
-    if d_pad > yT.shape[0]:
-        yT = jnp.pad(yT, ((0, d_pad - yT.shape[0]), (0, 0)))
+    CH = 1 << 21
+    parts = []
+    for s in range(0, S, CH):
+        yc = jnp.where(
+            valid[s : s + CH, None], xb[sm[s : s + CH]], 0.0
+        ).astype(jnp.bfloat16).T  # [d, ch]
+        if d_pad > yc.shape[0]:
+            yc = jnp.pad(yc, ((0, d_pad - yc.shape[0]), (0, 0)))
+        parts.append(yc)
+    yT = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    del parts
     n2s = jnp.where(valid, n2[sm], jnp.inf)[None]
     lid = jnp.where(
         valid, local_of[listnos.astype(jnp.int32)[sm]], 0
@@ -624,6 +623,11 @@ class IndexIVFFlat(IndexIVF):
             "nchunks": nchunks,
             "max_span": int((chunk_last - chunk_first).max()) + 1,
         }
+        # host-read fence: staging transients peak at several GB at 10M
+        # scale; without a sync jax's async dispatch overlaps them with
+        # the first search program's allocations and the OOM surfaces
+        # there (block_until_ready does NOT sync under the axon tunnel)
+        np.asarray(yT[0, :1])
         return self._brute
 
     def _big_batch_gate(self, x, k, params):

@@ -735,12 +735,26 @@ def _stage_recon_device(codes, listnos, cent, cbt, slot_map, d_pad, by_residual)
         # HBM at 10M x 96 (measured OOM on v5e; rounding is identical)
         chunks.append(dec.astype(jnp.bfloat16))
     recon = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+    del chunks, dec, oh  # 10M x 96 bf16 worth of dead refs at 10M scale
     valid = slot_map >= 0
     sm = jnp.maximum(slot_map, 0)
-    y = jnp.where(valid[:, None], recon[sm], jnp.bfloat16(0.0))
-    yT = y.T  # [d, S_pad]
-    if d_pad > yT.shape[0]:
-        yT = jnp.pad(yT, ((0, d_pad - yT.shape[0]), (0, 0)))
+    # gather + transpose + lane-pad in S-chunks: the monolithic
+    # y -> y.T -> pad chain keeps three [S_pad, d]-sized transients live
+    # (~6.6 GB at 10M x 96) on top of `recon`; chunking bounds the live
+    # set to recon + the final store + one 512 MB part
+    S_pad = slot_map.shape[0]
+    CH2 = 1 << 21
+    parts = []
+    for s in range(0, S_pad, CH2):
+        sm_c = sm[s : s + CH2]
+        yc = jnp.where(
+            valid[s : s + CH2, None], recon[sm_c], jnp.bfloat16(0.0)
+        ).T  # [d, ch]
+        if d_pad > yc.shape[0]:
+            yc = jnp.pad(yc, ((0, d_pad - yc.shape[0]), (0, 0)))
+        parts.append(yc)
+    del recon
+    yT = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     return yT
 
 
@@ -1020,6 +1034,11 @@ class IndexIVFPQ(IndexIVF):
             max_span=int((chunk_last - chunk_first).max()) + 1,
             cpg=g["cpg"],
         )
+        # host-read fence: staging transients peak at ~7 GB at 10M scale;
+        # without a sync jax's async dispatch overlaps them with the first
+        # search program's allocations and the OOM surfaces there
+        # (block_until_ready does NOT sync under the axon tunnel)
+        np.asarray((yT_dev if yT_dev is not None else n2s_dev)[0, :1])
         return self._brute
 
     # dynamic-chunk worklist cap (0 = adapt: first batch measures the max
