@@ -215,15 +215,21 @@ def main():
             t_train = time.time() - t0
             t0 = time.time()
             index.add(xb)
-            base._build_brute()
             t_add = time.time() - t0
-            log(f"train {t_train:.0f}s add+stage {t_add:.0f}s")
+            # checkpoint BEFORE staging: a staging OOM must not lose the
+            # ~15 min train+add
+            ft.write_index(index, ckpt1)
+            log(f"train {t_train:.0f}s add {t_add:.0f}s — checkpoint written")
+            t0 = time.time()
+            base._build_brute()
+            t_stage = time.time() - t0
+            t_add += t_stage
+            log(f"stage {t_stage:.0f}s (add+stage {t_add:.0f}s)")
             results["_build1"] = dict(
-                train_s=round(t_train, 1), add_s=round(t_add, 1)
+                train_s=round(t_train, 1), add_s=round(t_add, 1),
+                stage_s=round(t_stage, 1),
             )
             dump()
-            ft.write_index(index, ckpt1)
-            log("checkpoint written")
         base.nprobe = 8
         base.strict_probe = False
         refine.k_factor = 12

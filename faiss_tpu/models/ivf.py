@@ -476,37 +476,57 @@ class IndexIVF(Index, Level1Quantizer):
         return self._ids_host[self._listnos_host == list_no]
 
 
-@functools.partial(jax.jit, static_argnames=("d_pad",))
-def _stage_flat_brute(xb, slot_map, listnos, local_of, d_pad):
-    """Group-packed staging for the fused IVF-Flat scan: bf16 transposed
-    vector store + exact per-slot norms + local list ids, all via slot_map
-    GATHERS (packed position -> input slot; -1 = pad — scatters of 1M
-    indices OOM the TPU memory-space assignment)."""
-    n2 = jnp.sum(jnp.square(xb.astype(jnp.float32)), axis=1)
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _flat_stage_step(yT, sm_c, xb, start):
+    """Gather one window of packed slots straight into the DONATED bf16
+    transposed store (dynamic_update_slice at ``start``). Donation writes
+    the store in-place, so the live set per step is the store + one
+    window's f32 row gather (~100 MB at d=96)."""
+    valid = sm_c >= 0
+    sm = jnp.maximum(sm_c, 0)
+    yc = jnp.where(valid[:, None], xb[sm], 0.0).astype(jnp.bfloat16).T
+    d_pad = yT.shape[0]
+    if d_pad > yc.shape[0]:
+        yc = jnp.pad(yc, ((0, d_pad - yc.shape[0]), (0, 0)))
+    return jax.lax.dynamic_update_slice(yT, yc, (0, start))
+
+
+@jax.jit
+def _flat_stage_meta(n2, slot_map, listnos, local_of):
     valid = slot_map >= 0
     sm = jnp.maximum(slot_map, 0)
-    # chunked gather+round+transpose+pad: a one-piece f32 gather of a
-    # 10M-slot store is a ~4 GB transient on top of the store itself, and
-    # the monolithic y -> y.T -> pad chain keeps three [S, d]-sized bf16
-    # transients live (~6.6 GB at 10M x 96) — both measured OOM on v5e.
-    # Eager per-chunk parts bound the live set to the final store (twice,
-    # at the concatenate) + one ~500 MB part.
-    S = sm.shape[0]
-    CH = 1 << 21
-    parts = []
-    for s in range(0, S, CH):
-        yc = jnp.where(
-            valid[s : s + CH, None], xb[sm[s : s + CH]], 0.0
-        ).astype(jnp.bfloat16).T  # [d, ch]
-        if d_pad > yc.shape[0]:
-            yc = jnp.pad(yc, ((0, d_pad - yc.shape[0]), (0, 0)))
-        parts.append(yc)
-    yT = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-    del parts
     n2s = jnp.where(valid, n2[sm], jnp.inf)[None]
     lid = jnp.where(
         valid, local_of[listnos.astype(jnp.int32)[sm]], 0
     )[None]
+    return n2s, lid
+
+
+def _stage_flat_brute(xb, slot_map, listnos, local_of, d_pad):
+    """Group-packed staging for the fused IVF-Flat scan: bf16 transposed
+    vector store + exact per-slot norms + local list ids, all via slot_map
+    GATHERS (packed position -> input slot; -1 = pad — scatters of 1M
+    indices OOM the TPU memory-space assignment).
+
+    Eager host loop over jitted window steps with a DONATED store: the
+    previous all-in-one jit kept a full-store f32 gather plus the
+    transpose/pad chain plus the parts' concatenate live inside one XLA
+    program (several GB at 10M x 96 — measured OOM on v5e). A host-read
+    fence per step keeps the async dispatch queue from piling step
+    transients; norms run through the chunked l2_norms scan."""
+    n2 = dops.l2_norms(xb)
+    S_pad = int(slot_map.shape[0])
+    ch = min(1 << 18, S_pad)
+    yT = jnp.zeros((d_pad, S_pad), jnp.bfloat16)
+    for s in range(0, S_pad, ch):
+        # ragged tail: shift the window back onto the last full ch slots
+        # (recomputes an already-written overlap — bit-identical values)
+        s = min(s, S_pad - ch)
+        yT = _flat_stage_step(
+            yT, jax.lax.dynamic_slice_in_dim(slot_map, s, ch), xb, s
+        )
+        np.asarray(yT[:1, :1])  # fence
+    n2s, lid = _flat_stage_meta(n2, slot_map, listnos, local_of)
     return yT, n2s, lid
 
 

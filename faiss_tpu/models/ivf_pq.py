@@ -690,71 +690,92 @@ def _fused_search_rerank_recon_dyn(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("d_pad", "by_residual"))
+# packed slots decoded per staging step (one-hot temp = CH x M*ksub bf16)
+_STAGE_CH = 1 << 18
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("by_residual",)
+)
+def _recon_stage_step(
+    yT, sm_c, codes, listnos, cent, cbtT_hi, cbtT_lo, start, by_residual
+):
+    """Decode one window of packed slots straight into the DONATED
+    transposed store: gather codes through the slot_map window, one-hot
+    contraction against the block-diagonal codebook (hi/lo bf16 planes,
+    f32-faithful to ~16 bits — a row-gather of [n*M, dsub=4] codebook
+    entries would pad each tiny row to 128 lanes, 32x HBM), add the list
+    centroid (by_residual), bf16-round, transpose, and
+    dynamic_update_slice at ``start``. Donation writes the store
+    in-place, so the live set per step is the store + one window's
+    one-hot/decode transients (~400 MB)."""
+    valid = sm_c >= 0
+    sm = jnp.maximum(sm_c, 0)
+    cseg = codes[sm].astype(jnp.int32)  # [ch, M]
+    M = cseg.shape[1]
+    Kf = cbtT_hi.shape[0]
+    ksub = Kf // M
+    rbit = jnp.arange(ksub, dtype=jnp.int32)
+    oh = (cseg[:, :, None] == rbit).reshape(len(cseg), Kf).astype(
+        jnp.bfloat16
+    )
+    dec = jax.lax.dot_general(
+        oh, cbtT_hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        oh, cbtT_lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [ch, d] f32
+    if by_residual:
+        dec = dec + cent[listnos.astype(jnp.int32)[sm]]
+    yc = jnp.where(
+        valid[:, None], dec.astype(jnp.bfloat16), jnp.bfloat16(0.0)
+    ).T  # [d, ch]
+    d_pad = yT.shape[0]
+    if d_pad > yc.shape[0]:
+        yc = jnp.pad(yc, ((0, d_pad - yc.shape[0]), (0, 0)))
+    return jax.lax.dynamic_update_slice(yT, yc, (0, start))
+
+
 def _stage_recon_device(codes, listnos, cent, cbt, slot_map, d_pad, by_residual):
     """Decoded-reconstruction store for the recon-GEMM kernel:
     y = c_list + pq_decode(code), bf16, TRANSPOSED [d_pad, S_pad], dims
     zero-padded to a lane multiple, laid out by GATHERING through
-    slot_map (packed position -> input slot; -1 = pad).
+    slot_map (packed position -> input slot; -1 = pad — scatters of 1M
+    indices OOM the TPU memory-space assignment).
 
-    Two TPU-tiling traps shape this function: (a) scatters of 1M indices
-    blow up memory-space assignment — everything is a gather; (b) a
-    row-gather of [n*M, dsub] codebook entries pads dsub=4 rows to 128
-    lanes (32x, ~15 GB) — the decode is instead the one-hot contraction
-    ``onehot(codes) @ cbt.T`` against the block-diagonal codebook (hi/lo
-    bf16 passes, f32-faithful to ~16 bits), chunked to bound the one-hot
-    temp."""
-    n, M = codes.shape
-    Kf = cbt.shape[1]
-    ksub = Kf // M
+    Eager host loop over jitted window steps with a DONATED store. The
+    previous all-in-one jit materialized the full [n, d] recon PLUS the
+    gathered parts PLUS their concatenate inside one XLA program (~7 GB
+    peak at 10M x 96 — measured OOM on v5e with the RFlat refine store
+    resident). Decoding directly into the packed layout never builds the
+    un-packed recon at all; a host-read fence per step keeps the async
+    dispatch queue from piling step transients."""
     # reduce_precision, NOT a bf16 cast round-trip (XLA's
     # allow-excess-precision folds the round-trip and zeroes the lo part)
-    cbtT_hi32 = jax.lax.reduce_precision(cbt.T, 8, 7)  # [M*ksub, d]
+    cbtT = cbt.T  # [M*ksub, d]
+    cbtT_hi32 = jax.lax.reduce_precision(cbtT, 8, 7)
     cbtT_hi = cbtT_hi32.astype(jnp.bfloat16)
-    cbtT_lo = (cbt.T - cbtT_hi32).astype(jnp.bfloat16)
-    ln = listnos.astype(jnp.int32)
-    rbit = jnp.arange(ksub, dtype=jnp.int32)
-    chunks = []
-    CH = 1 << 18
-    for s in range(0, n, CH):
-        cseg = codes[s : s + CH].astype(jnp.int32)  # [ch, M]
-        oh = (cseg[:, :, None] == rbit).reshape(len(cseg), Kf).astype(
-            jnp.bfloat16
+    cbtT_lo = (cbtT - cbtT_hi32).astype(jnp.bfloat16)
+    S_pad = int(slot_map.shape[0])
+    ch = min(_STAGE_CH, S_pad)
+    yT = jnp.zeros((d_pad, S_pad), jnp.bfloat16)
+    for s in range(0, S_pad, ch):
+        # ragged tail: shift the window back onto the last full ch slots
+        # (recomputes an already-written overlap — bit-identical values)
+        s = min(s, S_pad - ch)
+        yT = _recon_stage_step(
+            yT,
+            jax.lax.dynamic_slice_in_dim(slot_map, s, ch),
+            codes,
+            listnos,
+            cent,
+            cbtT_hi,
+            cbtT_lo,
+            s,
+            by_residual,
         )
-        dec = jax.lax.dot_general(
-            oh, cbtT_hi, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            oh, cbtT_lo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [ch, d]
-        if by_residual:
-            dec = dec + cent[ln[s : s + CH]]
-        # bf16 here, not after the gather: the store is bf16 anyway and a
-        # full-database f32 recon + f32 gather is 2x ~4 GB of transient
-        # HBM at 10M x 96 (measured OOM on v5e; rounding is identical)
-        chunks.append(dec.astype(jnp.bfloat16))
-    recon = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
-    del chunks, dec, oh  # 10M x 96 bf16 worth of dead refs at 10M scale
-    valid = slot_map >= 0
-    sm = jnp.maximum(slot_map, 0)
-    # gather + transpose + lane-pad in S-chunks: the monolithic
-    # y -> y.T -> pad chain keeps three [S_pad, d]-sized transients live
-    # (~6.6 GB at 10M x 96) on top of `recon`; chunking bounds the live
-    # set to recon + the final store + one 512 MB part
-    S_pad = slot_map.shape[0]
-    CH2 = 1 << 21
-    parts = []
-    for s in range(0, S_pad, CH2):
-        sm_c = sm[s : s + CH2]
-        yc = jnp.where(
-            valid[s : s + CH2, None], recon[sm_c], jnp.bfloat16(0.0)
-        ).T  # [d, ch]
-        if d_pad > yc.shape[0]:
-            yc = jnp.pad(yc, ((0, d_pad - yc.shape[0]), (0, 0)))
-        parts.append(yc)
-    del recon
-    yT = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        np.asarray(yT[:1, :1])  # fence
     return yT
 
 
