@@ -1,9 +1,9 @@
-"""Multi-chip correctness at NON-toy shapes (round-3 verdict weak #4):
-skewed list-length distributions, empty shards, nlist=4096 at 100k+
-vectors, IP metric through ShardedIVF, and builder chunk-boundary cases —
-on the virtual 8-device CPU mesh (reference analogue:
-gpu/test/test_multi_gpu.py which stresses sharded copies on real data).
-"""
+"""Multi-chip correctness at non-toy shapes (round-3 verdict weak #4):
+skewed lists (one list far beyond the typical max_len), empty shards,
+nlist=4096 at 100k+ vectors, IP metric through ShardedIVF, and
+ShardedIVFPQBuilder chunk-boundary cases — all sharded == single-host
+equivalence on the 8-device virtual mesh (reference multi-GPU test
+pattern: gpu/test/test_multi_gpu.py)."""
 
 import numpy as np
 import pytest
@@ -18,195 +18,149 @@ from faiss_tpu.parallel.sharded import (
 from faiss_tpu.utils.evaluation import knn_intersection_measure
 
 
-def _skewed_data(n, d, nlist, seed=3):
-    """Clustered data with a zipf-skewed cluster-size distribution: a few
-    huge lists (>> mean), a long tail, and many lists empty."""
-    rs = np.random.RandomState(seed)
-    cents = rs.randn(nlist, d).astype(np.float32) * 4.0
-    # zipf sizes over only half of the lists -> the other half stays empty
-    active = nlist // 2
-    w = 1.0 / np.arange(1, active + 1) ** 1.2
-    w /= w.sum()
-    counts = rs.multinomial(n, w)
-    xs, labels = [], []
-    for c, m in enumerate(counts):
-        if m:
-            xs.append(cents[c] + rs.randn(m, d).astype(np.float32) * 0.3)
-            labels.append(np.full(m, c, np.int32))
-    x = np.concatenate(xs)
-    perm = rs.permutation(len(x))
-    return x[perm].astype(np.float32), cents
+def _gen(n, d, seed):
+    r = np.random.RandomState(seed)
+    return r.randn(n, d).astype(np.float32)
 
 
-def _twin_from_builder(b, xb, ids=None):
-    """Single-host IndexIVFPQ sharing the builder's trained parameters."""
-    quant = ft.IndexFlatL2(b.d)
-    quant.add(b.centroids)
-    ref = ft.IndexIVFPQ(quant, b.d, b.nlist, b.pq.M, b.pq.nbits)
-    ref.pq.centroids = b.pq.centroids
-    ref.is_trained = True
-    ref.big_batch_threshold = 0
-    if ids is None:
-        ref.add(xb)
-    else:
-        ref.add_with_ids(xb, ids)
-    return ref
+def test_sharded_ivf_skewed_list_spill():
+    """One list holds ~25% of the database (blows past every other list's
+    length, forcing the padded max_len to grow around it); probing it on
+    the owning shard must return the same results as single-host."""
+    d, nlist, nb = 32, 64, 20_000
+    xt = _gen(4_000, d, 0)
+    index = ft.IndexIVFFlat(None, d, nlist)
+    index.train(xt)
+    xb = _gen(nb, d, 1)
+    r = np.random.RandomState(2)
+    listnos = r.randint(nlist, size=nb).astype(np.int64)
+    listnos[: nb // 4] = 37  # fat list on shard 4 (64/8 lists per shard)
+    index.add_core(xb, None, listnos)
+    index.nprobe = 8
+    xq = _gen(128, d, 3)
+    Dref, Iref = index.search(xq, 10)
+
+    s = ShardedIVF(index, make_mesh(8))
+    D, I = s.search(xq, 10, nprobe=8)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+    assert knn_intersection_measure(I, Iref) > 0.999
 
 
-def test_sharded_build_skewed_nlist4096_100k():
-    """Zipf-skewed lists (largest list is hundreds of times the mean, half
-    the lists empty): the sharded build path must agree with the
-    single-host index built from the same trained parameters.
-
-    Default CI shape is nlist=1024 / 60k (~2 min on the 1-core CPU mesh);
-    set FAISS_TPU_SCALE_TESTS=1 for the full nlist=4096 / 120k run
-    (passes: round 4, 17 min)."""
-    import os
-
-    if os.environ.get("FAISS_TPU_SCALE_TESTS"):
-        d, nlist, n = 32, 4096, 120_000
-    else:
-        d, nlist, n = 32, 1024, 60_000
-    x, cents = _skewed_data(n, d, nlist)
-    xq = x[:512] + np.random.RandomState(9).randn(512, d).astype(
-        np.float32
-    ) * 0.05
-
-    mesh = make_mesh(8)
-    b = ShardedIVFPQBuilder(d, nlist, 8, 4, mesh)
-    # inject the generating centroids: training at this nlist is not the
-    # point of the test — skew + padding behavior at scale is
-    b.centroids = cents
-    rs = np.random.RandomState(0)
-    sub = x[rs.permutation(n)[:20000]]
-    from faiss_tpu.ops import distances as dops
-    import jax.numpy as jnp
-
-    _, a = dops.assign_flat(jnp.asarray(sub), jnp.asarray(cents))
-    b.pq.train(sub - cents[np.asarray(a)])
-    b.is_trained = True
-    b.add(x, chunk=50_000)
-    sp = b.finalize()
-
-    # skew materialized: max list length far above mean, empties exist
-    lengths = np.asarray(sp.lengths)
-    assert lengths.sum() == n
-    assert lengths.max() > 50 * max(1.0, lengths.mean())
-    assert (lengths == 0).sum() > nlist // 4
-
-    ref = _twin_from_builder(b, x)
-    ref.nprobe = 16
-    Dref, Iref = ref.search(xq, 10)
-    D, I = sp.search(xq, 10, nprobe=16)
-    np.testing.assert_allclose(
-        np.sort(D, 1), np.sort(Dref, 1), rtol=1e-3, atol=1e-3
-    )
-    assert knn_intersection_measure(I, Iref) > 0.85
-
-
-def test_sharded_build_empty_shards():
-    """All vectors land in shard 0's list range; shards 1..7 hold zero
-    vectors — search must still merge correctly across the mesh."""
-    d, nlist = 16, 64
-    mesh = make_mesh(8)
-    rs = np.random.RandomState(5)
-    # centroids: lists 0..7 near the data, the rest far away
-    cents = np.concatenate(
-        [rs.randn(8, d).astype(np.float32),
-         rs.randn(nlist - 8, d).astype(np.float32) + 50.0]
-    )
-    x = rs.randn(4000, d).astype(np.float32)
-    b = ShardedIVFPQBuilder(d, nlist, 4, 4, mesh)
-    b.centroids = cents
-    b.pq.train(x[:2000])
-    b.is_trained = True
-    b.add(x)
-    sp = b.finalize()
-    lengths = np.asarray(sp.lengths).reshape(8, -1)
-    assert lengths[0].sum() == 4000 and lengths[1:].sum() == 0
-
-    ref = _twin_from_builder(b, x)
-    ref.nprobe = 8
-    Dref, Iref = ref.search(x[:64], 5)
-    D, I = sp.search(x[:64], 5, nprobe=8)
-    np.testing.assert_allclose(
-        np.sort(D, 1), np.sort(Dref, 1), rtol=1e-3, atol=1e-3
-    )
+def test_sharded_ivf_empty_shards():
+    """Shards 1..7 own zero vectors (every row forced into shard 0's list
+    range); their scans must contribute nothing — not garbage — to the
+    allgather merge, and full-probe must equal flat exact search."""
+    d, nlist, nb = 32, 32, 3_000
+    index = ft.IndexIVFFlat(None, d, nlist)
+    index.train(_gen(2_000, d, 0))
+    xb = _gen(nb, d, 1)
+    listnos = np.random.RandomState(2).randint(4, size=nb).astype(np.int64)
+    index.add_core(xb, None, listnos)  # lists 0..3 only -> shard 0 only
+    xq = _gen(64, d, 3)
+    s = ShardedIVF(index, make_mesh(8))
+    D, I = s.search(xq, 10, nprobe=nlist)
+    flat = ft.IndexFlatL2(d)
+    flat.add(xb)
+    Dref, Iref = flat.search(xq, 10)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+    assert knn_intersection_measure(I, Iref) > 0.999
 
 
 def test_sharded_ivf_ip_metric():
-    """IP metric end-to-end through ShardedIVF (round-3 verdict item 6)."""
-    rs = np.random.RandomState(2)
-    d = 24
-    xb = rs.randn(6000, d).astype(np.float32)
-    xq = rs.randn(128, d).astype(np.float32)
-    index = ft.IndexIVFFlat(None, d, 32, ft.METRIC_INNER_PRODUCT)
-    index.cp.niter = 5
-    index.train(xb)
+    """IP metric end-to-end through ShardedIVF (code_norms is absent on
+    the IP path — the has_norms=False branch)."""
+    d, nlist, nb = 32, 32, 6_000
+    index = ft.IndexIVFFlat(None, d, nlist, ft.METRIC_INNER_PRODUCT)
+    xt = _gen(3_000, d, 0)
+    index.train(xt)
+    xb = _gen(nb, d, 1)
     index.add(xb)
-    index.nprobe = 32  # full probe -> exact, order-independent
+    index.nprobe = 8
+    xq = _gen(100, d, 3)
     Dref, Iref = index.search(xq, 10)
-    mesh = make_mesh(8)
-    s = ShardedIVF(index, mesh)
-    D, I = s.search(xq, 10, nprobe=32)
+    s = ShardedIVF(index, make_mesh(8))
+    D, I = s.search(xq, 10, nprobe=8)
+    np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
+    assert knn_intersection_measure(I, Iref) > 0.999
+
+
+def test_sharded_ivf_scale_nlist4096():
+    """100k+ vectors at nlist=4096 (the round-3 verdict's non-toy shape):
+    ragged real lengths, many empty lists, every shard populated."""
+    d, nlist, nb = 32, 4096, 110_000
+    r = np.random.RandomState(0)
+    cent = r.randn(nlist, d).astype(np.float32)
+    xb = (cent[r.randint(nlist, size=nb)]
+          + 0.3 * r.randn(nb, d).astype(np.float32))
+    index = ft.IndexIVFFlat(None, d, nlist)
+    index.train(xb[:30_000])
+    index.add(xb)
+    index.nprobe = 8
+    xq = xb[r.randint(nb, size=64)] + 0.05 * r.randn(64, d).astype(np.float32)
+    Dref, Iref = index.search(xq, 10)
+    s = ShardedIVF(index, make_mesh(8))
+    D, I = s.search(xq, 10, nprobe=8)
     np.testing.assert_allclose(D, Dref, rtol=1e-4, atol=1e-4)
     assert knn_intersection_measure(I, Iref) > 0.999
 
 
 def test_builder_chunk_boundaries():
-    """Chunk sizes that divide, straddle, and exceed the add size (plus
-    multiple add calls with explicit ids) give identical indexes."""
-    d, nlist, n = 16, 32, 3001  # odd n: never chunk-aligned
-    rs = np.random.RandomState(7)
-    x = rs.randn(n, d).astype(np.float32)
-    ids = rs.permutation(n).astype(np.int64) * 7
-    mesh = make_mesh(4)
-
-    def build(adds):
-        b = ShardedIVFPQBuilder(d, nlist, 4, 4, mesh)
-        b.train(x[:2000], niter=4, seed=11)
-        for sl, chunk in adds:
-            b.add(x[sl], ids[sl], chunk=chunk)
-        return b
-
-    variants = [
-        build([(slice(None), 1 << 20)]),          # one chunk
-        build([(slice(None), 1000)]),             # 1000,1000,1000,1
-        build([(slice(None), 3001)]),             # exact
-        build([(slice(0, 1500), 499),             # split adds, odd chunks
-               (slice(1500, None), 750)]),
-    ]
-    outs = []
-    for b in variants:
-        sp = b.finalize()
-        D, I = sp.search(x[:32], 5, nprobe=8)
-        outs.append((D, I))
-        assert np.asarray(sp.lengths).sum() == n
-    for D, I in outs[1:]:
-        np.testing.assert_allclose(outs[0][0], D, rtol=1e-5, atol=1e-5)
-        np.testing.assert_array_equal(outs[0][1], I)
-
-
-def test_sharded_ivfpq_wrap_skewed_lists():
-    """ShardedIVFPQ wrapping a single-host index whose list lengths are
-    heavily skewed (exercises the padded-array shard split when max_len is
-    set by one giant list owned by one shard)."""
-    d, nlist = 16, 32
-    x, cents = _skewed_data(20_000, d, nlist, seed=13)
-    quant = ft.IndexFlatL2(d)
-    quant.add(cents)
-    index = ft.IndexIVFPQ(quant, d, nlist, 4, 8)
-    rs = np.random.RandomState(1)
-    index.pq.centroids = None
-    index.train(x[rs.permutation(len(x))[:8000]])
-    index.big_batch_threshold = 0
-    index.add(x)
-    index.nprobe = 8
-    Dref, Iref = index.search(x[:128], 10)
+    """Ragged add chunks (1, 127, 1000, remainder) through
+    ShardedIVFPQBuilder.add must finalize to the exact same search results
+    as one single-shot add — global ids, slot routing, and list order are
+    chunk-invariant."""
+    d, nlist, M, nb = 32, 32, 4, 5_000
+    xt = _gen(3_000, d, 0)
+    xb = _gen(nb, d, 1)
+    xq = _gen(64, d, 2)
     mesh = make_mesh(8)
-    s = ShardedIVFPQ(index, mesh)
-    D, I = s.search(x[:128], 10, nprobe=8)
-    np.testing.assert_allclose(
-        np.sort(D, 1), np.sort(Dref, 1), rtol=1e-3, atol=1e-3
-    )
-    assert knn_intersection_measure(I, Iref) > 0.85
+
+    b1 = ShardedIVFPQBuilder(d, nlist, M, 8, mesh)
+    b1.train(xt, niter=8)
+    b1.add(xb)
+    sp1 = b1.finalize()
+    D1, I1 = sp1.search(xq, 10, nprobe=8)
+
+    b2 = ShardedIVFPQBuilder(d, nlist, M, 8, mesh)
+    b2.train(xt, niter=8)  # same seed -> identical centroids + codebooks
+    np.testing.assert_array_equal(b1.centroids, b2.centroids)
+    cuts = [0, 1, 128, 1128, nb]
+    for a, z in zip(cuts[:-1], cuts[1:]):
+        b2.add(xb[a:z], ids=np.arange(a, z, dtype=np.int64))
+    sp2 = b2.finalize()
+    assert sp2._ids_host.shape == (nb,)
+    D2, I2 = sp2.search(xq, 10, nprobe=8)
+    np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
+    # ids may swap only among exact PQ-code ties; require near-identity
+    assert knn_intersection_measure(I1, I2) > 0.999
+
+
+def test_builder_empty_and_unseen_lists():
+    """Builder with a shard that receives no rows at all, plus finalize on
+    lists that never saw data (length-0 everywhere on that shard)."""
+    d, nlist, M, nb = 32, 32, 4, 2_000
+    xt = _gen(2_000, d, 0)
+    xb = _gen(nb, d, 1)
+    mesh = make_mesh(8)
+    b = ShardedIVFPQBuilder(d, nlist, M, 8, mesh)
+    b.train(xt, niter=5)
+    # force every row into lists 0..7 (shards 0-1); shards 2..7 stay empty
+    a = np.random.RandomState(3).randint(8, size=nb).astype(np.int64)
+    b.add_preassigned(xb, a)
+    sp = b.finalize()
+    lengths = np.asarray(sp.lengths)
+    assert lengths[8:].sum() == 0 and lengths[:8].sum() == nb
+    D, I = sp.search(_gen(32, d, 4), 10, nprobe=nlist)
+    assert (I >= 0).all()  # nb >> k: no empty-slot leakage into top-k
+    # twin single-host IVFPQ from the same params + assignments
+    quant = ft.IndexFlatL2(d)
+    quant.add(b.centroids)
+    ref = ft.IndexIVFPQ(quant, d, nlist, M, 8)
+    ref.pq.centroids = b.pq.centroids
+    ref.is_trained = True
+    ref.big_batch_threshold = 0
+    ref.add_core(xb, None, a)
+    ref.nprobe = nlist
+    Dref, Iref = ref.search(_gen(32, d, 4), 10)
+    np.testing.assert_allclose(D, Dref, rtol=1e-3, atol=1e-3)
+    assert knn_intersection_measure(I, Iref) > 0.95
