@@ -570,7 +570,17 @@ class IndexIVFFlat(IndexIVF):
     fused_fmax = 16  # flush cap / home-sort rotation / two-phase select
     fused_sort_rot = False  # (shared semantics with IndexIVFPQ)
     fused_cheap_after = 0
+    # bf16-selection candidate margin for the fused big-batch scan
+    # (0 = auto: min(128, max(2k, k+32))). Clustered distributions
+    # concentrate distances and flag far more eviction-floor rows than
+    # the bench mixture; raising kc toward the 128 kernel cap trades a
+    # slightly bigger exact re-rank for fewer replays.
+    big_batch_kc = 0
+    # replay chunking budget: bytes of gathered [rows, maxc, d_pad] f32
+    # per rerank_exact call on the exact replay path
+    replay_gather_bytes = 1 << 30
     _brute = None
+    _list_csr_cache = None
 
     def __init__(self, quantizer, d, nlist, metric=MetricType.L2):
         super().__init__(quantizer, d, nlist, metric)
@@ -579,10 +589,12 @@ class IndexIVFFlat(IndexIVF):
     def add_core(self, x, ids, listnos) -> None:
         super().add_core(x, ids, listnos)
         self._brute = None
+        self._list_csr_cache = None
 
     def reset(self) -> None:
         super().reset()
         self._brute = None
+        self._list_csr_cache = None
 
     def _build_brute(self):
         if self._brute is not None:
@@ -753,7 +765,7 @@ class IndexIVFFlat(IndexIVF):
         br = self._build_brute()
         # candidate margin over k absorbs bf16 ranking noise before the
         # exact re-rank; eviction-floor flags at rank k trigger repair
-        kc = min(128, max(2 * k, k + 32))
+        kc = min(128, self.big_batch_kc or max(2 * k, k + 32))
         if nprobe >= self.nlist:
             nprobe = 0
         # queries cross as f32 by default (compressed staging would break
@@ -883,13 +895,94 @@ class IndexIVFFlat(IndexIVF):
             )
             if lossy.any():
                 # a queue eviction reached rank k: replay those rows
-                # through the exact per-probe scan
+                # exactly over their probed lists. The padded per-list
+                # layout (super().search) is only safe at small scale —
+                # under clustered skew its [nlist, max_len, d] f32 store
+                # explodes (28.9 GB at Deep10M, nlist=8192, max list 9.2k)
+                # — so at scale the replay goes through the memory-bounded
+                # candidate-CSR re-rank instead.
                 bad = np.where(lossy)[0]
-                Db, Ib = super(IndexIVFFlat, self).search(
-                    x[start + bad], k, params=params
-                )
+                if nprobe == 0:
+                    # full probe: every row is a candidate; exact scan
+                    Db, Ib = super(IndexIVFFlat, self).search(
+                        x[start + bad], k, params=params
+                    )
+                else:
+                    Db, Ib = self._replay_rows_exact(x[start + bad], k,
+                                                     nprobe)
+                    # soft/dyn probing may have scanned chunks beyond the
+                    # strict nprobe lists: keep whichever of (kernel,
+                    # replay) wins per rank so replay never loses a valid
+                    # extra candidate the kernel already re-ranked exactly
+                    Db, Ib = _merge_topk_rows(
+                        D[start + bad], I[start + bad], Db, Ib, k
+                    )
                 D[start + bad] = Db
                 I[start + bad] = Ib
+        return D, I
+
+    def _list_csr(self):
+        """CSR of add-order row indices per list (host, cached)."""
+        if (self._list_csr_cache is None
+                or self._list_csr_cache[2] != self.ntotal):
+            ln = self._listnos_host
+            order = np.argsort(ln, kind="stable").astype(np.int32)
+            counts = np.bincount(ln, minlength=self.nlist)
+            offs = np.zeros(self.nlist + 1, np.int64)
+            np.cumsum(counts, out=offs[1:])
+            self._list_csr_cache = (order, offs, self.ntotal)
+        return self._list_csr_cache[0], self._list_csr_cache[1]
+
+    def _replay_rows_exact(self, xq_bad, k, nprobe):
+        """Exact-within-probed replay for eviction-flagged rows, memory-
+        bounded: strict coarse assignment, probed-list candidates gathered
+        host-side from the list CSR, exact f32 re-rank on device in
+        shape-bucketed chunks (never stages the padded per-list layout).
+        Reference contract: IndexIVFFlat scans exactly the nprobe closest
+        lists (IndexIVFFlat.cpp scan_codes); compile shapes are bucketed
+        (rows: power-of-two chunk, candidates: multiples of 2048)."""
+        br = self._build_brute()
+        order, offs = self._list_csr()
+        nb = len(xq_bad)
+        cent = jnp.asarray(self.quantizer.vectors())
+        probes = np.empty((nb, nprobe), np.int64)
+        for s0, padded, real in query_buckets(nb):
+            xqp = np.zeros((padded, self.d), np.float32)
+            xqp[:real] = xq_bad[s0 : s0 + real]
+            _, p = dops.knn(jnp.asarray(xqp), cent, nprobe,
+                            metric=self.metric_type)
+            probes[s0 : s0 + real] = np.asarray(p)[:real]
+        lens = (offs[probes + 1] - offs[probes]).sum(1)
+        maxc = max(1, int(lens.max()))
+        maxc_b = -(-maxc // 2048) * 2048
+        d_pad = -(-self.d // 128) * 128
+        rows = max(8, int(self.replay_gather_bytes // (maxc_b * d_pad * 4)))
+        C = 8
+        while C * 2 <= rows:
+            C *= 2
+        C = min(C, 1024)
+        D = np.empty((nb, k), np.float32)
+        slots_out = np.empty((nb, k), np.int64)
+        for s in range(0, nb, C):
+            m = min(C, nb - s)
+            cand = np.full((C, maxc_b), -1, np.int32)
+            for i in range(m):
+                p = 0
+                for ll in probes[s + i]:
+                    seg = order[offs[ll] : offs[ll + 1]]
+                    cand[i, p : p + len(seg)] = seg
+                    p += len(seg)
+            xqc = np.zeros((C, self.d), np.float32)
+            xqc[:m] = xq_bad[s : s + m]
+            dd, ii = dops.rerank_exact(
+                jnp.asarray(xqc), br["xb"], jnp.asarray(cand), k,
+                metric=self.metric_type,
+            )
+            D[s : s + m] = np.asarray(dd)[:m]
+            slots_out[s : s + m] = np.asarray(ii)[:m]
+        I = np.where(
+            slots_out >= 0, self._ids_host[np.maximum(slots_out, 0)], -1
+        )
         return D, I
 
     def encode_vectors(self, x, listnos):
@@ -909,6 +1002,35 @@ class IndexIVFFlat(IndexIVF):
     def sa_decode(self, codes):
         codes = np.ascontiguousarray(codes, np.uint8)
         return codes.view(np.float32).reshape(len(codes), self.d).copy()
+
+
+def _merge_topk_rows(Da, Ia, Db, Ib, k):
+    """Host merge of two exact per-row top-k result sets (L2, smaller
+    wins), deduplicating by id: used to combine the kernel's kept
+    candidates (which may include soft-probe extras) with the strict
+    replay so neither side's valid candidates are lost."""
+    Dm = np.concatenate([Da, Db], axis=1)
+    Im = np.concatenate([Ia, Ib], axis=1)
+    Dm = np.where(Im < 0, np.inf, Dm)
+    ordm = np.argsort(Dm, axis=1, kind="stable")
+    Dm = np.take_along_axis(Dm, ordm, axis=1)
+    Im = np.take_along_axis(Im, ordm, axis=1)
+    Do = np.full((len(Dm), k), np.inf, Da.dtype)
+    Io = np.full((len(Dm), k), -1, Ia.dtype)
+    for r in range(len(Dm)):
+        seen = set()
+        w = 0
+        for c in range(Dm.shape[1]):
+            idc = Im[r, c]
+            if idc < 0 or idc in seen:
+                continue
+            seen.add(idc)
+            Do[r, w] = Dm[r, c]
+            Io[r, w] = idc
+            w += 1
+            if w == k:
+                break
+    return Do, Io
 
 
 def _ivf_range_search(index: "IndexIVF", x, radius: float, params=None):

@@ -221,3 +221,69 @@ def test_ivfflat_search_submit_collect_equivalence():
     De, Ie = index.search_collect(h)
     Dr, Ir = index.search(xq[:32], 10)
     np.testing.assert_array_equal(Ie, Ir)
+
+
+def test_ivfflat_big_batch_replay_memory_bounded(monkeypatch):
+    """Eviction-flagged rows replay through the memory-bounded exact
+    candidate-CSR re-rank (NOT the padded per-list staging, which
+    explodes under clustered skew at 10M scale): with a deliberately
+    tight kc margin and shallow queue many rows flag, and every FLAGGED
+    row's result must exactly match the per-probe exact scan (non-flagged
+    rows keep the documented bf16-selection margin semantics)."""
+    rs = np.random.RandomState(5)
+    d, nb, nq, nlist = 32, 12000, 256, 64
+    # clustered data: concentrated distances maximize eviction-floor flags
+    cent = rs.randn(nlist, d).astype(np.float32)
+    xb = (cent[rs.randint(nlist, size=nb)]
+          + 0.02 * rs.randn(nb, d).astype(np.float32))
+    xq = (cent[rs.randint(nlist, size=nq)]
+          + 0.02 * rs.randn(nq, d).astype(np.float32))
+    index = IndexIVFFlat(None, d, nlist)
+    index.train(xb[:6000])
+    index.add(xb)
+    index.nprobe = 4
+    index.fused_interpret = True
+    index.big_batch_kc = 10  # zero margin -> many replays
+    index.refined_qdepth = 1
+    index.big_batch_threshold = 64
+
+    replayed = []
+    orig = IndexIVFFlat._replay_rows_exact
+
+    def spy(self, xq_bad, k, nprobe):
+        replayed.append(np.array(xq_bad))
+        return orig(self, xq_bad, k, nprobe)
+
+    monkeypatch.setattr(IndexIVFFlat, "_replay_rows_exact", spy)
+    ft.ivf_fast_scan_stats.reset()
+    D1, I1 = index.search(xq, 10)
+    assert ft.ivf_fast_scan_stats.lossy_rows > 0  # the replay actually ran
+    assert replayed
+    index.big_batch_threshold = 0  # strict per-probe exact path
+    D0, I0 = index.search(xq, 10)
+    # map replayed query rows back to their indices by value
+    key = {xq[i].tobytes(): i for i in range(nq)}
+    bad = sorted({key[r.tobytes()] for blk in replayed for r in blk})
+    assert len(bad) == ft.ivf_fast_scan_stats.lossy_rows
+    np.testing.assert_allclose(D1[bad], D0[bad], rtol=1e-4, atol=1e-4)
+    assert (I1[bad] == I0[bad]).mean() > 0.99  # ties only
+
+
+def test_ivfflat_replay_rows_exact_direct():
+    """_replay_rows_exact alone == per-probe exact search at matching
+    nprobe, across row-chunk boundaries (nb > chunk C) and ragged
+    candidate counts."""
+    rs = np.random.RandomState(9)
+    d, nb, nq, nlist = 16, 4000, 50, 32
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    index = IndexIVFFlat(None, d, nlist)
+    index.train(xb[:2000])
+    index.add(xb)
+    index.replay_gather_bytes = 16 * 2048 * 128 * 4  # force C=16 chunking
+    index._build_brute()
+    Dr, Ir = index._replay_rows_exact(xq, 10, 4)
+    index.nprobe = 4
+    D0, I0 = index.search(xq, 10)  # per-probe exact path (CPU default)
+    np.testing.assert_allclose(Dr, D0, rtol=1e-4, atol=1e-4)
+    assert (Ir == I0).mean() > 0.999
