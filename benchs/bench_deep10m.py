@@ -305,6 +305,10 @@ def main():
             log("checkpoint written")
         ivf.nprobe = 8
         ivf.strict_probe = False
+        # clustered data concentrates bf16 distances: run the selection
+        # queue at the kernel cap so eviction-floor flags (each an exact
+        # replay) stay rare; the re-rank is exact either way
+        ivf.big_batch_kc = 128
         # 10M slots x d_pad=128 x bf16 = 2.6 GB decoded store + the 3.8 GB
         # f32 store for exact re-rank
         ivf.recon_scan_max_bytes = 6 << 30
@@ -321,6 +325,7 @@ def main():
             qps=round(NQ / dt), qps_stream=round(NQ / dt_stream),
             ms=round(dt * 1000, 1),
             recall10=round(float(r), 4), nprobe=ivf.nprobe,
+            kc=ivf.big_batch_kc,
             # bf16 selection-margin flag rate on CLUSTERED data (round-3
             # verdict weak #5: distance concentration is worst here)
             lossy_row_frac=round(s.lossy_rows / max(1, s.nq), 5),
