@@ -579,6 +579,9 @@ class IndexIVFFlat(IndexIVF):
     # replay chunking budget: bytes of gathered [rows, maxc, d_pad] f32
     # per rerank_exact call on the exact replay path
     replay_gather_bytes = 1 << 30
+    # tunnel-RT economy (IndexIVFPQ.rt_econ analogue): all sub-batches
+    # ride ONE staged upload; per-bucket views are device slices
+    rt_econ = False
     _brute = None
     _list_csr_cache = None
 
@@ -774,19 +777,40 @@ class IndexIVFFlat(IndexIVF):
         # overlap — same structure as IndexIVFPQ._search_big_batch_refined)
         pending = []
         carry = None  # single-read chaining across sub-batches
-        for start, padded, real in query_buckets(
-            nq, max_batch=self.pipeline_batch
-        ):
-            xq = x[start : start + real]
-            if padded != real:
-                xq = np.pad(xq, ((0, padded - real), (0, 0)))
-            qt = min(padded, 256)
+        buckets = list(query_buckets(nq, max_batch=self.pipeline_batch))
+        xq_all = None
+        offs = [0] * len(buckets)
+        if self.rt_econ and len(buckets) > 1:
+            o = 0
+            offs = []
+            for _, padded, _ in buckets:
+                offs.append(o)
+                o += padded
+            xq_pad = np.zeros((o, x.shape[1]), np.float32)
+            for (start, padded, real), op in zip(buckets, offs):
+                xq_pad[op : op + real] = x[start : start + real]
             if self.query_h2d_dtype == "float16":
-                xq_dev = jnp.asarray(xq.astype(np.float16)).astype(
+                xq_all = jnp.asarray(xq_pad.astype(np.float16)).astype(
                     jnp.float32
                 )
             else:
-                xq_dev = jnp.asarray(xq)
+                xq_all = jnp.asarray(xq_pad)
+        for (start, padded, real), op in zip(buckets, offs):
+            qt = min(padded, 256)
+            if xq_all is not None:
+                xq_dev = jax.lax.slice_in_dim(
+                    xq_all, op, op + padded, axis=0
+                )
+            else:
+                xq = x[start : start + real]
+                if padded != real:
+                    xq = np.pad(xq, ((0, padded - real), (0, 0)))
+                if self.query_h2d_dtype == "float16":
+                    xq_dev = jnp.asarray(xq.astype(np.float16)).astype(
+                        jnp.float32
+                    )
+                else:
+                    xq_dev = jnp.asarray(xq)
             use_dyn = bool(nprobe) and padded >= 128
             if use_dyn:
                 msteps = self._dyn_bucket_for(xq_dev, br, nprobe, qt)

@@ -287,3 +287,28 @@ def test_ivfflat_replay_rows_exact_direct():
     D0, I0 = index.search(xq, 10)  # per-probe exact path (CPU default)
     np.testing.assert_allclose(Dr, D0, rtol=1e-4, atol=1e-4)
     assert (Ir == I0).mean() > 0.999
+
+
+def test_ivfflat_big_batch_rt_econ_equivalence():
+    """rt_econ=True (one staged upload, device-sliced sub-batches) must
+    return bit-identical results to per-bucket staging, across multiple
+    pipeline_batch buckets and both query staging dtypes."""
+    rs = np.random.RandomState(11)
+    d, nb, nq, nlist = 32, 20000, 700, 64
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    index = IndexIVFFlat(None, d, nlist)
+    index.train(xb[:8000])
+    index.add(xb)
+    index.nprobe = 4
+    index.big_batch_threshold = 64
+    index.pipeline_batch = 256  # force several buckets
+    for dt in (None, "float16"):
+        if dt:
+            index.query_h2d_dtype = dt
+        index.rt_econ = False
+        D0, I0 = index.search(xq, 10)
+        index.rt_econ = True
+        D1, I1 = index.search(xq, 10)
+        np.testing.assert_array_equal(I0, I1)
+        np.testing.assert_array_equal(D0, D1)
