@@ -442,17 +442,44 @@ class IndexFlat(Index):
                 return D, I
             if flag.any():
                 rows = np.nonzero(flag)[0]
-                d_fix, i_fix = dops.knn(
-                    jnp.asarray(np.ascontiguousarray(x[start + rows])),
-                    xb.astype(jnp.float32),
-                    k,
-                    metric=self.metric_type,
-                    y_norms=self._norms,
+                d_fix, i_fix = self._exact_knn_rows(
+                    np.ascontiguousarray(x[start + rows]), k
                 )
-                d[rows] = np.asarray(d_fix)
-                i[rows] = np.asarray(i_fix)
+                d[rows] = d_fix
+                i[rows] = i_fix
             D[start : start + real] = d
             I[start : start + real] = i
+        return D, I
+
+    def _exact_knn_rows(self, xq_rows, k):
+        """Exact f32 kNN for certificate-repair rows.
+
+        Rows are padded to power-of-two buckets so varying lossy-row counts
+        reuse one compiled shape (each fresh shape is a 1-10 min remote
+        compile over the tunnel), and at 10M-scale the database scan tile
+        is halved to bound the score transient (a [2048, 131072] f32 tile
+        plus the resident f32 store + transposed kernel store exhausted
+        v5e HBM on Deep10M)."""
+        nr = len(xq_rows)
+        D = np.empty((nr, k), np.float32)
+        I = np.empty((nr, k), np.int64)
+        xb = self._consolidate()
+        db_chunk = (1 << 16) if self.ntotal > (1 << 22) else (1 << 17)
+        for start, padded, real in query_buckets(nr, max_batch=2048):
+            xq = xq_rows[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            d, i = dops.knn(
+                jnp.asarray(xq),
+                xb.astype(jnp.float32),
+                k,
+                metric=self.metric_type,
+                metric_arg=self.metric_arg,
+                y_norms=self._norms,
+                db_chunk=db_chunk,
+            )
+            D[start : start + real] = np.asarray(d)[:real]
+            I[start : start + real] = np.asarray(i)[:real]
         return D, I
 
     def _search_fused(self, x, k, D, I):
@@ -493,16 +520,11 @@ class IndexFlat(Index):
             if lossy.any():
                 # exact repair through the XLA path for the affected rows
                 rows = np.nonzero(lossy)[0]
-                xq_fix = np.ascontiguousarray(x[start + rows])
-                d_fix, i_fix = dops.knn(
-                    jnp.asarray(xq_fix),
-                    self._consolidate(),
-                    k,
-                    metric=self.metric_type,
-                    y_norms=self._norms,
+                d_fix, i_fix = self._exact_knn_rows(
+                    np.ascontiguousarray(x[start + rows]), k
                 )
-                v[rows, :k] = np.asarray(d_fix)
-                i[rows, :k] = np.asarray(i_fix)
+                v[rows, :k] = d_fix
+                i[rows, :k] = i_fix
             D[start : start + real] = v[:, :k]
             I[start : start + real] = i[:, :k]
         return D, I

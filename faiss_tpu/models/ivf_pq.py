@@ -531,7 +531,7 @@ def _fused_search_rerank_recon(
     xq, centroids_g, cn2g, yT, n2s, lid, slot_map, xb,
     k, kc, qt, ct, nprobe, qdepth=3, lossy_rank=None, fmax=16,
     sort_rot=False, cheap_after=0, carry=None, xb_n2=None,
-    rr_prec="highest", interpret=False,
+    yT_lo=None, rr_prec="highest", interpret=False,
 ):
     """One-dispatch big-batch IVF search + exact re-rank, scoring against
     the DECODED reconstruction store (ivf_recon_fused_pallas) instead of
@@ -573,7 +573,7 @@ def _fused_search_rerank_recon(
     if xq.shape[1] < d_pad:
         xq = jnp.pad(xq, ((0, 0), (0, d_pad - xq.shape[1])))
     v, slots_raw, ev = ivf_recon_fused_pallas(
-        xq, yT, n2s, lid, mask,
+        xq, yT, n2s, lid, mask, yT_lo=yT_lo,
         qt=qt, ct=ct, qdepth=qdepth, fmax=fmax, rot=sort_rot,
         cheap_after=cheap_after if sort_rot else 0,
         interpret=interpret,
@@ -619,7 +619,7 @@ def _fused_search_rerank_recon_dyn(
     xq, centroids_g, cn2g, yT, n2s, lid, slot_map, xb,
     chunk_first, chunk_last, cgroup,
     k, kc, qt, ct, nprobe, msteps, max_span, qdepth=3, strict_probe=True,
-    carry=None, xb_n2=None, rr_prec="highest", interpret=False,
+    carry=None, xb_n2=None, yT_lo=None, rr_prec="highest", interpret=False,
 ):
     """nprobe-sparse recon-GEMM big-batch search + exact re-rank (one
     dispatch): the dyn-chunk worklist flow of _fused_search_rerank_dyn
@@ -669,7 +669,7 @@ def _fused_search_rerank_recon_dyn(
         else xq_s
     )
     v, slots_raw, ev = ivf_recon_fused_dyn_pallas(
-        penalty, xq_p, yT, n2s, lid, cmap, cgroup,
+        penalty, xq_p, yT, n2s, lid, cmap, cgroup, yT_lo=yT_lo,
         qt=qt, ct=ct, qdepth=qdepth, penalized=strict_probe,
         interpret=interpret,
     )

@@ -62,20 +62,62 @@ def _l2_norms_chunked(x: jax.Array) -> jax.Array:
     return out.reshape(-1)[:n]
 
 
+def _split3_bf16(x: jax.Array):
+    """3-way bf16 split: x ~= hi + mid + lo to ~24 mantissa bits.
+    lax.reduce_precision, NOT a bf16 cast round-trip (the round-trip folds
+    away under --xla_allow_excess_precision and the residual goes zero)."""
+    h32 = jax.lax.reduce_precision(x, 8, 7)
+    r = x - h32
+    m32 = jax.lax.reduce_precision(r, 8, 7)
+    return (
+        h32.astype(jnp.bfloat16),
+        m32.astype(jnp.bfloat16),
+        (r - m32).astype(jnp.bfloat16),
+    )
+
+
+def dot_f32_6pass(x: jax.Array, y: jax.Array, dimension_numbers) -> jax.Array:
+    """f32-exact GEMM as six bf16 MXU passes (3-way split of both sides,
+    dropping the three <=2^-32-relative cross terms; each bf16 x bf16
+    product is exact in f32). Measured MORE accurate than XLA's
+    Precision.HIGHEST (max relerr 1.4e-7 vs 4.9e-7 against float64) and
+    ~50x faster on this TPU stack, where HIGHEST lowers catastrophically
+    (12.4 s vs ~0.25 s for [8192,128]x[128,1M])."""
+    xh, xm, xl = _split3_bf16(x)
+    yh, ym, yl = _split3_bf16(y)
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=dimension_numbers,
+        preferred_element_type=jnp.float32,
+    )
+    # smallest-magnitude terms first: tighter f32 accumulation
+    return (
+        (dot(xl, yh) + dot(xm, ym) + dot(xh, yl))
+        + (dot(xm, yh) + dot(xh, ym))
+        + dot(xh, yh)
+    )
+
+
 def pairwise_inner_product(
     x: jax.Array, y: jax.Array, precision: str = "highest"
 ) -> jax.Array:
     """[nx, d] x [ny, d] -> [nx, ny] inner products on the MXU.
 
     ``precision="highest"`` keeps fp32 accuracy (the reference accumulates
-    fp32, utils/distances.cpp); "default" allows bf16 MXU passes for
-    throughput at a small recall cost (like the reference's bf16 option,
+    fp32, utils/distances.cpp) — on TPU backends it runs as the explicit
+    six-pass bf16 decomposition (dot_f32_6pass), which exceeds f32
+    accuracy and avoids this stack's pathological Precision.HIGHEST
+    lowering; "default" allows single-pass bf16 MXU for throughput at a
+    small recall cost (like the reference's bf16 option,
     gpu/GpuDistance.h compute16bit paths).
     """
+    dn = (((1,), (1,)), ((), ()))
+    if precision == "highest" and jax.default_backend() != "cpu":
+        return dot_f32_6pass(x, y, dn)
     return jax.lax.dot_general(
         x,
         y,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=dn,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST if precision == "highest" else None,
     )
@@ -171,16 +213,6 @@ def pairwise_distances(
     return _extra_metric_tile(x, y, metric, metric_arg)
 
 
-def _chunk_db(y: jax.Array, chunk: int) -> Tuple[jax.Array, int, int]:
-    """Pad y to a multiple of chunk and reshape to [nchunks, chunk, d]."""
-    nb = y.shape[0]
-    nchunks = max(1, -(-nb // chunk))
-    pad = nchunks * chunk - nb
-    if pad:
-        y = jnp.pad(y, ((0, pad), (0, 0)))
-    return y.reshape(nchunks, chunk, y.shape[-1]), nchunks, nb
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "metric_arg", "db_chunk", "exact", "precision"),
@@ -235,27 +267,32 @@ def knn(
             ids = jnp.where(picked_ok, ids, -1)
             vals = jnp.where(picked_ok, vals, sentinel)
     else:
-        yc, nchunks, _ = _chunk_db(y, db_chunk)
-        pad = nchunks * db_chunk - nb
-        if y_norms is not None:
-            ync = jnp.pad(y_norms, (0, pad)).reshape(nchunks, db_chunk)
-        if y_mask is not None:
-            ymc = jnp.pad(y_mask, (0, pad)).reshape(nchunks, db_chunk)
-        else:
-            ymc = None
+        # Scan chunks by dynamic-slicing y IN PLACE: a pad+reshape copy of
+        # the database doubles HBM (3.9 GB extra at Deep10M 10M x 96 f32 —
+        # measured RESOURCE_EXHAUSTED with the flat store also resident).
+        # The last chunk is clamped to [nb - db_chunk, nb); rows the
+        # previous chunk already scored are masked off via col < ci*chunk.
+        nchunks = -(-nb // db_chunk)
 
-        def body(carry, inputs):
+        def body(carry, ci):
             vals, ids = carry
-            ci = inputs[0]
-            ytile = inputs[1]
-            yntile = inputs[2] if metric == MetricType.L2 else None
-            mtile = inputs[-1] if ymc is not None else None
+            start_c = jnp.minimum(ci * db_chunk, nb - db_chunk)
+            ytile = jax.lax.dynamic_slice_in_dim(y, start_c, db_chunk)
+            yntile = (
+                jax.lax.dynamic_slice_in_dim(y_norms, start_c, db_chunk)
+                if metric == MetricType.L2
+                else None
+            )
+            mtile = (
+                jax.lax.dynamic_slice_in_dim(y_mask, start_c, db_chunk)
+                if y_mask is not None
+                else None
+            )
             scores = _score_tile(
                 x, ytile, metric, metric_arg, x_norms, yntile, precision
             )
-            base = ci * db_chunk
-            col = jnp.arange(db_chunk, dtype=jnp.int32) + base
-            valid = col < nb
+            col = jnp.arange(db_chunk, dtype=jnp.int32) + start_c
+            valid = col >= ci * db_chunk  # tail-overlap rows already scored
             if mtile is not None:
                 valid = jnp.logical_and(valid, mtile)
             scores = jnp.where(valid[None, :], scores, sentinel)
@@ -268,12 +305,9 @@ def knn(
             jnp.full((nq, kk), sentinel, jnp.float32),
             jnp.full((nq, kk), -1, jnp.int32),
         )
-        xs = [jnp.arange(nchunks), yc]
-        if metric == MetricType.L2:
-            xs.append(ync)
-        if ymc is not None:
-            xs.append(ymc)
-        (vals, ids), _ = jax.lax.scan(body, init, tuple(xs))
+        (vals, ids), _ = jax.lax.scan(
+            body, init, jnp.arange(nchunks, dtype=jnp.int32)
+        )
 
     # Pad out to k if nb < k (faiss fills with -1 / +-inf).
     if kk < k:
@@ -357,11 +391,18 @@ def rerank_exact(
     sentinel = -jnp.inf if largest else jnp.inf
     safe = jnp.maximum(cand, 0)
     cv = xb[safe].astype(jnp.float32)  # [nq, kc, d] (xb may be fp16 store)
-    ip = jax.lax.dot_general(
-        xq[:, None, :], cv, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )[:, 0, :]
+    if precision == jax.lax.Precision.HIGHEST:
+        # batched M=1 contraction: an f32 elementwise multiply + tree
+        # reduce on the VPU is exact and single-pass — the MXU has no
+        # M=1 tile, and Precision.HIGHEST's lowering is pathological on
+        # this stack (see dot_f32_6pass)
+        ip = jnp.sum(xq[:, None, :].astype(jnp.float32) * cv, axis=-1)
+    else:
+        ip = jax.lax.dot_general(
+            xq[:, None, :], cv, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )[:, 0, :]
     if metric == MetricType.L2:
         cn2 = (
             xb_n2[safe]

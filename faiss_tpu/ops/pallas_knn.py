@@ -1092,7 +1092,8 @@ def _make_recon_kernel(qt, ct, d, masked, qdepth, db_hilo=False,
     return kernel
 
 
-def _make_recon_kernel_dyn(qt, ct, d, qdepth, penalized=True):
+def _make_recon_kernel_dyn(qt, ct, d, qdepth, penalized=True,
+                           db_hilo=False):
     """Dynamic-chunk recon kernel: grid step j visits chunk ``cmap[i, j]``
     (the per-tile probed-chunk worklist — implem_12 semantics,
     IndexIVFFastScan.cpp:1166) with the recon-GEMM score producer and,
@@ -1102,13 +1103,28 @@ def _make_recon_kernel_dyn(qt, ct, d, qdepth, penalized=True):
     from unprobed lists in shared chunks only improve recall, and the
     penalty machinery (a [qt,128]x[128,ct] one-hot GEMM + wide iota
     compare per step, measured ~+1.3 us/step) disappears. Scan cost
-    scales with the probed-chunk union instead of ntotal."""
+    scales with the probed-chunk union instead of ntotal.
+
+    ``db_hilo``: hi+lo bf16 store planes, 3-pass contraction — the
+    f32-faithful scoring of _make_recon_kernel's db_hilo mode, for the
+    exact-contract IVF-Flat path on distance-concentrated data (single
+    bf16-plane selection flags ~90% of rows into the exact replay on
+    clustered Deep10M; f32-faithful keys make flags rare)."""
     n_sub = ct // LANES
 
     def kernel(*refs):
-        if penalized:
+        ylo_ref = None
+        if penalized and db_hilo:
+            (cmap_ref, cgroup_ref, q_ref, bias_ref, yT_ref, ylo_ref,
+             n2_ref, lid_ref, out_v_ref, out_i_ref, out_ev_ref,
+             rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref) = refs
+        elif penalized:
             (cmap_ref, cgroup_ref, q_ref, bias_ref, yT_ref, n2_ref,
              lid_ref, out_v_ref, out_i_ref, out_ev_ref,
+             rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref) = refs
+        elif db_hilo:
+            (cmap_ref, cgroup_ref, q_ref, yT_ref, ylo_ref, n2_ref,
+             out_v_ref, out_i_ref, out_ev_ref,
              rv_ref, ri_ref, qv_ref, qi_ref, wv, wi, ev_ref) = refs
         else:
             (cmap_ref, cgroup_ref, q_ref, yT_ref, n2_ref,
@@ -1138,14 +1154,32 @@ def _make_recon_kernel_dyn(qt, ct, d, qdepth, penalized=True):
         q = q_ref[:]  # [qt, d] f32
         q_hi = q.astype(jnp.bfloat16)
         q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        y = yT_ref[:]  # [d, ct] bf16
-        ip = jax.lax.dot_general(
-            q_hi, y, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            q_lo, y, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if db_hilo:
+            y_hi = yT_ref[:]  # [d, ct] bf16 hi plane
+            y_lo = ylo_ref[:]  # bf16 lo residual plane
+            ip = (
+                jax.lax.dot_general(
+                    q_hi, y_hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot_general(
+                    q_hi, y_lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot_general(
+                    q_lo, y_hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # q.y to ~2^-17 relative
+        else:
+            y = yT_ref[:]  # [d, ct] bf16
+            ip = jax.lax.dot_general(
+                q_hi, y, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                q_lo, y, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if penalized:
             lid = lid_ref[:].astype(jnp.int32)
             lrow = jax.lax.broadcasted_iota(jnp.int32, (LANES, ct), 0)
@@ -1220,6 +1254,7 @@ def ivf_recon_fused_dyn_pallas(
     lid: jax.Array,  # [1, (nchunks+1)*ct] int32 local list ids
     cmap: jax.Array,  # [nq//qt, msteps] int32 chunk worklist per query tile
     cgroup: jax.Array,  # [nchunks+1] int32 group of each chunk
+    yT_lo=None,  # [d_pad, S] bf16 lo residual plane (exact-contract mode)
     qt: int = 256,
     ct: int = 1024,
     qdepth: int = QDEPTH,
@@ -1229,14 +1264,17 @@ def ivf_recon_fused_dyn_pallas(
     """nprobe-sparse recon-GEMM IVF scan + top-128 select: the dyn-chunk
     worklist structure of ivfpq_fused_dyn_pallas with the decoded-store
     score producer of ivf_recon_fused_pallas. ``penalized=False`` = soft
-    probing (no {0,1e9} mask — see _make_recon_kernel_dyn)."""
+    probing (no {0,1e9} mask — see _make_recon_kernel_dyn). ``yT_lo``
+    engages the f32-faithful hi/lo 3-pass contraction."""
     nq = xq.shape[0]
     d = xq.shape[1]
     assert yT.shape[0] == d
+    db_hilo = yT_lo is not None
     msteps = cmap.shape[1]
     assert cmap.shape[0] == nq // qt
     grid = (nq // qt, msteps)
-    kernel = _make_recon_kernel_dyn(qt, ct, d, qdepth, penalized=penalized)
+    kernel = _make_recon_kernel_dyn(qt, ct, d, qdepth, penalized=penalized,
+                                    db_hilo=db_hilo)
     in_specs = [
         pl.BlockSpec((qt, d), lambda i, j, cm, cg: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -1246,12 +1284,19 @@ def ivf_recon_fused_dyn_pallas(
             pl.BlockSpec((qt, 128), lambda i, j, cm, cg: (i, cg[cm[i, j]]),
                          memory_space=pltpu.VMEM)
         )
-    in_specs += [
+    in_specs.append(
         pl.BlockSpec((d, ct), lambda i, j, cm, cg: (0, cm[i, j]),
-                     memory_space=pltpu.VMEM),
+                     memory_space=pltpu.VMEM)
+    )
+    if db_hilo:
+        in_specs.append(
+            pl.BlockSpec((d, ct), lambda i, j, cm, cg: (0, cm[i, j]),
+                         memory_space=pltpu.VMEM)
+        )
+    in_specs.append(
         pl.BlockSpec((1, ct), lambda i, j, cm, cg: (0, cm[i, j]),
-                     memory_space=pltpu.VMEM),
-    ]
+                     memory_space=pltpu.VMEM)
+    )
     if penalized:
         in_specs.append(
             pl.BlockSpec((1, ct), lambda i, j, cm, cg: (0, cm[i, j]),
@@ -1279,11 +1324,15 @@ def ivf_recon_fused_dyn_pallas(
             pltpu.VMEM((qt, LANES), jnp.float32),
         ],
     )
-    operands = (
-        (cmap, cgroup, xq, biasg, yT, n2, lid)
-        if penalized
-        else (cmap, cgroup, xq, yT, n2)
-    )
+    if penalized:
+        operands = (cmap, cgroup, xq, biasg, yT)
+    else:
+        operands = (cmap, cgroup, xq, yT)
+    if db_hilo:
+        operands += (yT_lo,)
+    operands += (n2,)
+    if penalized:
+        operands += (lid,)
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

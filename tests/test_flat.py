@@ -98,6 +98,29 @@ def test_chunked_matches_single():
     np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
 
 
+def test_chunked_matches_single_mask_and_ip():
+    # the in-place-slice scan (no padded db copy): tail-overlap masking
+    # must not duplicate or drop rows, with and without an id mask / norms
+    import jax.numpy as jnp
+    from faiss_tpu.metric import MetricType
+    from faiss_tpu.ops.distances import knn
+
+    rs = np.random.RandomState(11)
+    xb = rs.rand(1000, 16).astype(np.float32)
+    xq = rs.rand(32, 16).astype(np.float32)
+    mask = rs.rand(1000) > 0.3
+    for metric in (MetricType.L2, MetricType.INNER_PRODUCT):
+        D1, I1 = knn(jnp.asarray(xq), jnp.asarray(xb), 8, metric=metric,
+                     y_mask=jnp.asarray(mask))
+        D2, I2 = knn(jnp.asarray(xq), jnp.asarray(xb), 8, metric=metric,
+                     y_mask=jnp.asarray(mask), db_chunk=192)
+        np.testing.assert_allclose(
+            np.asarray(D1), np.asarray(D2), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
+        assert mask[np.asarray(I1).ravel()].all()
+
+
 def test_selector(data):
     xb, xq = data
     index = ft.IndexFlatL2(32)

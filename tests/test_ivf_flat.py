@@ -190,6 +190,113 @@ def test_ivfflat_fused_big_batch_interpret():
     np.testing.assert_allclose(D0[same], d1[same], rtol=1e-4, atol=1e-4)
 
 
+def test_ivfflat_fused_big_batch_hilo_interpret():
+    """brute_hilo=True scores candidates on hi+lo bf16 planes
+    (f32-faithful keys): the fused big-batch result must match the
+    per-probe exact scan at least as well as the single-plane path, on
+    CLUSTERED data where single-plane bf16 selection is weakest."""
+    rs = np.random.RandomState(17)
+    d, nb, nq, nlist = 32, 12000, 256, 64
+    cent = rs.randn(nlist, d).astype(np.float32)
+    xb = (cent[rs.randint(nlist, size=nb)]
+          + 0.02 * rs.randn(nb, d).astype(np.float32))
+    xq = (cent[rs.randint(nlist, size=nq)]
+          + 0.02 * rs.randn(nq, d).astype(np.float32))
+    idx = ft.IndexIVFFlat(None, d, nlist)
+    idx.train(xb[:6000])
+    idx.add(xb)
+    idx.nprobe = 4
+    D0, I0 = idx.search(xq, 10)  # CPU: per-probe exact path
+    idx.fused_interpret = True
+    idx.big_batch_threshold = 64
+    inters = {}
+    for hilo in (False, True):
+        idx.brute_hilo = hilo
+        idx._brute = None
+        D1, I1 = idx.search(xq, 10)
+        inters[hilo] = np.mean(
+            [len(set(I0[i]) & set(I1[i])) / 10 for i in range(nq)]
+        )
+        if hilo:
+            assert idx._brute["yT_lo"] is not None
+            same = I0 == I1
+            np.testing.assert_allclose(
+                D0[same], D1[same], rtol=1e-4, atol=1e-4
+            )
+    # single-plane collapses on concentrated data (~0.35); hi/lo must hold
+    # the exact-within-probed contract (ties near-degenerate points aside)
+    assert inters[True] > 0.995, inters
+    assert inters[True] > inters[False] + 0.3, inters
+
+
+def test_ivfflat_dyn_hilo_interpret():
+    """The dyn-chunk recon kernel's hi/lo mode (yT_lo operand, 3-pass
+    contraction) must reproduce the masked exhaustive hi/lo program at the
+    same nprobe, strict and soft."""
+    import jax.numpy as jnp
+
+    from faiss_tpu.models.ivf_pq import (
+        _fused_search_rerank_recon,
+        _fused_search_rerank_recon_dyn,
+        _unpack_results,
+    )
+
+    rs = np.random.RandomState(23)
+    d, nlist, nb, nq, nprobe = 16, 256, 3000, 128, 16
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    idx = ft.IndexIVFFlat(None, d, nlist)
+    idx.FUSED_CT = 256
+    idx.cp.niter = 4
+    idx.cp.min_points_per_centroid = 1
+    idx.train(xb)
+    idx.add(xb)
+    assert idx.brute_hilo  # the exact-contract default
+    br = idx._build_brute()
+    assert br["yT_lo"] is not None
+    k, kc, qt = 10, 40, 128
+    # strict dyn must match the masked exhaustive program at the same
+    # nprobe; soft is asserted against the EXHAUSTIVE top-k (>= strict)
+    Dm, Im, _, _ = _unpack_results(_fused_search_rerank_recon(
+        jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["yT"],
+        br["n2s"], br["lid"], br["slot_map_dev"], br["xb"],
+        k, kc, qt, idx.FUSED_CT, nprobe, yT_lo=br["yT_lo"],
+        interpret=True,
+    ), k)
+    De, Ie, _, _ = _unpack_results(_fused_search_rerank_recon(
+        jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["yT"],
+        br["n2s"], br["lid"], br["slot_map_dev"], br["xb"],
+        k, kc, qt, idx.FUSED_CT, 0, yT_lo=br["yT_lo"],
+        interpret=True,
+    ), k)
+    out = {}
+    for strict in (True, False):
+        D1, I1, _, nd = _unpack_results(_fused_search_rerank_recon_dyn(
+            jnp.asarray(xq), br["centroids_g"], br["cn2g"], br["yT"],
+            br["n2s"], br["lid"], br["slot_map_dev"], br["xb"],
+            br["chunk_first"], br["chunk_last"], br["cgroup"],
+            k, kc, qt, idx.FUSED_CT, nprobe, br["nchunks"],
+            br["max_span"], strict_probe=strict, yT_lo=br["yT_lo"],
+            interpret=True,
+        ), k)
+        assert int(nd) == 0
+        out[strict] = (np.asarray(I1), np.asarray(D1))
+    Im, Dm, Ie = np.asarray(Im), np.asarray(Dm), np.asarray(Ie)
+    agree = (Im == out[True][0]).mean()
+    assert agree > 0.97, agree
+    same = Im == out[True][0]
+    np.testing.assert_allclose(Dm[same], out[True][1][same],
+                               rtol=1e-4, atol=1e-4)
+    inter_strict = np.mean([
+        len(set(out[True][0][i]) & set(Ie[i])) / k for i in range(nq)
+    ])
+    inter_soft = np.mean([
+        len(set(out[False][0][i]) & set(Ie[i])) / k for i in range(nq)
+    ])
+    assert inter_soft >= inter_strict - 1e-9, (inter_soft, inter_strict)
+    assert inter_soft > 0.9
+
+
 def test_ivfflat_search_submit_collect_equivalence():
     """IVF-Flat streaming submit/collect must match the blocking search()
     through the fused big-batch path (interpret mode) and fall back to
@@ -246,6 +353,7 @@ def test_ivfflat_big_batch_replay_memory_bounded(monkeypatch):
     index.big_batch_kc = 10  # zero margin -> many replays
     index.refined_qdepth = 1
     index.big_batch_threshold = 64
+    index.brute_hilo = False  # single-plane: maximize eviction flags
 
     replayed = []
     orig = IndexIVFFlat._replay_rows_exact
