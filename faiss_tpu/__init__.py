@@ -130,6 +130,7 @@ from .io import (  # noqa: F401
     write_index,
     write_index_binary,
 )
+from .io_ref import read_ref_index, write_ref_index  # noqa: F401
 
 # ScalarQuantizer type aliases at module level (faiss-style)
 for _qt in QuantizerType:

@@ -1009,7 +1009,36 @@ def _mmap_npz(fname: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def _sniff_ref_format(fname_or_file) -> bool:
+    """True when the payload is a reference-format (.faissindex) file:
+    it opens with a known fourcc, while our own container is an npz
+    (zip, magic "PK\\x03\\x04")."""
+    from .io_ref import REF_FOURCCS
+
+    if isinstance(fname_or_file, (str, bytes, os.PathLike)) and not (
+        isinstance(fname_or_file, bytes) and len(fname_or_file) > 4096
+    ):
+        try:
+            with open(fname_or_file, "rb") as f:
+                head = f.read(4)
+        except (OSError, ValueError):
+            return False
+    elif hasattr(fname_or_file, "read") and hasattr(fname_or_file, "seek"):
+        pos = fname_or_file.tell()
+        head = fname_or_file.read(4)
+        fname_or_file.seek(pos)
+    else:
+        return False
+    return head in REF_FOURCCS
+
+
 def read_index(fname_or_file, io_flags: int = 0) -> Index:
+    if _sniff_ref_format(fname_or_file):
+        # a file written by the REFERENCE library (fourcc container,
+        # impl/index_read.cpp) — parsed by the interop reader
+        from .io_ref import read_ref_index
+
+        return read_ref_index(fname_or_file)
     if io_flags & IO_FLAG_MMAP:
         if not isinstance(fname_or_file, (str, bytes)):
             raise ValueError("IO_FLAG_MMAP requires a file path")
