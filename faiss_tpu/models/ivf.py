@@ -234,6 +234,10 @@ class IndexIVF(Index, Level1Quantizer):
         self._listnos_host[pos] = assign
         self._device = None
         self._brute = None  # big-batch staging caches (IVFFlat / IVFPQ)
+        # list-membership CSR (IVFFlat exact replay): its ntotal cache key
+        # cannot see an in-place list reassignment — clear explicitly or
+        # flagged rows replay against stale list membership
+        self._list_csr_cache = None
 
     def remove_ids(self, sel) -> int:
         keep = ~sel.mask_for_ids(self._ids_host)
@@ -614,6 +618,9 @@ class IndexIVFFlat(IndexIVF):
     # the bench mixture; raising kc toward the 128 kernel cap trades a
     # slightly bigger exact re-rank for fewer replays.
     big_batch_kc = 0
+    # packed-readback wire format (see IndexIVFPQ.pack_d2h): "f16" packs
+    # exact int32 slot ids + f16 distance pairs for ~23% less D2H wire
+    pack_d2h = None
     # f32-faithful candidate selection (default): stage hi+lo bf16 store
     # planes and score with the 3-pass contraction (2x scan HBM/MXU cost
     # vs False). On distance-concentrated data the single bf16 plane
@@ -896,6 +903,7 @@ class IndexIVFFlat(IndexIVF):
                     strict_probe=self.strict_probe,
                     carry=carry,
                     yT_lo=br["yT_lo"],
+                    pack16=(self.pack_d2h == "f16"),
                     interpret=self.fused_interpret,
                 )
                 carry = packed
@@ -921,6 +929,7 @@ class IndexIVFFlat(IndexIVF):
                     cheap_after=self.fused_cheap_after,
                     carry=carry,
                     yT_lo=br["yT_lo"],
+                    pack16=(self.pack_d2h == "f16"),
                     interpret=self.fused_interpret,
                 )
                 carry = packed
@@ -1034,11 +1043,22 @@ class IndexIVFFlat(IndexIVF):
         maxc = max(1, int(lens.max()))
         maxc_b = -(-maxc // 2048) * 2048
         d_pad = -(-self.d // 128) * 128
-        rows = max(8, int(self.replay_gather_bytes // (maxc_b * d_pad * 4)))
+        rows_fit = int(self.replay_gather_bytes // (maxc_b * d_pad * 4))
+        rows = max(8, rows_fit)
         C = 8
         while C * 2 <= rows:
             C *= 2
         C = min(C, 1024)
+        # Extreme list skew: when even 8 rows of [maxc_b, d_pad] overshoot
+        # the budget, re-rank each row's candidates in fixed-width column
+        # segments and merge — never silently gather up to 8x the budget.
+        col_chunk = maxc_b
+        if rows_fit < 8:
+            col_chunk = max(
+                2048,
+                int(self.replay_gather_bytes // (C * d_pad * 4))
+                // 2048 * 2048,
+            )
         D = np.empty((nb, k), np.float32)
         slots_out = np.empty((nb, k), np.int64)
         for s in range(0, nb, C):
@@ -1052,12 +1072,33 @@ class IndexIVFFlat(IndexIVF):
                     p += len(seg)
             xqc = np.zeros((C, self.d), np.float32)
             xqc[:m] = xq_bad[s : s + m]
-            dd, ii = dops.rerank_exact(
-                jnp.asarray(xqc), br["xb"], jnp.asarray(cand), k,
-                metric=self.metric_type,
-            )
-            D[s : s + m] = np.asarray(dd)[:m]
-            slots_out[s : s + m] = np.asarray(ii)[:m]
+            if col_chunk >= maxc_b:
+                dd, ii = dops.rerank_exact(
+                    jnp.asarray(xqc), br["xb"], jnp.asarray(cand), k,
+                    metric=self.metric_type,
+                )
+                D[s : s + m] = np.asarray(dd)[:m]
+                slots_out[s : s + m] = np.asarray(ii)[:m]
+            else:
+                # per-segment top-k + id-dedup merge == top-k of the union;
+                # ragged tail shifts back onto the last full window (the
+                # overlap re-scores duplicate slots; the merge dedups them)
+                xqc_dev = jnp.asarray(xqc)
+                Dm = np.full((m, k), np.inf, np.float32)
+                Im = np.full((m, k), -1, np.int64)
+                for c0 in range(0, maxc_b, col_chunk):
+                    c0 = min(c0, maxc_b - col_chunk)
+                    dd, ii = dops.rerank_exact(
+                        xqc_dev, br["xb"],
+                        jnp.asarray(cand[:, c0 : c0 + col_chunk]), k,
+                        metric=self.metric_type,
+                    )
+                    Dm, Im = _merge_topk_rows(
+                        Dm, Im, np.asarray(dd)[:m],
+                        np.asarray(ii)[:m].astype(np.int64), k,
+                    )
+                D[s : s + m] = Dm
+                slots_out[s : s + m] = Im
         I = np.where(
             slots_out >= 0, self._ids_host[np.maximum(slots_out, 0)], -1
         )

@@ -6,7 +6,10 @@ import pytest
 import faiss_tpu as ft
 from faiss_tpu.models.ivf import IndexIVFFlat, SearchParametersIVF
 from faiss_tpu.utils.datasets import SyntheticDataset
-from faiss_tpu.utils.evaluation import knn_intersection_measure
+from faiss_tpu.utils.evaluation import (
+    check_knn_with_draws,
+    knn_intersection_measure,
+)
 
 
 @pytest.fixture(scope="module")
@@ -373,8 +376,11 @@ def test_ivfflat_big_batch_replay_memory_bounded(monkeypatch):
     key = {xq[i].tobytes(): i for i in range(nq)}
     bad = sorted({key[r.tobytes()] for blk in replayed for r in blk})
     assert len(bad) == ft.ivf_fast_scan_stats.lossy_rows
-    np.testing.assert_allclose(D1[bad], D0[bad], rtol=1e-4, atol=1e-4)
-    assert (I1[bad] == I0[bad]).mean() > 0.99  # ties only
+    # tie-aware comparison (contrib/evaluation.py:247 analogue): the two
+    # paths accumulate distances in different orders, so near-equal
+    # neighbors may swap adjacent ranks — ids must only agree up to draws
+    check_knn_with_draws(D0[bad], I0[bad], D1[bad], I1[bad],
+                         rtol=1e-4, atol=1e-4)
 
 
 def test_ivfflat_replay_rows_exact_direct():
@@ -395,6 +401,56 @@ def test_ivfflat_replay_rows_exact_direct():
     D0, I0 = index.search(xq, 10)  # per-probe exact path (CPU default)
     np.testing.assert_allclose(Dr, D0, rtol=1e-4, atol=1e-4)
     assert (Ir == I0).mean() > 0.999
+
+
+def test_ivfflat_replay_rows_exact_column_chunked():
+    """When even the 8-row floor would overshoot replay_gather_bytes
+    (extreme list skew), the replay must column-chunk each row's
+    candidates and merge — same results as the per-probe exact path,
+    never a silent up-to-8x budget overshoot."""
+    rs = np.random.RandomState(13)
+    d, nb, nq, nlist = 16, 9000, 40, 8
+    # skew: one giant list absorbs most vectors
+    xb = rs.randn(nb, d).astype(np.float32)
+    xb[: nb * 8 // 10] *= 0.01  # concentrated blob -> one huge list
+    xq = 0.01 * rs.randn(nq, d).astype(np.float32)
+    index = IndexIVFFlat(None, d, nlist)
+    index.train(xb)
+    index.add(xb)
+    # budget so small that rows_fit < 8 -> col_chunk path engages
+    index.replay_gather_bytes = 2 * 2048 * 128 * 4
+    index._build_brute()
+    Dr, Ir = index._replay_rows_exact(xq, 10, 2)
+    index.nprobe = 2
+    D0, I0 = index.search(xq, 10)  # per-probe exact path (CPU default)
+    check_knn_with_draws(D0, I0, Dr, Ir, rtol=1e-4, atol=1e-4)
+
+
+def test_ivfflat_update_vectors_invalidates_replay_csr():
+    """update_vectors moves rows between lists with ntotal unchanged —
+    the list-CSR cache must be invalidated or _replay_rows_exact gathers
+    candidates from stale list membership (silent contract violation)."""
+    rs = np.random.RandomState(17)
+    d, nb, nlist = 16, 2000, 16
+    xb = rs.randn(nb, d).astype(np.float32)
+    index = IndexIVFFlat(None, d, nlist)
+    index.train(xb)
+    index.add(xb)
+    index._list_csr()  # populate the cache
+    # move a handful of rows far away (guaranteed new coarse assignment)
+    ids = np.arange(8, dtype=np.int64)
+    xnew = 50.0 + rs.randn(8, d).astype(np.float32)
+    index.update_vectors(ids, xnew)
+    index._build_brute()
+    Dr, Ir = index._replay_rows_exact(xnew, 5, 2)
+    index.nprobe = 2
+    D0, I0 = index.search(xnew, 5)
+    # tolerances cover f32 cancellation in the norms-decomposition at the
+    # +50 offset (||q||^2 ~ 4e4 cancelling to distances ~20); a stale CSR
+    # fails by candidates from the wrong lists, not by rounding
+    check_knn_with_draws(D0, I0, Dr, Ir, rtol=1e-3, atol=0.05)
+    # the updated rows themselves must be found at distance ~0
+    assert (Ir[:, 0] == ids).all()
 
 
 def test_ivfflat_big_batch_rt_econ_equivalence():

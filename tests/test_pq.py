@@ -839,3 +839,46 @@ def test_pretransform_search_submit_collect():
     Dr, Ir = pre.search(xq, 10)
     np.testing.assert_array_equal(Is, Ir)
     np.testing.assert_allclose(Ds, Dr, rtol=1e-5, atol=1e-5)
+
+
+def test_pack_d2h_f16_equivalence():
+    """pack_d2h="f16" (int32 ids + f16 distance pairs on the wire) must
+    return IDENTICAL ids to the f32 packing and distances within f16
+    rounding, through both the fused refined path and the IVF-Flat fused
+    path (interpret mode), including odd k (pair padding)."""
+    rs = np.random.RandomState(23)
+    d, nlist, nb, nq = 16, 32, 2000, 128
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    base = ft.IndexIVFPQFastScan(None, d, nlist, 4, 4)
+    base.FUSED_CT = 256
+    base.fused_interpret = True
+    base.big_batch_threshold = 64
+    base.nprobe = nlist
+    base.cp.niter = 4
+    base.cp.min_points_per_centroid = 1
+    index = ft.IndexRefineFlat(base)
+    index.k_factor = 4
+    index.train(xb)
+    index.add(xb)
+    for k in (10, 7):  # even + odd (odd exercises the pad lane)
+        D0, I0 = index.search(xq, k)
+        base.pack_d2h = "f16"
+        D1, I1 = index.search(xq, k)
+        base.pack_d2h = None
+        np.testing.assert_array_equal(I0, I1)
+        np.testing.assert_allclose(D0, D1, rtol=2**-10, atol=1e-4)
+
+    from faiss_tpu.models.ivf import IndexIVFFlat
+
+    fl = IndexIVFFlat(None, d, nlist)
+    fl.train(xb)
+    fl.add(xb)
+    fl.nprobe = 4
+    fl.fused_interpret = True
+    fl.big_batch_threshold = 64
+    D0, I0 = fl.search(xq, 10)
+    fl.pack_d2h = "f16"
+    D1, I1 = fl.search(xq, 10)
+    np.testing.assert_array_equal(I0, I1)
+    np.testing.assert_allclose(D0, D1, rtol=2**-10, atol=1e-4)
