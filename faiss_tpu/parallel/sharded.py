@@ -653,3 +653,174 @@ class ShardedIVFPQBuilder:
             else np.empty(0, np.int64)
         )
         return out
+
+
+class ShardedRefinedIVFPQ:
+    """The full north-star serving composite, mesh-sharded: pretransform
+    (OPQ rotation, replicated) -> invlist-sharded IVF-PQ candidate scan
+    (any nbits incl. the 4-bit fs family) -> LOCAL exact re-rank against
+    the shard's padded refine store -> allgather + k-select merge.
+
+    The refine store holds the TRANSFORMED vectors in the same
+    [lists_per_shard, max_len, d] padded layout as the codes, so every
+    candidate's raw vector lives on the shard that scored it: the exact
+    re-rank is collective-free and only [k] rows/query ride the
+    allgather. This is the TPU layout of the reference's sharded
+    GpuIndexIVFPQ + IndexRefineFlat serving stack
+    (gpu/GpuCloner.h:45-66 shard mode + IndexRefine.h:22; the reference
+    re-ranks AFTER its shard merge and must re-touch all shards'
+    storage — local-refine-then-merge is strictly less traffic).
+
+    ``vt``: optional VectorTransform applied to queries (and already
+    applied to the stored vectors); ``xb_t`` are the transformed
+    database vectors in ADD ORDER (matching ``index._ids_host``).
+    """
+
+    def __init__(self, index, mesh: Mesh, xb_t, vt=None,
+                 store_float16=True, k_factor=4):
+        self.sharded = ShardedIVFPQ(index, mesh)
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.vt = vt
+        self.k_factor = k_factor
+        s = self.sharded
+        xb_t = np.ascontiguousarray(xb_t, np.float32)
+        if len(xb_t) != index.ntotal:
+            raise ValueError("xb_t must hold every stored vector")
+        # per-shard padded refine parts from the same slot layout as the
+        # codes (slot values index the add-order arrays). Host assembly
+        # here mirrors ShardedIVFPQBuilder.finalize; a multi-host build
+        # would produce its own shard's part only.
+        slot_ids = np.asarray(index._build_device()["slot_ids"])
+        nlist, max_len = slot_ids.shape
+        lps = s.lists_per_shard
+        dt = np.float16 if store_float16 else np.float32
+        devices = list(mesh.devices.flat)
+        parts = []
+        for sh in range(mesh.devices.size):
+            sl = slot_ids[sh * lps : (sh + 1) * lps]
+            part = np.zeros((lps, max_len, xb_t.shape[1]), dt)
+            m = sl >= 0
+            part[m] = xb_t[sl[m]].astype(dt)
+            parts.append(part)
+        sh3 = jax.sharding.NamedSharding(mesh, P(self.axis, None, None))
+        bufs = [jax.device_put(p, dv) for p, dv in zip(parts, devices)]
+        self.refine = jax.make_array_from_single_device_arrays(
+            (nlist, max_len, xb_t.shape[1]), sh3, bufs
+        )
+        # local flat positions ride through the scan so the re-rank can
+        # gather from the shard's own padded store without a collective
+        pos = np.arange(nlist * max_len, dtype=np.int32).reshape(
+            nlist, max_len
+        )
+        pos = pos - (np.arange(nlist)[:, None] // lps) * (lps * max_len)
+        pos = np.where(slot_ids >= 0, pos, -1).astype(np.int32)
+        sh2 = jax.sharding.NamedSharding(mesh, P(self.axis, None))
+        self.pos_ids = jax.device_put(pos, sh2)
+
+    def search(self, x, k: int, nprobe: Optional[int] = None):
+        x = np.ascontiguousarray(x, np.float32)
+        if self.vt is not None:
+            x = self.vt.apply(x)
+        s = self.sharded
+        nprobe = int(nprobe or s.nprobe)
+        kc = min(int(round(k * self.k_factor)), self.pos_ids.shape[1] * 8)
+        D, slots = _sharded_refined_search(
+            self.mesh, jnp.asarray(x), s.centroids, s.pq_codebooks,
+            s.codes, s.slot_ids, self.pos_ids, s.lengths, s.term2,
+            self.refine, k, kc, nprobe, s.lists_per_shard, s.metric_type,
+            s.by_residual, s._has_term2,
+        )
+        D = np.asarray(D)
+        slots = np.asarray(slots)
+        I = np.where(slots >= 0, s._ids_host[np.maximum(slots, 0)], -1)
+        return D, I
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "k", "kc", "nprobe", "lists_per_shard", "metric",
+        "by_residual", "has_term2",
+    ),
+)
+def _sharded_refined_search(
+    mesh, xq, centroids, pq_cb, codes, slot_ids, pos_ids, lengths, term2,
+    refine, k, kc, nprobe, lists_per_shard, metric=MetricType.L2,
+    by_residual=True, has_term2=True,
+):
+    """Per-shard: ADC candidate scan (top-kc) -> exact f32 re-rank from
+    the local padded refine store -> top-k; merge across shards."""
+    from ..ops import pq_ops
+
+    axis = mesh.axis_names[0]
+    largest = is_similarity_metric(metric)
+
+    def local(xq, centroids, pq_cb, codes, slot_ids, pos_ids, lengths,
+              term2, refine):
+        coarse_dis, probes = dops.knn(xq, centroids, nprobe, metric=metric)
+        probes = probes.astype(jnp.int32)
+        shard = jax.lax.axis_index(axis).astype(jnp.int32)
+        lo = shard * lists_per_shard
+        local_probe = probes - lo
+        owned = jnp.logical_and(
+            local_probe >= 0, local_probe < lists_per_shard
+        )
+        local_probe = jnp.where(owned, local_probe, -1)
+        if metric == MetricType.L2 and by_residual:
+            luts = -2.0 * pq_ops.pq_ip_tables(xq, pq_cb)
+            bias = coarse_dis
+        elif metric == MetricType.L2:
+            luts = pq_ops.pq_distance_tables(xq, pq_cb)
+            bias = jnp.zeros_like(coarse_dis)
+        else:
+            luts = pq_ops.pq_ip_tables(xq, pq_cb)
+            bias = (
+                coarse_dis if by_residual else jnp.zeros_like(coarse_dis)
+            )
+        _, pos = ivf_ops.ivf_pq_scan(
+            luts, local_probe, bias, codes, pos_ids, lengths, kc,
+            largest=largest, term2=term2 if has_term2 else None,
+        )
+        # exact re-rank of the local top-kc against the local store
+        valid = pos >= 0
+        safe = jnp.maximum(pos, 0)
+        flat = refine.reshape(-1, refine.shape[-1])
+        cand = flat[safe].astype(jnp.float32)  # [nq, kc, d]
+        if largest:
+            dd = jnp.einsum("qd,qcd->qc", xq, cand,
+                            preferred_element_type=jnp.float32)
+            dd = jnp.where(valid, dd, -jnp.inf)
+            dloc, sel = jax.lax.top_k(dd, k)
+        else:
+            diff = xq[:, None, :] - cand
+            dd = jnp.sum(diff * diff, axis=-1)  # exact f32 (kc is small)
+            dd = jnp.where(valid, dd, jnp.inf)
+            nv, sel = jax.lax.top_k(-dd, k)
+            dloc = -nv
+        pos_k = jnp.take_along_axis(pos, sel, axis=1)
+        # local padded position -> global slot id (add-order row)
+        gflat = slot_ids.reshape(-1)
+        slots_k = jnp.where(
+            pos_k >= 0, gflat[jnp.maximum(pos_k, 0)], -1
+        )
+        dloc = jnp.where(
+            pos_k >= 0, dloc, jnp.inf if not largest else -jnp.inf
+        )
+        ddm = jnp.moveaxis(jax.lax.all_gather(dloc, axis), 0, 1)
+        ssm = jnp.moveaxis(jax.lax.all_gather(slots_k, axis), 0, 1)
+        return merge_topk_many(ddm, ssm, k, largest=largest)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),
+            P(axis, None, None), P(axis, None), P(axis, None), P(axis),
+            P(axis, None, None) if has_term2 else P(),
+            P(axis, None, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(xq, centroids, pq_cb, codes, slot_ids, pos_ids, lengths, term2,
+      refine)
