@@ -190,7 +190,17 @@ class Clustering:
         tunnel round-trips per iteration."""
         import jax
 
-        x = np.ascontiguousarray(x, dtype=np.float32)
+        # uint8 data (MNIST8m-class pixels) stays uint8 on DEVICE: every
+        # value in [0,255] is exact in bf16, so the assignment GEMM is
+        # f32-faithful from a 1-byte/dim store (4x less HBM than f32 —
+        # the difference between fitting 8.1M x 784 on one chip or not).
+        # kmeans++/afkmc2 inits do signed float arithmetic on x -> cast.
+        u8 = (
+            getattr(x, "dtype", None) == np.uint8
+            and weights is None
+            and self.cp.init_method == "random"
+        )
+        x = np.ascontiguousarray(x, dtype=np.uint8 if u8 else np.float32)
         if x.ndim != 2 or x.shape[1] != self.d:
             raise ValueError(f"expected [n, {self.d}] training data")
         if weights is not None:

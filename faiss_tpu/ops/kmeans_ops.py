@@ -188,6 +188,21 @@ def kmeans_fused_loop(
     k = init.shape[0]
     EPS = 1.0 / 1024.0
 
+    # uint8 storage path (MNIST8m-class data, BASELINE.md row 12): every
+    # value in [0, 255] is EXACTLY representable in bf16, so the points
+    # stay uint8 in HBM (1 byte/dim — 8.1M x 784 = 6.35 GB vs 25.4 GB of
+    # hi/lo bf16 planes, which would not fit a single v5e) and each scan
+    # chunk decodes to an exact single bf16 plane on the fly. The
+    # assignment GEMM is then x_exact . (c_hi + c_lo): f32-faithful with
+    # 2 MXU passes instead of 3.
+    if x.dtype == jnp.uint8:
+        if weighted:
+            raise NotImplementedError("uint8 k-means path is unweighted")
+        return _kmeans_fused_loop_u8(
+            x, init, key, niter=niter, chunk=chunk, spherical=spherical,
+            int_centroids=int_centroids, frozen=frozen, split=split,
+        )
+
     nchunks = max(1, -(-n // chunk))
     pad = nchunks * chunk - n
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
@@ -258,6 +273,95 @@ def kmeans_fused_loop(
         )
         (sums, counts, obj), _ = jax.lax.scan(
             body, init_acc, (xh, xl, wxh, wxl, x_norm, wc)
+        )
+
+        if frozen:
+            new_c = c
+            nsplit = jnp.zeros((), jnp.int32)
+        else:
+            nz = counts > 0
+            new_c = jnp.where(
+                nz[:, None], sums / jnp.maximum(counts, 1e-30)[:, None], c
+            )
+            if split:
+                new_c, nsplit = _split_empty_clusters(new_c, counts, sub)
+            else:
+                nsplit = jnp.zeros((), jnp.int32)
+            if spherical:
+                nrm = jnp.linalg.norm(new_c, axis=1, keepdims=True)
+                new_c = new_c / jnp.maximum(nrm, 1e-30)
+            if int_centroids:
+                new_c = jnp.round(new_c)
+        ys = (obj, jnp.sum(jnp.square(counts)), jnp.sum(counts), nsplit,
+              counts)
+        return (new_c, key), ys
+
+    (centroids, _), (objs, sumsq, tots, nsplits, counts_all) = jax.lax.scan(
+        iteration, (init, key), None, length=niter
+    )
+    return centroids, objs, sumsq, tots, nsplits, counts_all[-1]
+
+
+def _kmeans_fused_loop_u8(
+    x, init, key, *, niter, chunk, spherical, int_centroids, frozen, split
+):
+    """uint8-resident body of kmeans_fused_loop (see dtype branch there).
+
+    Per chunk: decode uint8 -> bf16 (exact), x_norm recomputed in-chunk
+    (pre-staging a full [n] f32 norm would walk a 25 GB f32 temp at
+    MNIST8m scale), assignment ip = x_bf16 . c_hi + x_bf16 . c_lo, and
+    the one-hot update GEMM runs one exact bf16 pass against the decoded
+    chunk. Returns the same tuple as kmeans_fused_loop.
+    """
+    n, d = x.shape
+    k = init.shape[0]
+
+    nchunks = max(1, -(-n // chunk))
+    pad = nchunks * chunk - n
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    xp = xp.reshape(nchunks, chunk, d)
+
+    def iteration(carry, _):
+        c, key = carry
+        key, sub = jax.random.split(key)
+        c_norms = jnp.sum(jnp.square(c), axis=-1)
+        ch, cl = _hi_lo(c)
+
+        def body(acc, inputs):
+            sums, counts, obj = acc
+            ci, xc_u8 = inputs
+            xb = xc_u8.astype(jnp.bfloat16)  # exact for [0, 255]
+            xnc = jnp.sum(
+                jnp.square(xb.astype(jnp.float32)), axis=-1
+            )
+            ip = jax.lax.dot_general(
+                xb, ch, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                xb, cl, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            d2 = xnc[:, None] + c_norms[None, :] - 2.0 * ip
+            assign = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+            best = jnp.maximum(jnp.min(d2, axis=-1), 0.0)
+            valid = (jnp.arange(chunk) + ci * chunk < n)
+            onehot = jax.nn.one_hot(assign, k, dtype=jnp.bfloat16)
+            ohw = onehot * valid.astype(jnp.bfloat16)[:, None]
+            sums = sums + jax.lax.dot_general(
+                ohw, xb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            counts = counts + jnp.sum(ohw.astype(jnp.float32), axis=0)
+            obj = obj + jnp.sum(best * valid.astype(jnp.float32))
+            return (sums, counts, obj), None
+
+        init_acc = (
+            jnp.zeros((k, d), jnp.float32),
+            jnp.zeros((k,), jnp.float32),
+            jnp.zeros((), jnp.float32),
+        )
+        (sums, counts, obj), _ = jax.lax.scan(
+            body, init_acc, (jnp.arange(nchunks), xp)
         )
 
         if frozen:

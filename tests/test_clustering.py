@@ -167,3 +167,34 @@ def test_superkm_assign_update_exactness():
     np.testing.assert_allclose(np.asarray(tau), d2.min(1), rtol=1e-4, atol=1e-4)
     assert abs(float(obj) - d2.min(1).sum()) / d2.min(1).sum() < 1e-4
     assert int(tot) == 500
+
+
+def test_uint8_path_matches_f32():
+    """uint8 training data stays uint8 on device (the MNIST8m-scale HBM
+    path); assignments and objective must match the f32 path — every
+    uint8 value is exact in bf16, so the only difference is f32
+    accumulation order."""
+    rs = np.random.RandomState(3)
+    n, d, k = 4000, 24, 8
+    protos = rs.randint(0, 256, size=(k, d))
+    xi = np.clip(
+        protos[rs.randint(k, size=n)] + rs.randint(-20, 21, size=(n, d)),
+        0, 255,
+    ).astype(np.uint8)
+    km8 = Kmeans(d, k, niter=12, seed=5, max_points_per_centroid=10**9)
+    obj8 = km8.train(xi)
+    km32 = Kmeans(d, k, niter=12, seed=5, max_points_per_centroid=10**9)
+    obj32 = km32.train(xi.astype(np.float32))
+    assert abs(obj8 - obj32) <= 1e-4 * obj32
+    np.testing.assert_allclose(km8.centroids, km32.centroids,
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_uint8_path_weighted_falls_back():
+    """weights force the f32 path (the uint8 loop is unweighted)."""
+    rs = np.random.RandomState(4)
+    xi = rs.randint(0, 256, size=(500, 8)).astype(np.uint8)
+    w = rs.rand(500).astype(np.float32) + 0.5
+    km = Kmeans(8, 4, niter=5, seed=5, max_points_per_centroid=10**9)
+    obj = km.train(xi, weights=w)
+    assert np.isfinite(obj)
