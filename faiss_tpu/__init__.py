@@ -49,6 +49,7 @@ from .models.flat import (  # noqa: F401
     IndexFlat1D,
     IndexFlatIP,
     IndexFlatL2,
+    IndexFlatSQ8,
 )
 
 from .models.ivf import (  # noqa: F401

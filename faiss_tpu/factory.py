@@ -502,6 +502,11 @@ def index_factory(d: int, description: str, metric=MetricType.L2) -> Index:
     if refine is not None:
         if refine == "Flat":
             index = IndexRefineFlat(index)
+        elif refine == "SQ8":
+            # fused-path SQ8 refine store (1 byte/dim; the reference
+            # builds IndexRefine(IndexScalarQuantizer) here —
+            # index_factory.cpp Refine(SQ8))
+            index = IndexRefineFlat(index, store="sq8")
         else:
             index = IndexRefine(index, index_factory(cur_d, refine, metric))
     for vt in reversed(transforms):

@@ -259,6 +259,20 @@ def _dump(index, arrays: Dict[str, np.ndarray], path: str):
             arrays[f"{path}/codes"] = index._codes_host
         return meta
 
+    from .models.flat import IndexFlatSQ8
+
+    if isinstance(index, IndexFlatSQ8):
+        meta.update(d=index.d, metric=int(index.metric_type),
+                    trained=index.is_trained)
+        if index.is_trained:
+            arrays[f"{path}/sq_trained"] = np.asarray(
+                index.sq.trained, np.float32
+            )
+        codes = index._consolidate()
+        if codes is not None:
+            arrays[f"{path}/codes"] = np.asarray(codes)
+        return meta
+
     if isinstance(index, IndexFlat):
         meta.update(
             d=index.d,
@@ -476,9 +490,15 @@ def _load(meta, arrays, path: str):
         refine = _load(meta["refine"], arrays, f"{path}/refine")
         index = IndexRefine(base, refine)
         if cls == "IndexRefineFlat":
+            from .models.flat import IndexFlatSQ8
+
             index.__class__ = IndexRefineFlat
             index.store_float16 = (
                 getattr(refine, "storage_dtype", np.float32) == np.float16
+            )
+            index.store = (
+                "sq8" if isinstance(refine, IndexFlatSQ8)
+                else ("f16" if index.store_float16 else "f32")
             )
         index.k_factor = meta["k_factor"]
         index.ntotal = base.ntotal
@@ -714,6 +734,17 @@ def _load(meta, arrays, path: str):
         if f"{path}/codes" in arrays:
             index._codes_host = arrays[f"{path}/codes"]
             index.ntotal = len(index._codes_host)
+        return index
+
+    if cls == "IndexFlatSQ8":
+        from .models.flat import IndexFlatSQ8
+
+        index = IndexFlatSQ8(meta["d"], MetricType(meta["metric"]))
+        if meta.get("trained"):
+            index.sq.trained = arrays[f"{path}/sq_trained"]
+            index.is_trained = True
+        if f"{path}/codes" in arrays:
+            index.add_codes(arrays[f"{path}/codes"])
         return index
 
     if cls in (

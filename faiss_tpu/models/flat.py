@@ -530,6 +530,176 @@ class IndexFlat(Index):
         return D, I
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _sq8_norms(codes, scale, off, chunk=1 << 20):
+    """||row||^2 of an SQ8 store, dequantizing row blocks on the fly (a
+    one-piece decode of a 100M-row store would be a 38 GB f32 transient;
+    chunks dynamic-slice the store in place — a pad+reshape would COPY
+    the whole uint8 store next to the argument, +9.6 GB at 100M x 96)."""
+    n, d = codes.shape
+    chunk = min(chunk, n)
+    nch = max(1, -(-n // chunk))
+
+    def body(_, ci):
+        start = jnp.minimum(ci * chunk, n - chunk)
+        blk = jax.lax.dynamic_slice_in_dim(codes, start, chunk)
+        v = blk.astype(jnp.float32) * scale + off
+        return None, jnp.sum(jnp.square(v), -1)
+
+    _, n2 = jax.lax.scan(body, None, jnp.arange(nch))
+    if nch * chunk == n:
+        return n2.reshape(-1)
+    # the tail window was shifted back onto the last `chunk` rows: keep
+    # its final n - (nch-1)*chunk entries (static slicing — a scatter
+    # reassembly at 100M indices blows up memory-space assignment)
+    head = n2[:-1].reshape(-1)
+    return jnp.concatenate([head, n2[-1][chunk - (n - head.shape[0]):]])
+
+
+class IndexFlatSQ8(IndexFlat):
+    """Flat store held as trained per-dim SQ8 codes — 1 byte/dim in HBM.
+
+    The Refine(SQ8) layout (reference: index_factory "Refine(SQ8)" =
+    IndexRefine over IndexScalarQuantizer, index_factory.cpp): as the
+    refine store of IndexRefine it makes exact-style re-ranking possible
+    where f16 does not fit — 100M x 96 is 9.6 GB here vs 19.2 GB f16 on a
+    16 GB chip. Candidate rows are gathered as uint8 (4x less HBM gather
+    traffic than f32) and dequantized per-dim after the gather
+    (ops/distances.rerank_exact sq_scale/sq_off).
+
+    Standalone search decodes row blocks on the fly (chunked; no full
+    f32 materialization). ``params.sel`` is not supported here — use
+    IndexFlat for selector workloads.
+    """
+
+    def __init__(self, d: int, metric=MetricType.L2):
+        super().__init__(d, metric)
+        from ..codecs.sq import QuantizerType, ScalarQuantizer
+
+        self.sq = ScalarQuantizer(d, QuantizerType.QT_8bit)
+        self.is_trained = False
+        self._sq_scale_dev = None
+        self._sq_off_dev = None
+
+    def train(self, x) -> None:
+        self.sq.train(self._check_input(x))
+        self.is_trained = True
+        self._sq_scale_dev = None
+        self._sq_off_dev = None
+
+    def add(self, x) -> None:
+        x = self._check_input(x)
+        if len(x) == 0:
+            return
+        if not self.is_trained:
+            self.train(x)  # per-dim min/max from the first batch
+        self._pending.append(self.sq.compute_codes(x))
+        self.ntotal += len(x)
+
+    def add_codes(self, codes: np.ndarray) -> None:
+        """Append pre-encoded SQ8 rows (device-side builders encode on
+        chip and hand the downloaded codes straight in)."""
+        codes = np.ascontiguousarray(codes, np.uint8)
+        if codes.shape[1] != self.d:
+            raise ValueError("code width mismatch")
+        if not self.is_trained:
+            raise RuntimeError("train before add_codes")
+        self._pending.append(codes)
+        self.ntotal += len(codes)
+
+    def _sq_params(self):
+        """Device (scale, off) with decode(row) = row * scale + off."""
+        if self._sq_scale_dev is None:
+            vmin = np.broadcast_to(
+                np.asarray(self.sq.trained[0], np.float32), (self.d,)
+            )
+            vdiff = np.broadcast_to(
+                np.asarray(self.sq.trained[1], np.float32), (self.d,)
+            )
+            scale = vdiff / 256.0
+            self._sq_scale_dev = jnp.asarray(scale)
+            self._sq_off_dev = jnp.asarray(vmin + 0.5 * scale)
+        return self._sq_scale_dev, self._sq_off_dev
+
+    def _consolidate(self):
+        if self._pending:
+            parts = []
+            if self._xb is not None:
+                parts.append(np.asarray(self._xb))
+            parts.extend(self._pending)
+            host = (
+                np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            )
+            self._xb = jnp.asarray(np.ascontiguousarray(host, np.uint8))
+            self._pending = []
+            self._norms = None
+        if (
+            self._xb is not None
+            and self._norms is None
+            and self.metric_type == MetricType.L2
+        ):
+            scale, off = self._sq_params()
+            self._norms = _sq8_norms(self._xb, scale, off)
+        return self._xb
+
+    def vectors(self) -> np.ndarray:
+        xb = self._consolidate()
+        if xb is None:
+            return np.empty((0, self.d), dtype=np.float32)
+        return self.sq.decode(np.asarray(xb))
+
+    def reconstruct_n(self, n0: int, ni: int) -> np.ndarray:
+        xb = self._consolidate()
+        return self.sq.decode(np.asarray(xb[n0 : n0 + ni]))
+
+    def reconstruct(self, key):
+        return self.reconstruct_n(int(key), 1)[0]
+
+    def search(self, x, k, *, params=None):
+        if params is not None and params.sel is not None:
+            raise NotImplementedError(
+                "IndexFlatSQ8 does not support id selectors"
+            )
+        x = self._check_input(x)
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        nq = len(x)
+        largest = is_similarity_metric(self.metric_type)
+        D = np.full((nq, k), -np.inf if largest else np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        xb = self._consolidate()
+        if xb is None or nq == 0:
+            return D, I
+        scale, off = self._sq_params()
+        # decode + scan row blocks; per-block top-k merged on host
+        blk = 1 << 20
+        for start, padded, real in query_buckets(nq):
+            xq = x[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            xq_dev = jnp.asarray(xq)
+            best_d = np.full((real, k), D[0, 0], np.float32)
+            best_i = np.full((real, k), -1, np.int64)
+            for s in range(0, self.ntotal, blk):
+                e = min(s + blk, self.ntotal)
+                dec = xb[s:e].astype(jnp.float32) * scale + off
+                d_b, i_b = dops.knn(
+                    xq_dev, dec, min(k, e - s), metric=self.metric_type
+                )
+                d_b = np.asarray(d_b)[:real]
+                i_b = np.asarray(i_b)[:real].astype(np.int64) + s
+                cd = np.concatenate([best_d, d_b], axis=1)
+                cidx = np.concatenate([best_i, i_b], axis=1)
+                ordr = np.argsort(-cd if largest else cd, axis=1, kind="stable")[
+                    :, :k
+                ]
+                best_d = np.take_along_axis(cd, ordr, axis=1)
+                best_i = np.take_along_axis(cidx, ordr, axis=1)
+            D[start : start + real] = best_d
+            I[start : start + real] = best_i
+        return D, I
+
+
 class IndexFlatL2(IndexFlat):
     """reference: faiss/IndexFlat.h:85."""
 

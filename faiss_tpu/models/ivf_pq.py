@@ -280,7 +280,8 @@ def _dequantize_queries(xq):
 )
 def _fused_search_rerank(
     xq, centroids_g, cn2g, cbt, codesT, n2s, lid, slot_map, xb,
-    k, kc, qt, ct, nprobe, qdepth=3, pack16=False, interpret=False,
+    k, kc, qt, ct, nprobe, qdepth=3, pack16=False, sq_scale=None,
+    sq_off=None, interpret=False,
 ):
     """One-dispatch big-batch IVFPQ search + exact re-rank.
 
@@ -292,10 +293,11 @@ def _fused_search_rerank(
     from ..ops.distances import rerank_exact
     from ..ops.pallas_knn import ivfpq_fused_pallas
 
-    if slot_map.shape[0] >= (1 << 24):
+    if slot_map.shape[0] >= (1 << 24) and not pack16:
         raise NotImplementedError(
-            "packed result transfer stores slot ids as exact f32 values; "
-            "layouts beyond 2^24 slots need a split-id packing"
+            "the f32 packed result transfer stores slot ids as exact f32 "
+            "values (< 2^24); layouts beyond 2^24 slots must use "
+            'pack_d2h = "f16" (int32 ids are exact at any size)'
         )
     xq = _dequantize_queries(xq)
     luts = -2.0 * jax.lax.dot_general(
@@ -318,7 +320,7 @@ def _fused_search_rerank(
     slots = jnp.where(
         slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
     )[:, :kc]
-    D, I = rerank_exact(xq, xb, slots, k)
+    D, I = rerank_exact(xq, xb, slots, k, sq_scale=sq_scale, sq_off=sq_off)
     # kernel contract (pallas_knn docstring): a row is lossy iff the best
     # evicted key beats its kc-th kept key — caller must repair those rows
     lossy = jnp.min(ev, -1) < v[:, kc - 1]
@@ -495,7 +497,8 @@ def _dyn_probe_counts(
 def _fused_search_rerank_dyn(
     xq, centroids_g, cn2g, cbt, codesT, n2s, lid, slot_map, xb,
     chunk_first, chunk_last, cgroup,
-    k, kc, qt, ct, nprobe, msteps, max_span, pack16=False, interpret=False,
+    k, kc, qt, ct, nprobe, msteps, max_span, pack16=False, sq_scale=None,
+    sq_off=None, interpret=False,
 ):
     """nprobe-sparse big-batch IVFPQ search + exact re-rank (one dispatch).
 
@@ -512,10 +515,11 @@ def _fused_search_rerank_dyn(
     from ..ops.distances import rerank_exact
     from ..ops.pallas_knn import ivfpq_fused_dyn_pallas
 
-    if slot_map.shape[0] >= (1 << 24):
+    if slot_map.shape[0] >= (1 << 24) and not pack16:
         raise NotImplementedError(
-            "packed result transfer stores slot ids as exact f32 values; "
-            "layouts beyond 2^24 slots need a split-id packing"
+            "the f32 packed result transfer stores slot ids as exact f32 "
+            "values (< 2^24); layouts beyond 2^24 slots must use "
+            'pack_d2h = "f16" (int32 ids are exact at any size)'
         )
     xq = _dequantize_queries(xq)
     nq = xq.shape[0]
@@ -547,7 +551,7 @@ def _fused_search_rerank_dyn(
     slots = jnp.where(
         slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
     )[:, :kc]
-    D, I = rerank_exact(xq_s, xb, slots, k)
+    D, I = rerank_exact(xq_s, xb, slots, k, sq_scale=sq_scale, sq_off=sq_off)
     lossy = jnp.min(ev, -1) < v[:, kc - 1]
     inv = jnp.argsort(perm, stable=True)
     return _pack_results(D[inv], I[inv], lossy[inv], ndropped, pack16)
@@ -569,7 +573,8 @@ def _fused_search_rerank_recon(
     xq, centroids_g, cn2g, yT, n2s, lid, slot_map, xb,
     k, kc, qt, ct, nprobe, qdepth=3, lossy_rank=None, fmax=16,
     sort_rot=False, cheap_after=0, carry=None, xb_n2=None,
-    yT_lo=None, rr_prec="highest", pack16=False, interpret=False,
+    yT_lo=None, rr_prec="highest", pack16=False, sq_scale=None,
+    sq_off=None, interpret=False,
 ):
     """One-dispatch big-batch IVF search + exact re-rank, scoring against
     the DECODED reconstruction store (ivf_recon_fused_pallas) instead of
@@ -588,10 +593,11 @@ def _fused_search_rerank_recon(
     from ..ops.distances import rerank_exact
     from ..ops.pallas_knn import ivf_recon_fused_pallas
 
-    if slot_map.shape[0] >= (1 << 24):
+    if slot_map.shape[0] >= (1 << 24) and not pack16:
         raise NotImplementedError(
-            "packed result transfer stores slot ids as exact f32 values; "
-            "layouts beyond 2^24 slots need a split-id packing"
+            "the f32 packed result transfer stores slot ids as exact f32 "
+            "values (< 2^24); layouts beyond 2^24 slots must use "
+            'pack_d2h = "f16" (int32 ids are exact at any size)'
         )
     xq = _dequantize_queries(xq)
     inv = None
@@ -621,7 +627,7 @@ def _fused_search_rerank_recon(
     )[:, :kc]
     D, I = rerank_exact(
         xq[:, : xb.shape[1]], xb, slots, k, xb_n2=xb_n2,
-        precision=_RR_PREC[rr_prec],
+        precision=_RR_PREC[rr_prec], sq_scale=sq_scale, sq_off=sq_off,
     )
     lossy = jnp.min(ev, -1) < v[:, kc - 1 if lossy_rank is None else lossy_rank]
     if inv is not None:
@@ -658,7 +664,7 @@ def _fused_search_rerank_recon_dyn(
     chunk_first, chunk_last, cgroup,
     k, kc, qt, ct, nprobe, msteps, max_span, qdepth=3, strict_probe=True,
     carry=None, xb_n2=None, yT_lo=None, rr_prec="highest", pack16=False,
-    interpret=False,
+    sq_scale=None, sq_off=None, interpret=False,
 ):
     """nprobe-sparse recon-GEMM big-batch search + exact re-rank (one
     dispatch): the dyn-chunk worklist flow of _fused_search_rerank_dyn
@@ -674,10 +680,11 @@ def _fused_search_rerank_recon_dyn(
     from ..ops.distances import rerank_exact
     from ..ops.pallas_knn import ivf_recon_fused_dyn_pallas
 
-    if slot_map.shape[0] >= (1 << 24):
+    if slot_map.shape[0] >= (1 << 24) and not pack16:
         raise NotImplementedError(
-            "packed result transfer stores slot ids as exact f32 values; "
-            "layouts beyond 2^24 slots need a split-id packing"
+            "the f32 packed result transfer stores slot ids as exact f32 "
+            "values (< 2^24); layouts beyond 2^24 slots must use "
+            'pack_d2h = "f16" (int32 ids are exact at any size)'
         )
     xq = _dequantize_queries(xq)
     nq = xq.shape[0]
@@ -716,7 +723,8 @@ def _fused_search_rerank_recon_dyn(
         slots_raw >= 0, slot_map[jnp.maximum(slots_raw, 0)], -1
     )[:, :kc]
     D, I = rerank_exact(
-        xq_s, xb, slots, k, xb_n2=xb_n2, precision=_RR_PREC[rr_prec]
+        xq_s, xb, slots, k, xb_n2=xb_n2, precision=_RR_PREC[rr_prec],
+        sq_scale=sq_scale, sq_off=sq_off,
     )
     lossy = jnp.min(ev, -1) < v[:, kc - 1]
     inv = jnp.argsort(perm, stable=True)
@@ -816,6 +824,68 @@ def _stage_recon_device(codes, listnos, cent, cbt, slot_map, d_pad, by_residual)
         )
         np.asarray(yT[:1, :1])  # fence
     return yT
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _brute_stage_step(
+    codesT, n2s, lid, sm_w, codes, listnos, term2, cn2, local_of, start
+):
+    """One window of _stage_brute_device_windowed: gather the window's
+    slots, compute per-slot norms from term2, and dynamic_update_slice
+    into the DONATED packed stores."""
+    M = codes.shape[1]
+    valid = sm_w >= 0
+    sm = jnp.maximum(sm_w, 0)
+    cw = codes[sm]  # [w, M] uint8
+    ln = listnos[sm]  # [w] int32
+    t2sum = jnp.sum(
+        term2[ln[:, None], jnp.arange(M, dtype=jnp.int32)[None, :],
+              cw.astype(jnp.int32)],
+        axis=1,
+    )
+    n2w = cn2[ln] + t2sum
+    codesT = jax.lax.dynamic_update_slice(
+        codesT, jnp.where(valid[:, None], cw, 0).T, (0, start)
+    )
+    n2s = jax.lax.dynamic_update_slice(
+        n2s, jnp.where(valid, n2w, jnp.inf)[None], (0, start)
+    )
+    lid = jax.lax.dynamic_update_slice(
+        lid, jnp.where(valid, local_of[ln], 0)[None], (0, start)
+    )
+    return codesT, n2s, lid
+
+
+def _stage_brute_device_windowed(
+    codes, listnos, term2, cn2, slot_map, local_of, window=1 << 22
+):
+    """Windowed variant of _stage_brute_device for 100M-scale layouts.
+
+    The one-shot program gathers a [n, M] f32 term2 temp (12.8 GB at
+    100M x M=32 — measured-OOM class) plus full-size where/transpose
+    transients; this version walks slot windows with DONATED stores so
+    the live set is the three packed outputs + one window's transients
+    (~0.5 GB at window=4M). Does NOT build the input-order n2 (the XLA
+    fallback path that wants it is not used at this scale).
+
+    Ragged tail: the last window shifts back onto the final `window`
+    slots and recomputes the overlap — pure layout writes, bit-identical.
+    """
+    S_pad = int(slot_map.shape[0])
+    w = min(window, S_pad)
+    M = codes.shape[1]
+    codesT = jnp.zeros((M, S_pad), codes.dtype)
+    n2s = jnp.full((1, S_pad), jnp.inf, jnp.float32)
+    lid = jnp.zeros((1, S_pad), local_of.dtype)
+    for s in range(0, S_pad, w):
+        s = min(s, S_pad - w)
+        codesT, n2s, lid = _brute_stage_step(
+            codesT, n2s, lid,
+            jax.lax.dynamic_slice_in_dim(slot_map, s, w),
+            codes, listnos, term2, cn2, local_of, s,
+        )
+        np.asarray(n2s[0, :1])  # fence the dispatch queue per window
+    return codesT, n2s, lid
 
 
 @jax.jit
@@ -1032,14 +1102,27 @@ class IndexIVFPQ(IndexIVF):
         # worklist entries (slot_map -1).
         slot_map = np.concatenate([g["slot_map"], np.full(ct, -1, np.int64)])
         slot_map_dev = jnp.asarray(slot_map.astype(np.int32))
-        n2_dev, codesT_dev, n2s_dev, lid_dev = _stage_brute_device(
-            codes_dev,
-            listnos_dev,
-            jnp.asarray(term2),
-            jnp.asarray((centroids**2).sum(1).astype(np.float32)),
-            slot_map_dev,
-            jnp.asarray(local_of),
-        )
+        if len(codes) > (32 << 20):
+            # 100M-scale: the one-shot program's [n, M] f32 term2 temp
+            # alone is 12.8 GB — stage in donated windows instead
+            codesT_dev, n2s_dev, lid_dev = _stage_brute_device_windowed(
+                codes_dev,
+                listnos_dev,
+                jnp.asarray(term2),
+                jnp.asarray((centroids**2).sum(1).astype(np.float32)),
+                slot_map_dev,
+                jnp.asarray(local_of),
+            )
+            n2_dev = None  # input-order norms only feed _big_batch_xla
+        else:
+            n2_dev, codesT_dev, n2s_dev, lid_dev = _stage_brute_device(
+                codes_dev,
+                listnos_dev,
+                jnp.asarray(term2),
+                jnp.asarray((centroids**2).sum(1).astype(np.float32)),
+                slot_map_dev,
+                jnp.asarray(local_of),
+            )
         self._brute = {
             "codes": codes_dev,
             "listnos": listnos_dev,
@@ -1175,18 +1258,22 @@ class IndexIVFPQ(IndexIVF):
         return self._dyn_bucket[nprobe]
 
     def _search_big_batch_refined(
-        self, x, k, kc, refine_xb, nprobe=0, refine_n2=None
+        self, x, k, kc, refine_xb, nprobe=0, refine_n2=None, refine_sq=None
     ):
         """Big-batch search + exact re-rank in one device program
         (used by IndexRefineFlat when wrapping this index).
         ``nprobe == 0`` scans everything; a selective nprobe additionally
         routes through the dynamic-chunk kernel, which scans only the
-        probed chunks (implem_12 semantics, IndexIVFFastScan.cpp:1166)."""
+        probed chunks (implem_12 semantics, IndexIVFFastScan.cpp:1166).
+        ``refine_sq``: (scale, off) when refine_xb is an SQ8 code store
+        (rows dequantize after the candidate gather)."""
         return self._sbbr_collect(
-            self._sbbr_submit(x, k, kc, refine_xb, nprobe, refine_n2)
+            self._sbbr_submit(x, k, kc, refine_xb, nprobe, refine_n2,
+                              refine_sq=refine_sq)
         )
 
-    def _sbbr_submit(self, x, k, kc, refine_xb, nprobe=0, refine_n2=None):
+    def _sbbr_submit(self, x, k, kc, refine_xb, nprobe=0, refine_n2=None,
+                     refine_sq=None):
         """DISPATCH phase of the refined big-batch search: stage + enqueue
         every sub-batch program WITHOUT blocking on results (jax async
         dispatch — nothing here waits on the device link). Returns an
@@ -1210,6 +1297,8 @@ class IndexIVFPQ(IndexIVF):
             D, I = rerank_exact(
                 jnp.asarray(x), refine_xb,
                 jnp.asarray(S.astype(np.int32)), k,
+                sq_scale=None if refine_sq is None else refine_sq[0],
+                sq_off=None if refine_sq is None else refine_sq[1],
             )
             D = np.asarray(D)
             I = np.asarray(I)
@@ -1225,14 +1314,26 @@ class IndexIVFPQ(IndexIVF):
         # callers pass them down; only compute here when not provided
         # (never cache by id(refine_xb): CPython id reuse after a buffer
         # rebuild would validate stale norms)
-        if refine_n2 is None:
+        if refine_n2 is None and refine_sq is None:
             refine_n2 = jnp.sum(
                 jnp.square(refine_xb.astype(jnp.float32)), axis=1
             )
+        # SQ8 store: rows dequantize after the gather; norms (when not
+        # precomputed by the store) come from the dequantized candidates
+        # in-kernel, and HIGH precision matches the 8-bit payload
+        sq_kw = dict(
+            sq_scale=None if refine_sq is None else refine_sq[0],
+            sq_off=None if refine_sq is None else refine_sq[1],
+        )
         rr_kw = dict(
             xb_n2=refine_n2,
-            rr_prec="high" if refine_xb.dtype == jnp.float16 else "highest",
+            rr_prec=(
+                "high"
+                if refine_xb.dtype in (jnp.float16, jnp.uint8)
+                else "highest"
+            ),
             pack16=(self.pack_d2h == "f16"),
+            **sq_kw,
         )
         # DISPATCH phase: enqueue every sub-batch before reading any result,
         # so the tunnel overlaps batch i+1's upload/compute with batch i's
@@ -1331,6 +1432,7 @@ class IndexIVFPQ(IndexIVF):
                     br["max_span"],
                     pack16=(self.pack_d2h == "f16"),
                     interpret=self.fused_interpret,
+                    **sq_kw,
                 )
             elif use_recon:
                 packed = _fused_search_rerank_recon(
@@ -1376,6 +1478,7 @@ class IndexIVFPQ(IndexIVF):
                     qdepth=self.refined_qdepth,
                     pack16=(self.pack_d2h == "f16"),
                     interpret=self.fused_interpret,
+                    **sq_kw,
                 )
             nch = br["nchunks"]
             nscan = msteps if use_dyn else nch
@@ -1460,6 +1563,12 @@ class IndexIVFPQ(IndexIVF):
 
         nq = len(x)
         br = self._build_brute()
+        if br["n2"] is None:
+            raise NotImplementedError(
+                "the XLA ADC fallback needs input-order norms, which the "
+                "windowed (>32M vectors) staging does not build — use the "
+                "fused big-batch path"
+            )
         cb = self.pq._dev()
         if nprobe >= self.nlist:
             nprobe = 0

@@ -330,13 +330,21 @@ class IndexRefine(Index):
         nprobe = self._fused_refined_nprobe(x, k, kc, params)
         if nprobe is None:
             return ("eager", self.search(x, k, params=params))
+        xb = self.refine_index._consolidate()
         return (
             "fused",
             self.base_index._sbbr_submit(
-                x, k, kc, self.refine_index._consolidate(), nprobe,
+                x, k, kc, xb, nprobe,
                 self.refine_index._norms,
+                refine_sq=self._refine_sq(),
             ),
         )
+
+    def _refine_sq(self):
+        """(scale, off) device arrays when the refine store is SQ8 codes
+        (decode = row * scale + off), else None."""
+        fn = getattr(self.refine_index, "_sq_params", None)
+        return fn() if fn is not None else None
 
     def search_collect(self, handle):
         tag, st = handle
@@ -356,9 +364,11 @@ class IndexRefine(Index):
         if nprobe is not None:
             # single-dispatch fused search + re-rank (the base search
             # happens INSIDE this program — do not search twice)
+            xb = self.refine_index._consolidate()
             return self.base_index._search_big_batch_refined(
-                x, k, kc, self.refine_index._consolidate(), nprobe,
+                x, k, kc, xb, nprobe,
                 self.refine_index._norms,
+                refine_sq=self._refine_sq(),
             )
 
         _, Ic = self.base_index.search(x, kc, params=params)
@@ -370,12 +380,15 @@ class IndexRefine(Index):
             from ..ops.distances import rerank_exact
 
             xb = self.refine_index._consolidate()
+            sq = self._refine_sq()
             D, I = rerank_exact(
                 jnp.asarray(x),
                 xb,
                 jnp.asarray(Ic.astype(np.int32)),
                 k,
                 metric=self.metric_type,
+                sq_scale=None if sq is None else sq[0],
+                sq_off=None if sq is None else sq[1],
             )
             D = np.asarray(D)
             I = np.asarray(I).astype(np.int64)
@@ -417,17 +430,33 @@ class IndexRefineFlat(IndexRefine):
     half the HBM and half the tunnel bytes at ~2^-11 rounding, immaterial
     for re-ranking a candidate set."""
 
-    def __init__(self, base_index: Index, xb=None, store_float16: bool = False):
-        from .flat import IndexFlat
+    def __init__(
+        self,
+        base_index: Index,
+        xb=None,
+        store_float16: bool = False,
+        store: str = "f32",
+    ):
+        from .flat import IndexFlat, IndexFlatSQ8
 
-        refine = IndexFlat(base_index.d, base_index.metric_type)
         if store_float16:
-            refine.storage_dtype = np.float16
+            store = "f16"
+        if store == "sq8":
+            # trained per-dim SQ8 store: 1 byte/dim — the only refine
+            # layout that fits 100M x 96 on a 16 GB chip (Refine(SQ8))
+            refine = IndexFlatSQ8(base_index.d, base_index.metric_type)
+        elif store in ("f16", "f32"):
+            refine = IndexFlat(base_index.d, base_index.metric_type)
+            if store == "f16":
+                refine.storage_dtype = np.float16
+        else:
+            raise ValueError(f"unknown refine store {store!r}")
         if xb is not None:
             refine.add(xb)
         super().__init__(base_index, refine)
         self.k_factor = 1.0
-        self.store_float16 = bool(store_float16)
+        self.store_float16 = store == "f16"
+        self.store = store
 
 
 class IndexShards(Index):

@@ -377,6 +377,8 @@ def rerank_exact(
     metric: MetricType = MetricType.L2,
     xb_n2: jax.Array = None,  # optional precomputed ||xb||^2 [nb]
     precision=jax.lax.Precision.HIGHEST,
+    sq_scale: jax.Array = None,  # [d] — xb holds SQ8 codes: row*scale+off
+    sq_off: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact re-ranking of per-query candidate lists (the IndexRefineFlat
     inner loop, IndexRefine.cpp, as one batched gather + contraction).
@@ -386,11 +388,18 @@ def rerank_exact(
     gather — on the serving path that pass was ~40% of the rerank cost.
     ``precision`` trades dot passes for exactness: HIGHEST (6-pass) for
     f32-exact contracts, HIGH (3-pass, ~2^-21 relative) is plenty when the
-    store itself is f16."""
+    store itself is f16.
+
+    ``sq_scale``/``sq_off``: the store is uint8 SQ codes (Refine(SQ8) —
+    1 byte/dim in HBM, the 100M-on-one-chip refine layout); gathered rows
+    dequantize per-dim AFTER the gather, so the HBM gather traffic is 4x
+    lighter than f32 and the contraction runs on reconstructed values."""
     largest = metric == MetricType.INNER_PRODUCT
     sentinel = -jnp.inf if largest else jnp.inf
     safe = jnp.maximum(cand, 0)
     cv = xb[safe].astype(jnp.float32)  # [nq, kc, d] (xb may be fp16 store)
+    if sq_scale is not None:
+        cv = cv * sq_scale + sq_off
     if precision == jax.lax.Precision.HIGHEST:
         # batched M=1 contraction: an f32 elementwise multiply + tree
         # reduce on the VPU is exact and single-pass — the MXU has no

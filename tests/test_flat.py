@@ -300,3 +300,44 @@ def test_flat_screen_program_interpret():
         assert ok.any()
         assert (I0[ok] == I1[ok]).mean() > 0.999, (metric_l2, (I0[ok] != I1[ok]).sum())
         np.testing.assert_allclose(D0[ok], D1[ok], rtol=1e-4, atol=1e-4)
+
+
+def test_flat_sq8_store_roundtrip_and_search():
+    """IndexFlatSQ8: 1-byte/dim store — standalone search matches exact
+    search up to SQ8 reconstruction error; vectors() decodes the codes."""
+    import faiss_tpu as ft
+
+    rs = np.random.RandomState(11)
+    d, nb, nq = 24, 3000, 32
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    idx = ft.IndexFlatSQ8(d)
+    idx.train(xb)
+    idx.add(xb)
+    assert idx.ntotal == nb
+    rec = idx.vectors()
+    # 8-bit per-dim trained range: tight reconstruction
+    err = np.abs(rec - xb).max() / (xb.max() - xb.min())
+    assert err < 0.01
+    D, I = idx.search(xq, 10)
+    ref = ft.IndexFlatL2(d)
+    ref.add(xb)
+    D0, I0 = ref.search(xq, 10)
+    assert (I[:, 0] == I0[:, 0]).mean() > 0.9
+    np.testing.assert_allclose(D, D0, rtol=0.1, atol=0.1)
+
+    # io round-trip preserves codes bit-exactly
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "sq8.bin")
+        ft.write_index(idx, p)
+        idx2 = ft.read_index(p)
+    assert isinstance(idx2, ft.IndexFlatSQ8)
+    np.testing.assert_array_equal(
+        np.asarray(idx._consolidate()), np.asarray(idx2._consolidate())
+    )
+    D2, I2 = idx2.search(xq, 10)
+    np.testing.assert_array_equal(I, I2)
+    np.testing.assert_allclose(D, D2, rtol=1e-6, atol=1e-6)

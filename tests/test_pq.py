@@ -882,3 +882,70 @@ def test_pack_d2h_f16_equivalence():
     D1, I1 = fl.search(xq, 10)
     np.testing.assert_array_equal(I0, I1)
     np.testing.assert_allclose(D0, D1, rtol=2**-10, atol=1e-4)
+
+
+def test_refine_sq8_fused_path():
+    """Refine(SQ8): the fused big-batch path re-ranks against uint8 codes
+    dequantized after the gather. Must agree with the f32 RFlat twin on
+    ids up to SQ8 reconstruction swaps and stay close on distances; the
+    factory token Refine(SQ8) builds the same composite."""
+    rs = np.random.RandomState(29)
+    d, nlist, nb, nq = 16, 32, 3000, 128
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+
+    def build(store):
+        base = ft.IndexIVFPQFastScan(None, d, nlist, 4, 4)
+        base.FUSED_CT = 256
+        base.fused_interpret = True
+        base.big_batch_threshold = 64
+        base.nprobe = 8
+        base.cp.niter = 4
+        base.cp.min_points_per_centroid = 1
+        idx = ft.IndexRefineFlat(base, store=store)
+        idx.k_factor = 4
+        idx.train(xb)
+        idx.add(xb)
+        return idx
+
+    f32 = build("f32")
+    sq8 = build("sq8")
+    D0, I0 = f32.search(xq, 10)
+    D1, I1 = sq8.search(xq, 10)
+    # same candidates from the identical base scan; the SQ8 re-rank may
+    # swap near-ties (gaussian d=16 distances concentrate, so ~10% of
+    # adjacent ranks sit within the 8-bit rounding) — the contract is
+    # recall parity below, not rank-exactness
+    assert (I0 == I1).mean() > 0.85
+    m = I0 == I1
+    np.testing.assert_allclose(D1[m], D0[m], rtol=0.05, atol=0.05)
+
+    # gt recall must not degrade materially vs the f32 refine
+    gt_d = ((xq[:, None, :] - xb[None]) ** 2).sum(-1)
+    gtI = np.argsort(gt_d, 1)[:, :10]
+    r0 = np.mean([len(np.intersect1d(I0[i], gtI[i])) / 10 for i in range(nq)])
+    r1 = np.mean([len(np.intersect1d(I1[i], gtI[i])) / 10 for i in range(nq)])
+    assert r1 >= r0 - 0.01
+
+    # factory spelling
+    fac = ft.index_factory(d, "IVF32,PQ4x4fs,Refine(SQ8)")
+    from faiss_tpu.models.flat import IndexFlatSQ8
+
+    assert isinstance(fac.refine_index, IndexFlatSQ8)
+
+    # io round-trip of the whole composite
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "rsq8.bin")
+        ft.write_index(sq8, p)
+        back = ft.read_index(p)
+    assert back.store == "sq8"
+    back.base_index.FUSED_CT = 256  # match the build (tiling reorders ties)
+    back.base_index.fused_interpret = True
+    back.base_index.big_batch_threshold = 64
+    back.base_index.nprobe = 8
+    back.k_factor = 4
+    D2, I2 = back.search(xq, 10)
+    np.testing.assert_array_equal(I1, I2)
