@@ -551,10 +551,14 @@ def _read_any(r: _R):
         codes = r.vector(np.uint8)
         index = IndexScalarQuantizer(d, sq.qtype, mt)
         index.sq = sq
-        if ntotal:
-            index._codes = codes.reshape(ntotal, sq.code_size)
-        index.ntotal = ntotal
         index.is_trained = is_trained
+        if ntotal:
+            c = codes.reshape(ntotal, sq.code_size)
+            index._codes = c
+            # the scan path searches DECODED vectors held in the flat
+            # store (IndexScalarQuantizer.add) — repopulate it, don't
+            # just park the codes
+            IndexFlat.add(index, sq.decode(c))
         return index
 
     if h == b"IxPq":
@@ -817,7 +821,7 @@ def _write_any(w: _W, index):
             index,
             lambda ix, sel: np.ascontiguousarray(
                 ix._codes_host[sel], np.float32
-            ).view(np.uint8).reshape(len(sel), -1),
+            ).view(np.uint8).reshape(len(sel), ix.d * 4),
         )
         _write_invlists_arrays(w, index.nlist, index.d * 4, lists)
         return
