@@ -316,10 +316,13 @@ def _kmeans_fused_loop_u8(
     n, d = x.shape
     k = init.shape[0]
 
+    # NO pad+reshape: that materializes a full padded COPY of the store
+    # next to the argument (measured +6.8 GB at MNIST8m scale — OOM).
+    # Chunks dynamic-slice the store in place; the ragged tail re-reads
+    # a window shifted back onto the last `chunk` rows and masks rows
+    # already covered by the previous chunk (same fix as dops.knn).
+    chunk = min(chunk, n)
     nchunks = max(1, -(-n // chunk))
-    pad = nchunks * chunk - n
-    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
-    xp = xp.reshape(nchunks, chunk, d)
 
     def iteration(carry, _):
         c, key = carry
@@ -327,9 +330,10 @@ def _kmeans_fused_loop_u8(
         c_norms = jnp.sum(jnp.square(c), axis=-1)
         ch, cl = _hi_lo(c)
 
-        def body(acc, inputs):
+        def body(acc, ci):
             sums, counts, obj = acc
-            ci, xc_u8 = inputs
+            start = jnp.minimum(ci * chunk, n - chunk)
+            xc_u8 = jax.lax.dynamic_slice_in_dim(x, start, chunk)
             xb = xc_u8.astype(jnp.bfloat16)  # exact for [0, 255]
             xnc = jnp.sum(
                 jnp.square(xb.astype(jnp.float32)), axis=-1
@@ -344,7 +348,10 @@ def _kmeans_fused_loop_u8(
             d2 = xnc[:, None] + c_norms[None, :] - 2.0 * ip
             assign = jnp.argmin(d2, axis=-1).astype(jnp.int32)
             best = jnp.maximum(jnp.min(d2, axis=-1), 0.0)
-            valid = (jnp.arange(chunk) + ci * chunk < n)
+            # a shifted tail window re-reads rows the previous chunk
+            # already counted — mask to rows NEW to this chunk
+            gidx = start + jnp.arange(chunk)
+            valid = (gidx >= ci * chunk) & (gidx < n)
             onehot = jax.nn.one_hot(assign, k, dtype=jnp.bfloat16)
             ohw = onehot * valid.astype(jnp.bfloat16)[:, None]
             sums = sums + jax.lax.dot_general(
@@ -361,7 +368,7 @@ def _kmeans_fused_loop_u8(
             jnp.zeros((), jnp.float32),
         )
         (sums, counts, obj), _ = jax.lax.scan(
-            body, init_acc, (jnp.arange(nchunks), xp)
+            body, init_acc, jnp.arange(nchunks)
         )
 
         if frozen:
