@@ -103,6 +103,141 @@ def _flat_screen_program(
     return out
 
 
+def _pack_flat_lk(D, I, flag, pack16):
+    """Pack (D f32 [nq,k], I int32, flag bool) into one int32 buffer:
+    ids always exact int32; D as f32-bitcast lanes (exact) or f16 pairs
+    (pack16)."""
+    if pack16:
+        d16 = D.astype(jnp.float16)
+        if D.shape[1] % 2:
+            d16 = jnp.pad(d16, ((0, 0), (0, 1)))
+        u16 = jax.lax.bitcast_convert_type(d16, jnp.uint16).astype(jnp.uint32)
+        dpk = jax.lax.bitcast_convert_type(
+            u16[:, 0::2] | (u16[:, 1::2] << 16), jnp.int32
+        )
+    else:
+        dpk = jax.lax.bitcast_convert_type(D, jnp.int32)
+    return jnp.concatenate(
+        [I.astype(jnp.int32), dpk, flag.astype(jnp.int32)[:, None]], axis=1
+    )
+
+
+def _unpack_flat_lk(packed, k, pack16):
+    packed = np.asarray(packed)
+    I = packed[:, :k]
+    if pack16:
+        kh = (k + 1) // 2
+        D = np.ascontiguousarray(packed[:, k : k + kh]).view(
+            np.float16
+        )[:, :k].astype(np.float32)
+        off = k + kh
+    else:
+        D = np.ascontiguousarray(packed[:, k : 2 * k]).view(np.float32)
+        off = 2 * k
+    return D, I, packed[:, off] != 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "qt", "ct", "P", "u", "metric_l2", "pack16", "interpret"
+    ),
+)
+def _flat_striped_program(
+    xq, yT_hi, yT_lo, n2s, xb, ymax, k, qt, ct, P, u, metric_l2,
+    pack16=False, carry=None, interpret=False,
+):
+    """Large-k (k > SCREEN_MAX_K) exact flat search: stripe-parallel
+    bf16 screen + union re-rank + certificate, one device program.
+
+    The insert-cascade select's cost scales with k_lanes (k=1024 measured
+    7.9 s / 8192 q — 7x below BASELINE row 9); this path never runs a
+    large-k select. The store is split into P contiguous column stripes
+    (both bench datasets are i.i.d. ROW-ordered, so a stripe is a uniform
+    sample: true top-k membership per stripe ~ Binomial(k, 1/P), mean
+    k/P << 128); each stripe runs the FAST 128-lane screen kernel, the
+    P*128 screened candidates merge by key, the top-u re-rank exactly in
+    f32 (query-chunked — one [nq, u, d] gather is a 3.2 GB transient).
+
+    Certificate (per query, delta = the hi/lo screen error bound): exact
+    iff no stripe could hide a true top-k member —
+      (a) every stripe's worst KEPT key clears key_k + delta (no >128
+          overflow), (b) no stripe's eviction floor dips below it, and
+      (c) the union's u-th admitted key clears it (no truncation loss).
+    Flagged rows re-run through the exact f32 path (reference analogue:
+    BlockSelect over tile partials, gpu/utils/BlockSelectKernel.cuh).
+
+    Results pack into ONE int32 buffer: exact int32 ids + distances as
+    f32 BITCAST lanes (integer lanes pass the pipeline untouched) — the
+    exact-D default; ``pack16`` packs f16 distance pairs instead (~25%
+    less wire at k=1024: the f32 readback alone is ~67 MB per 8192 q on
+    a 45 MB/s wire; ids and recall unaffected — the serving bench's
+    pack_d2h='f16' opt-in)."""
+    from ..ops.distances import rerank_exact
+    from ..ops.pallas_knn import LANES, ivf_recon_fused_pallas
+
+    nq, d = xq.shape
+    d_pad = yT_hi.shape[0]
+    xqp = jnp.pad(xq, ((0, 0), (0, d_pad - d))) if d_pad > d else xq
+    W = yT_hi.shape[1] // P
+    dummy_lid = jnp.zeros((1, 1), jnp.int32)
+    vs, idxs, evmins = [], [], []
+    for s in range(P):
+        sl = slice(s * W, (s + 1) * W)
+        v, idx, ev = ivf_recon_fused_pallas(
+            xqp, yT_hi[:, sl], n2s[:, sl], dummy_lid, None,
+            yT_lo=yT_lo[:, sl], qt=qt, ct=ct, qdepth=3,
+            interpret=interpret,
+        )
+        vs.append(v)
+        idxs.append(idx + jnp.int32(s * W))
+        evmins.append(jnp.min(ev, -1))
+    V = jnp.concatenate(vs, axis=1)  # [nq, P*LANES] screen keys (min=best)
+    X = jnp.concatenate(idxs, axis=1)
+    nv, pos = jax.lax.top_k(-V, u)
+    cand = jnp.take_along_axis(X, pos, axis=1)
+    # store-pad columns carry +inf screen keys; if one is admitted
+    # (underfull tail stripe) its clamped gather would DUPLICATE a real
+    # row — mask to -1 (rerank_exact's missing-candidate sentinel)
+    cand = jnp.where(nv > -jnp.inf, cand, -1)
+    u_kth = -nv[:, u - 1]
+    metric = MetricType.L2 if metric_l2 else MetricType.INNER_PRODUCT
+
+    # query-chunked exact re-rank: bound the [blk, u, d] gather transient
+    blk = max(1, min(nq, (1 << 28) // max(1, u * d * 4)))
+    while nq % blk:
+        blk -= 1
+
+    def rr(args):
+        xq_b, cand_b = args
+        return rerank_exact(xq_b, xb, cand_b, k, metric=metric)
+
+    D, I = jax.lax.map(
+        rr,
+        (xq.reshape(nq // blk, blk, d), cand.reshape(nq // blk, blk, u)),
+    )
+    D = D.reshape(nq, k)
+    I = I.reshape(nq, k)
+
+    qn = jnp.sum(jnp.square(xq), axis=1)
+    key_k = D[:, k - 1] - qn if metric_l2 else -2.0 * D[:, k - 1]
+    # same error-bound anatomy as _flat_screen_program (2^-12 carries an
+    # 8x margin over the hi/lo cross-term + accumulation terms)
+    delta = (2.0**-12) * jnp.sqrt(qn) * ymax
+    bound = key_k + delta
+    worst_kept = jnp.stack([v[:, LANES - 1] for v in vs], axis=1)
+    ev_min = jnp.stack(evmins, axis=1)
+    flag = (
+        (u_kth <= bound)
+        | jnp.any(worst_kept <= bound[:, None], axis=1)
+        | jnp.any(ev_min <= bound[:, None], axis=1)
+    )
+    out = _pack_flat_lk(D, I.astype(jnp.int32), flag, pack16)
+    if carry is not None:
+        out = jnp.concatenate([carry, out], axis=0)
+    return out
+
+
 class IndexFlat(Index):
     """Exact exhaustive index (reference: faiss/IndexFlat.h:23)."""
 
@@ -116,6 +251,7 @@ class IndexFlat(Index):
         self._norms = None  # cached device L2 norms
         self._xbT = None  # transposed padded device copy for the fused kernel
         self._screen = None  # bf16 screen store (yT, n2s, ymax)
+        self._screen_lk = None  # large-k striped variant (+perm pad)
         # device storage dtype: np.float16 halves HBM + upload time at
         # ~2^-11 rounding (GpuIndexFlatConfig.useFloat16, gpu/GpuIndexFlat.h)
         self.storage_dtype = np.float32
@@ -140,6 +276,7 @@ class IndexFlat(Index):
             self._norms = None
             self._xbT = None
             self._screen = None
+            self._screen_lk = None
             self.ntotal += len(x)
             return
         self._pending.append(x)
@@ -151,6 +288,7 @@ class IndexFlat(Index):
         self._norms = None
         self._xbT = None
         self._screen = None
+        self._screen_lk = None
         self.ntotal = 0
 
     def merge_from(self, other: "IndexFlat", add_id: int = 0) -> None:
@@ -184,6 +322,7 @@ class IndexFlat(Index):
             self._norms = None
             self._xbT = None
             self._screen = None
+            self._screen_lk = None
         if self._xb is not None and self._norms is None and (
             self.metric_type == MetricType.L2
         ):
@@ -356,6 +495,59 @@ class IndexFlat(Index):
             )
         return self._screen
 
+    # striped large-k screen (k > SCREEN_MAX_K): stripe budget is wider
+    # than the small-k screen's — it exists FOR the multi-GB stores
+    flat_striped = True
+    flat_striped_max_bytes = 12 << 30
+    # packed-readback wire format for the striped path: None = exact f32
+    # distances (bitcast lanes); "f16" halves the distance payload
+    # (~25% less wire at k=1024) at 2^-11 rounding — ids stay exact
+    pack_d2h = None
+
+    def _striped_plan(self, k):
+        """(P, W, nbp_lk, u) for the striped large-k path, or None when
+        the path does not apply. P sized so a stripe's expected true
+        top-k membership k/P stays <= LANES/4 (overflow flags then sit
+        ~6+ sigma out on i.i.d.-ordered rows)."""
+        if not (
+            self.flat_striped
+            and self.SCREEN_MAX_K < k <= 1536
+            and self.ntotal >= max(self.PALLAS_MIN_NB, 8 * k)
+        ):
+            return None
+        import math
+
+        P = 1 << max(1, math.ceil(math.log2(max(2, (4 * k) / 128))))
+        nbp = -(-self.ntotal // 1024) * 1024
+        P = min(P, nbp // 1024)
+        if P * 128 < k + 128:
+            return None
+        W = -(-nbp // (P * 1024)) * 1024
+        if W < 8192:
+            # narrow stripes put the 128-queue under real insert pressure
+            # (measured: 6% hit rate ~ constant eviction-loss flags) —
+            # let the cascade handle small stores
+            return None
+        nbp_lk = P * W
+        d_pad = -(-self.d // 128) * 128
+        if nbp_lk * (4 * d_pad + 4) > self.flat_striped_max_bytes:
+            return None
+        u = min(P * 128, k + 512)
+        return P, W, nbp_lk, u
+
+    def _screen_lk_dev(self, nbp_lk):
+        """Screen store padded to the stripe grid (re-uses the small-k
+        staging when the widths agree)."""
+        if self._screen is not None and self._screen[2].shape[1] == nbp_lk:
+            return self._screen
+        if self._screen_lk is None or self._screen_lk[2].shape[1] != nbp_lk:
+            xb = self._consolidate()
+            d_pad = -(-self.d // 128) * 128
+            self._screen_lk = _stage_flat_screen(
+                xb, d_pad, nbp_lk, self.metric_type == MetricType.L2
+            )
+        return self._screen_lk
+
     def search_submit(self, x, k, *, params=None):
         """Non-blocking dispatch of the screened flat search (see
         Index.search_submit); eager fallback for every other path."""
@@ -366,16 +558,91 @@ class IndexFlat(Index):
             and (params is None or params.sel is None)
             and self._consolidate() is not None
             and self._use_fused_kernel(k)
-            and self._screen_ok(k)
         ):
-            return ("flat_screen", self._screen_submit(x, k))
+            if self._screen_ok(k):
+                return ("flat_screen", self._screen_submit(x, k))
+            if self._striped_plan(k) is not None:
+                return ("flat_striped", self._striped_submit(x, k))
         return ("eager", self.search(x, k, params=params))
 
     def search_collect(self, handle):
         tag, st = handle
         if tag == "eager":
             return st
+        if tag == "flat_striped":
+            return self._striped_collect(st)
         return self._screen_collect(st)
+
+    def _striped_submit(self, x, k):
+        """DISPATCH phase of the striped large-k search (all sub-batches
+        enqueued, nothing read — the _screen_submit discipline)."""
+        nq = len(x)
+        plan = self._striped_plan(k)
+        P, W, nbp_lk, u = plan
+        metric_l2 = self.metric_type == MetricType.L2
+        yT_hi, yT_lo, n2s, ymax = self._screen_lk_dev(nbp_lk)
+        xb = self._consolidate()
+        pack16 = getattr(self, "pack_d2h", None) == "f16"
+        pending = []
+        carry = None
+        for start, padded, real in query_buckets(nq, max_batch=4096):
+            xq = x[start : start + real]
+            if padded != real:
+                xq = np.pad(xq, ((0, padded - real), (0, 0)))
+            qt = min(padded, 256)
+            carry = _flat_striped_program(
+                jnp.asarray(xq), yT_hi, yT_lo, n2s, xb, ymax, k, qt,
+                1024, P, u, metric_l2, pack16=pack16, carry=carry,
+                interpret=getattr(self, "fused_interpret", False),
+            )
+            pending.append((start, padded, real))
+        return {"carry": carry, "pending": pending, "x": x, "k": k,
+                "nq": nq, "pack16": pack16}
+
+    def _striped_collect(self, st, D=None, I=None):
+        """READ phase + certificate repairs (int32 payload: exact ids,
+        distances f32-bitcast or f16 per pack_d2h)."""
+        carry, pending, x, k, nq = (
+            st["carry"], st["pending"], st["x"], st["k"], st["nq"],
+        )
+        largest = is_similarity_metric(self.metric_type)
+        if D is None:
+            D = np.full((nq, k), -np.inf if largest else np.inf, np.float32)
+            I = np.full((nq, k), -1, np.int64)
+        allp = np.asarray(carry)
+        po = 0
+        for start, padded, real in pending:
+            packed = allp[po : po + padded]
+            po += padded
+            d, i, flag = _unpack_flat_lk(packed, k, st["pack16"])
+            d = np.array(d[:real])
+            i = i[:real].astype(np.int64)
+            flag = flag[:real]
+            if flag.mean() > 0.25:
+                # certification storm (distance-concentrated data):
+                # striping stops paying — serve the rest via the cascade
+                self.flat_striped = False
+                rest = slice(start, nq)
+                Dr, Ir = self._search_fused(
+                    x[rest], k, D[rest].copy(), I[rest].copy()
+                )
+                D[rest] = Dr
+                I[rest] = Ir
+                return D, I
+            if flag.any():
+                rows = np.nonzero(flag)[0]
+                d_fix, i_fix = self._exact_knn_rows(
+                    np.ascontiguousarray(x[start + rows]), k
+                )
+                d[rows] = d_fix
+                i[rows] = i_fix
+            D[start : start + real] = d
+            I[start : start + real] = i
+        return D, I
+
+    def _search_striped(self, x, k, D, I):
+        st = self._striped_submit(x, k)
+        return self._striped_collect(st, D, I)
 
     def _search_screened(self, x, k, D, I):
         """bf16 screen + exact re-rank (_flat_screen_program); rows whose
@@ -489,6 +756,8 @@ class IndexFlat(Index):
 
         if self._screen_ok(k):
             return self._search_screened(x, k, D, I)
+        if self._striped_plan(k) is not None:
+            return self._search_striped(x, k, D, I)
         nq = len(x)
         metric_l2 = self.metric_type == MetricType.L2
         xbT = self._xbT_dev()

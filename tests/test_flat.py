@@ -341,3 +341,51 @@ def test_flat_sq8_store_roundtrip_and_search():
     D2, I2 = idx2.search(xq, 10)
     np.testing.assert_array_equal(I, I2)
     np.testing.assert_allclose(D, D2, rtol=1e-6, atol=1e-6)
+
+
+def test_flat_striped_program_interpret():
+    """Striped large-k program: exact ids/distances vs the CPU path on
+    certified rows, both pack formats, both metrics; pad-column
+    candidates never leak in (underfull tail stripe). Shape keeps the
+    per-stripe insert rate ~0.8% (the bench regime is 0.04-0.4%; narrow
+    stripes put the 128-queue under eviction-loss pressure, which is why
+    _striped_plan refuses W < 8192)."""
+    import jax.numpy as jnp
+
+    import faiss_tpu as ft
+    from faiss_tpu.models.flat import (
+        _flat_striped_program,
+        _stage_flat_screen,
+        _unpack_flat_lk,
+    )
+
+    rs = np.random.RandomState(33)
+    d, nb, nq, k, P = 24, 31000, 32, 128, 2
+    xb = rs.randn(nb, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    for metric_l2, pack16 in ((True, False), (True, True)):
+        index = ft.IndexFlatL2(d) if metric_l2 else ft.IndexFlatIP(d)
+        index.add(xb)
+        D0, I0 = index.search(xq, k)
+        xbdev = index._consolidate()
+        d_pad = 128
+        W = -(-(-(-nb // 1024) * 1024) // (P * 1024)) * 1024
+        nbp_lk = P * W  # > nb: tail stripe underfull
+        yT_hi, yT_lo, n2s, ymax = _stage_flat_screen(
+            xbdev, d_pad, nbp_lk, metric_l2
+        )
+        u = min(P * 128, k + 128)
+        packed = _flat_striped_program(
+            jnp.asarray(xq), yT_hi, yT_lo, n2s, xbdev, ymax, k, 32,
+            1024, P, u, metric_l2, pack16=pack16, interpret=True,
+        )
+        D1, I1, flag = _unpack_flat_lk(packed, k, pack16)
+        ok = ~flag
+        assert ok.mean() > 0.5, flag.mean()
+        assert (I1 >= -1).all() and (I1 < nb).all()  # no pad leakage
+        assert (I0[ok] == I1[ok]).mean() > 0.999
+        rtol = 2e-3 if pack16 else 1e-5
+        m = I0[ok] == I1[ok]
+        np.testing.assert_allclose(
+            D1[ok][m], D0[ok][m], rtol=rtol, atol=1e-2 if pack16 else 1e-4
+        )
