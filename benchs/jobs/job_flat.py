@@ -75,3 +75,27 @@ for k in (100, 1024):
             f"({8192/dt:.0f} QPS)")
     except Exception as e:
         log(f"FLAT k={k} stream failed: {e!r}")
+
+from faiss_tpu.models.flat import striped_stats
+
+log(f"FLAT striped stats: {striped_stats} "
+    f"(flag rate {striped_stats['flagged']/max(1, striped_stats['nq']):.5f})")
+
+# hardware exactness gate for the striped path: striped vs the cascade
+# (both exact contracts) must agree on ids and f32 distances
+nchk = 512
+D_s, I_s = flat.search(xq[:nchk], 1024)
+flat.flat_striped = False
+t0 = time.time()
+D_c, I_c = flat.search(xq[:nchk], 1024)
+log(f"FLAT k=1024 cascade ref on {nchk} q: {time.time()-t0:.1f}s")
+flat.flat_striped = True
+agree = (I_s == I_c).mean()
+# ties may swap adjacent ranks between accumulation orders — distances
+# must match EXACTLY at every rank regardless
+import numpy as _np
+
+_np.testing.assert_allclose(_np.sort(D_s, 1), _np.sort(D_c, 1), rtol=1e-6,
+                            atol=1e-5)
+log(f"FLAT k=1024 striped-vs-cascade: id agreement {agree:.5f}, "
+    f"rank-distance allclose OK")

@@ -103,6 +103,10 @@ def _flat_screen_program(
     return out
 
 
+# striped large-k path counters (benchs/smoke_tpu + job_flat gates)
+striped_stats = {"nq": 0, "flagged": 0, "storms": 0}
+
+
 def _pack_flat_lk(D, I, flag, pack16):
     """Pack (D f32 [nq,k], I int32, flag bool) into one int32 buffer:
     ids always exact int32; D as f32-bitcast lanes (exact) or f16 pairs
@@ -186,7 +190,10 @@ def _flat_striped_program(
         sl = slice(s * W, (s + 1) * W)
         v, idx, ev = ivf_recon_fused_pallas(
             xqp, yT_hi[:, sl], n2s[:, sl], dummy_lid, None,
-            yT_lo=yT_lo[:, sl], qt=qt, ct=ct, qdepth=3,
+            # qdepth 4 (not the screen path's 3): stripe queues see k/P
+            # true members against 128 lanes, and every eviction loss
+            # near the global k-th costs a whole-query repair
+            yT_lo=yT_lo[:, sl], qt=qt, ct=ct, qdepth=4,
             interpret=interpret,
         )
         vs.append(v)
@@ -618,7 +625,10 @@ class IndexFlat(Index):
             d = np.array(d[:real])
             i = i[:real].astype(np.int64)
             flag = flag[:real]
+            striped_stats["nq"] += int(real)
+            striped_stats["flagged"] += int(flag.sum())
             if flag.mean() > 0.25:
+                striped_stats["storms"] += 1
                 # certification storm (distance-concentrated data):
                 # striping stops paying — serve the rest via the cascade
                 self.flat_striped = False

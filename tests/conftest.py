@@ -8,6 +8,22 @@ hardware (SURVEY.md §4).
 
 import os
 
+# Raise the stack rlimit BEFORE jax spawns its compile thread pools:
+# pthread stacks inherit the soft limit at creation, and the one-process
+# full-suite run segfaults deterministically inside XLA:CPU compile of a
+# large interpret-mode Pallas program (~250 tests deep) — the signature
+# of a compiler-thread stack overflow, not of OOM (115 GB free).
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    if _soft != resource.RLIM_INFINITY and (
+        _hard == resource.RLIM_INFINITY or _hard > _soft
+    ):
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except Exception:
+    pass
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
