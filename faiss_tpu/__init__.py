@@ -142,6 +142,8 @@ __version__ = "0.1.0"
 from .extra import (  # noqa: F401
     ResultHeap,
     bucket_sort,
+    diversity_search,
+    diversity_select,
     kmax,
     kmin,
     knn,

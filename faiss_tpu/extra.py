@@ -87,6 +87,76 @@ def merge_knn_results(Dall, Iall, keep_max: bool = False):
     return np.asarray(v), np.take_along_axis(flatI, p.astype(np.int64), axis=1)
 
 
+def diversity_select(D, I, id_to_group, k: int, max_per_group: int):
+    """Group-capped top-k from sorted candidate lists — the batched
+    TPU-native analogue of the reference diversity result handler
+    (demos/diversity_filter/diversity_result_handler.h:21): keep the best
+    ``k`` results per query with at most ``max_per_group`` from any group.
+
+    ``D``/``I`` are distance-sorted candidate tables [nq, kc] (kc >= k);
+    ``id_to_group`` maps database ids to int group labels. Where the
+    reference filters during the scan (a stateful O(k) bubble handler per
+    result), here the scan stays a dense fused kernel and the cap is a
+    vectorized post-pass over its top-kc — same output whenever every
+    query has k group-capped results within its kc candidates (see
+    ``diversity_search`` for the adaptive-kc exact wrapper).
+
+    Returns (D_out [nq, k], I_out [nq, k], n_valid [nq]); unfilled slots
+    hold inf/-1.
+    """
+    D = np.ascontiguousarray(D, np.float32)
+    I = np.ascontiguousarray(I, np.int64)
+    nq, kc = I.shape
+    id_to_group = np.asarray(id_to_group)
+    g = np.where(I >= 0, id_to_group[np.maximum(I, 0)], -1).astype(np.int64)
+    # per-row running count of each group along the sorted order:
+    # stable-sort columns by group, cumcount within runs, scatter back
+    ordg = np.argsort(g, axis=1, kind="stable")
+    gs = np.take_along_axis(g, ordg, axis=1)
+    pos = np.broadcast_to(np.arange(kc), (nq, kc))
+    run_start = np.where(
+        np.concatenate(
+            [np.ones((nq, 1), bool), gs[:, 1:] != gs[:, :-1]], axis=1
+        ),
+        pos, 0,
+    )
+    run_start = np.maximum.accumulate(run_start, axis=1)
+    cumcount = np.empty((nq, kc), np.int64)
+    np.put_along_axis(cumcount, ordg, pos - run_start, axis=1)
+    keep = (cumcount < max_per_group) & (I >= 0)
+    rank = np.cumsum(keep, axis=1) - 1
+    take = keep & (rank < k)
+    D_out = np.full((nq, k), np.inf, np.float32)
+    I_out = np.full((nq, k), -1, np.int64)
+    r, c = np.nonzero(take)
+    D_out[r, rank[r, c]] = D[r, c]
+    I_out[r, rank[r, c]] = I[r, c]
+    return D_out, I_out, np.minimum(np.sum(keep, axis=1), k)
+
+
+def diversity_search(index, xq, k: int, id_to_group, max_per_group: int,
+                     fetch_factor: int = 4):
+    """Exact group-capped search: over-fetch ``fetch_factor * k``
+    candidates from ``index`` and apply :func:`diversity_select`, doubling
+    the over-fetch for any query that could not fill k slots until it can
+    or the whole database has been ranked. On an exact base index this
+    returns exactly what the reference's scan-time diversity handler
+    returns (demos/diversity_filter/demo_diversity_result_handler.cpp)."""
+    xq = np.ascontiguousarray(xq, np.float32)
+    kc = min(max(k, fetch_factor * k), max(index.ntotal, 1))
+    D, I = index.search(xq, kc)
+    D_out, I_out, n_valid = diversity_select(D, I, id_to_group, k, max_per_group)
+    while kc < index.ntotal:
+        short = np.nonzero(n_valid < k)[0]
+        if len(short) == 0:
+            break
+        kc = min(kc * 2, index.ntotal)
+        Ds, Is = index.search(xq[short], kc)
+        Do, Io, nv = diversity_select(Ds, Is, id_to_group, k, max_per_group)
+        D_out[short], I_out[short], n_valid[short] = Do, Io, nv
+    return D_out, I_out
+
+
 def bucket_sort(tab, nbucket: Optional[int] = None, nt: int = 0):
     """Counting sort: returns (lims, perm) (extra_wrappers.py:154)."""
     tab = np.asarray(tab).ravel()

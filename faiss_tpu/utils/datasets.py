@@ -36,6 +36,31 @@ class Dataset:
         _, gt = index.search(self.get_queries(), k)
         return gt
 
+    def database_iterator(self, bs=128, split=(1, 0)):
+        """Yield database blocks of ``bs`` rows; ``split=(nsplit, rank)``
+        restricts to this rank's contiguous shard (contrib/datasets.py:46)."""
+        xb = self.get_database()
+        nsplit, rank = split
+        i0 = self.nb * rank // nsplit
+        i1 = self.nb * (rank + 1) // nsplit
+        for j0 in range(i0, i1, bs):
+            yield sanitize(xb[j0 : min(j0 + bs, i1)])
+
+    def check_sizes(self):
+        """Sanity-check declared sizes against the on-disk files
+        (contrib/datasets.py:74)."""
+        assert self.get_queries().shape == (self.nq, self.d)
+        if self.nb <= 10**7:
+            assert self.get_database().shape == (self.nb, self.d)
+        gt = self.get_groundtruth(k=10)
+        assert gt.shape[0] == self.nq
+        return True
+
+    def __str__(self):
+        return "dataset in dimension %d, with %d vectors, %d queries, %d train" % (
+            self.d, self.nb, self.nq, self.nt,
+        )
+
 
 class SyntheticDataset(Dataset):
     """Gaussian-mixture synthetic data (contrib/datasets.py:84).
@@ -73,6 +98,149 @@ class SyntheticDataset(Dataset):
 
     def get_queries(self):
         return self._xq
+
+
+# --- real-dataset loaders (contrib/datasets.py:155-280) ---------------------
+#
+# Standard ANN benchmark layouts on local disk. No downloads happen here;
+# point FAISS_TPU_DATA (or set_dataset_basedir) at a directory holding the
+# usual sift1M/ bigann/ deep1b/ gist1M/ subtrees.
+
+import os as _os
+
+dataset_basedir = _os.environ.get("FAISS_TPU_DATA", "data/")
+
+
+def set_dataset_basedir(path):
+    """Override the root directory real datasets load from."""
+    global dataset_basedir
+    dataset_basedir = path if path.endswith("/") else path + "/"
+
+
+def sanitize(x):
+    """Contiguous float32 view of any vector block (contrib/datasets.py:184)."""
+    return np.ascontiguousarray(x, dtype="float32")
+
+
+class DatasetSIFT1M(Dataset):
+    """ANN_SIFT1M (corpus-texmex.irisa.fr) from ``<basedir>/sift1M/``
+    (contrib/datasets.py:155)."""
+
+    def __init__(self, basedir=None):
+        self.d, self.nt, self.nb, self.nq = 128, 100_000, 1_000_000, 10_000
+        self.basedir = (basedir or dataset_basedir + "sift1M/")
+
+    def get_queries(self):
+        return fvecs_read(self.basedir + "sift_query.fvecs")
+
+    def get_train(self, maxtrain=None):
+        xt = fvecs_read(self.basedir + "sift_learn.fvecs")
+        return xt if maxtrain is None else xt[:maxtrain]
+
+    def get_database(self):
+        return fvecs_read(self.basedir + "sift_base.fvecs")
+
+    def get_groundtruth(self, k=None):
+        gt = ivecs_read(self.basedir + "sift_groundtruth.ivecs")
+        return gt if k is None else gt[:, :k]
+
+
+class DatasetGIST1M(Dataset):
+    """ANN_GIST1M from ``<basedir>/gist1M/`` (contrib/datasets.py:351)."""
+
+    def __init__(self, basedir=None):
+        self.d, self.nt, self.nb, self.nq = 960, 500_000, 1_000_000, 1_000
+        self.basedir = (basedir or dataset_basedir + "gist1M/")
+
+    def get_queries(self):
+        return fvecs_read(self.basedir + "gist_query.fvecs")
+
+    def get_train(self, maxtrain=None):
+        xt = fvecs_read(self.basedir + "gist_learn.fvecs")
+        return xt if maxtrain is None else xt[:maxtrain]
+
+    def get_database(self):
+        return fvecs_read(self.basedir + "gist_base.fvecs")
+
+    def get_groundtruth(self, k=None):
+        gt = ivecs_read(self.basedir + "gist_groundtruth.ivecs")
+        return gt if k is None else gt[:, :k]
+
+
+class DatasetBigANN(Dataset):
+    """ANN_SIFT1B uint8 vectors from ``<basedir>/bigann/``; ``nb_M`` picks
+    the 1M..1000M prefix with its matching ground truth
+    (contrib/datasets.py:188)."""
+
+    _SIZES = (1, 2, 5, 10, 20, 50, 100, 200, 500, 1000)
+
+    def __init__(self, nb_M=1000, basedir=None):
+        assert nb_M in self._SIZES, f"nb_M must be one of {self._SIZES}"
+        self.nb_M = nb_M
+        self.d, self.nt, self.nb, self.nq = 128, 10**8, nb_M * 10**6, 10_000
+        self.basedir = (basedir or dataset_basedir + "bigann/")
+
+    def get_queries(self):
+        return sanitize(bvecs_mmap(self.basedir + "bigann_query.bvecs")[:])
+
+    def get_train(self, maxtrain=None):
+        mt = self.nt if maxtrain is None else maxtrain
+        return sanitize(bvecs_mmap(self.basedir + "bigann_learn.bvecs")[:mt])
+
+    def get_groundtruth(self, k=None):
+        gt = ivecs_read(self.basedir + "gnd/idx_%dM.ivecs" % self.nb_M)
+        return gt if k is None else gt[:, :k]
+
+    def get_database(self):
+        assert self.nb_M < 100, "dataset too large, use database_iterator"
+        return sanitize(bvecs_mmap(self.basedir + "bigann_base.bvecs")[: self.nb])
+
+    def database_iterator(self, bs=128, split=(1, 0)):
+        xb = bvecs_mmap(self.basedir + "bigann_base.bvecs")
+        nsplit, rank = split
+        i0 = self.nb * rank // nsplit
+        i1 = self.nb * (rank + 1) // nsplit
+        for j0 in range(i0, i1, bs):
+            yield sanitize(xb[j0 : min(j0 + bs, i1)])
+
+
+class DatasetDeep1B(Dataset):
+    """Yandex Deep1B from ``<basedir>/deep1b/``; ``nb`` picks the
+    100k..1B prefix (contrib/datasets.py:232)."""
+
+    _NAMES = {10**5: "100k", 10**6: "1M", 10**7: "10M",
+              10**8: "100M", 10**9: "1B"}
+
+    def __init__(self, nb=10**9, basedir=None):
+        assert nb in self._NAMES, f"nb must be one of {sorted(self._NAMES)}"
+        self.d, self.nt, self.nb, self.nq = 96, 358_480_000, nb, 10_000
+        self.basedir = (basedir or dataset_basedir + "deep1b/")
+        self.gt_fname = "%sdeep%s_groundtruth.ivecs" % (
+            self.basedir, self._NAMES[nb],
+        )
+
+    def get_queries(self):
+        return sanitize(fvecs_read(self.basedir + "deep1B_queries.fvecs"))
+
+    def get_train(self, maxtrain=None):
+        mt = self.nt if maxtrain is None else maxtrain
+        return sanitize(fvecs_mmap(self.basedir + "learn.fvecs")[:mt])
+
+    def get_groundtruth(self, k=None):
+        gt = ivecs_read(self.gt_fname)
+        return gt if k is None else gt[:, :k]
+
+    def get_database(self):
+        assert self.nb <= 10**8, "dataset too large, use database_iterator"
+        return sanitize(fvecs_mmap(self.basedir + "base.fvecs")[: self.nb])
+
+    def database_iterator(self, bs=128, split=(1, 0)):
+        xb = fvecs_mmap(self.basedir + "base.fvecs")
+        nsplit, rank = split
+        i0 = self.nb * rank // nsplit
+        i1 = self.nb * (rank + 1) // nsplit
+        for j0 in range(i0, i1, bs):
+            yield sanitize(xb[j0 : min(j0 + bs, i1)])
 
 
 # --- fvecs/ivecs/bvecs IO (contrib/vecs_io.py) ------------------------------
