@@ -211,8 +211,16 @@ class Clustering:
         wd = jnp.asarray(weights) if weights is not None else None
         n = len(x)
         # chunk: cover small n in one scan step; cap the [chunk, k] distance
-        # buffer for big runs (shape reuse: power-of-two buckets)
+        # buffer for big runs (shape reuse: power-of-two buckets). The cap is
+        # k-AWARE: the per-step transients ([chunk, k] f32 distances + the
+        # bf16 one-hot update operand) must stay ~<=3 GB — at k=32768 an
+        # uncapped 1<<17 chunk compiles to a 17 GB program (measured OOM on
+        # the 16 GB v5e, Deep100M coarse train). k<=4096 keeps the historic
+        # 1<<17 shape so the scored SIFT1M bench shapes are unaffected.
         chunk = 1 << max(10, min(17, (n - 1).bit_length()))
+        kcap = (1 << 29) // max(128, self.k)  # ~2 GB f32 distance buffer
+        kcap = 1 << max(10, kcap.bit_length() - 1)
+        chunk = min(chunk, kcap)
 
         best_obj = np.inf
         best_centroids = None
